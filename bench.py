@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + materialize counts via a
+cheap action). A first warmup action is run to exclude JVM/session startup
+from per-query numbers; total includes query time only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from parquet_exporter_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "agg_pricing_summary",
+    "flagship_revenue_by_region",
+    "join_inner_equi",
+    "join_asof",
+    "topk_global",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    _ensure_loaded()
+    spark = get_spark(app_name="parquet_exporter_spark_bench")
+
+    # Warmup: JVM + parquet footer caches, excluded from timings.
+    REGISTRY["count_star"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan while
+        # keeping driver materialization O(1).
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""As-of join: for each left row, the latest right row with
+``right.time <= left.time`` on the same key.
+
+Spark has no native as-of join (SURVEY.md section 2.2). The naive
+composition — inequality join then ``row_number() = 1`` — materializes every
+candidate match before discarding all but one; on 100 TB of events against
+years of orders that intermediate is quadratic in the worst case.
+
+This implementation uses the union-window form instead, which is the
+scalable shape: tag both sides, union, and carry the right payload forward
+with ``last(..., ignorenulls=True)`` over a window partitioned by key and
+ordered by (time, side). Cost is one shuffle of |L| + |R| rows and a
+per-partition sort — linear, skew-handled by AQE, no join blowup.
+
+Tie semantics: a right row at exactly left.time IS visible (sorted before
+the left row via the side column), matching ``ON left.t >= right.t`` in
+DuckDB's ASOF JOIN. Duplicate right rows per (key, time) must be
+pre-aggregated by the caller to make the result deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right (visible first at equal times), 1 = left
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join; payload columns are NULL when no prior right row."""
+    left_cols = left.columns
+    l = left.withColumn(_SIDE, F.lit(1)).select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.col(_SIDE),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r = right.withColumn(_SIDE, F.lit(0)).select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.col(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload_cols],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)

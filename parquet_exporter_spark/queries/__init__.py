@@ -1,0 +1,11 @@
+"""Operator inventory (SURVEY.md section 2) as registered queries.
+
+Importing this package registers every query into
+``parquet_exporter_spark.registry.REGISTRY``.
+"""
+
+from parquet_exporter_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+)

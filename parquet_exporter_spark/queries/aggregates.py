@@ -1,0 +1,276 @@
+"""Aggregation operators: hash group-by, distinct, stats, rollup/cube,
+grouping sets, collect, min_by/max_by, approx distinct.
+
+Scale notes: every groupBy here benefits from Spark's automatic partial
+aggregation (map-side combine) — the shuffle carries one row per
+(partition, group), not per input row. Grouping keys are low-cardinality
+(returnflag/linestatus/segment/nation), so the final agg is tiny regardless
+of input scale; AQE coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.queries._util import rmoney, rratio
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "TPC-H Q1-shaped pricing summary: filter + 8 aggregates over 2 keys. "
+        "Single shuffle with map-side partials; filter pushed to scan."
+    ),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rmoney(F.sum("l_quantity")).alias("sum_qty"),
+            rmoney(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rmoney(F.sum(disc_price)).alias("sum_disc_price"),
+            rmoney(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            rratio(F.avg("l_quantity")).alias("avg_qty"),
+            rmoney(F.avg("l_extendedprice")).alias("avg_price"),
+            rratio(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           round(sum(DISTINCT round(o_totalprice, 0)), 2) AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Distinct aggregates: count_distinct and sum_distinct per group.",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        rmoney(F.sum_distinct(F.round("o_totalprice", 0))).alias("sum_distinct_price"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           round(var_samp(c_acctbal), 2) AS var_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           round(covar_pop(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS covar_bal_nation
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Statistical aggregates: stddev/variance/corr/covar per group.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        rmoney(F.var_samp("c_acctbal")).alias("var_bal"),
+        rmoney(F.min("c_acctbal")).alias("min_bal"),
+        rmoney(F.max("c_acctbal")).alias("max_bal"),
+        rratio(F.corr("c_acctbal", F.col("c_custkey").cast("double"))).alias("corr_bal_key"),
+        F.round(F.covar_pop("c_acctbal", F.col("c_nationkey").cast("double")), 4).alias(
+            "covar_bal_nation"
+        ),
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact median / continuous percentile per group. Spark's "
+        "percentile() matches DuckDB quantile_cont interpolation."
+    ),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+    doc="ROLLUP multi-level totals over a joined input.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return joined.rollup("n_name", "o_orderstatus").agg(
+        rmoney(F.sum("o_totalprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all grouping-key combinations.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(rmoney(F.sum("l_quantity")).alias("sum_qty"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="GROUPING SETS via the SQL surface (spark.sql and DuckDB share syntax).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc=(
+        "collect_set, sort-normalized on both sides (SURVEY section 5 trap: "
+        "collection order is nondeterministic)."
+    ),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           min_by(c_name, c_custkey) AS first_customer,
+           max_by(c_name, c_acctbal) AS richest_customer,
+           max(c_acctbal) AS top_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "min_by/max_by (deterministic replacement for first/last, whose "
+        "result depends on partition order)."
+    ),
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_custkey").alias("first_customer"),
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.max("c_acctbal").alias("top_balance"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimate differs between engines: rows-only check;
+    # the exact-vs-approx error bound is asserted in tests/test_operators.py.
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct counts.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (compiled to conditional aggregation).",
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(rmoney(F.sum("l_quantity")), F.lit(0.0)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )

@@ -1,0 +1,330 @@
+"""Join operators: inner/outer/semi/anti equi-joins, broadcast star join,
+cross join, theta (non-equi), range join, as-of join.
+
+Scale notes:
+- Star joins broadcast the bounded dims (region/nation explicitly; Catalyst
+  auto-broadcasts customer/supplier/part under the threshold) so the fact
+  table never shuffles for dimension lookups.
+- Fact-to-fact joins (lineitem-orders) shuffle on the join key; AQE handles
+  skew by splitting oversized partitions.
+- The as-of join uses the union-window form (operators/asof.py) — one
+  shuffle, no candidate-pair blowup.
+- The range join bounds the non-equi condition with an equi prefix
+  (bucketed value), so it never degrades to a broadcast nested loop over
+  the full fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.operators.asof import asof_join
+from parquet_exporter_spark.queries._util import rmoney
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 200000
+    """,
+    doc="Inner equi-join fact-to-fact (planner picks sort-merge/shuffled-hash).",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    """,
+    doc="Left outer join with a join-side predicate (kept in ON, not WHERE).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F")
+    return cust.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.o_orderkey AS big_key, b.o_orderkey AS urgent_key,
+           coalesce(a.o_totalprice, b.o_totalprice) AS any_price
+    FROM (SELECT * FROM orders WHERE o_totalprice > 250000) a
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') b
+      ON a.o_orderkey = b.o_orderkey
+    """,
+    doc="Full outer join of two overlapping subsets (nulls on both sides).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 250000).alias("a")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").alias("b")
+    return a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full").select(
+        F.col("a.o_orderkey").alias("big_key"),
+        F.col("b.o_orderkey").alias("urgent_key"),
+        F.coalesce(F.col("a.o_totalprice"), F.col("b.o_totalprice")).alias("any_price"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    doc="Left semi join (EXISTS): customers with at least one big order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Left anti join (NOT EXISTS): customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_star_broadcast",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           round(sum(c_acctbal), 2) AS total_balance,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc=(
+        "Star-dimension broadcast join: nation and region are explicitly "
+        "broadcast, so customer never shuffles for the lookup (plan asserted "
+        "in tests/test_plans.py)."
+    ),
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            rmoney(F.sum("c_acctbal")).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    doc="Cross join (bounded inputs only — never on a fact table).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    a = region.alias("a")
+    b = region.alias("b")
+    return a.crossJoin(b).filter(F.col("a.r_regionkey") != F.col("b.r_regionkey")).select(
+        F.col("a.r_name").alias("from_region"), F.col("b.r_name").alias("to_region")
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s1.s_suppkey AS richer, s2.s_suppkey AS poorer,
+           round(s1.s_acctbal - s2.s_acctbal, 4) AS gap
+    FROM supplier s1
+    JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal > s2.s_acctbal
+    """,
+    doc=(
+        "Theta join: equi prefix (nationkey) plus inequality. The equi part "
+        "hash-partitions the join; the inequality filters within partitions — "
+        "no nested loop over the full input."
+    ),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    s1 = sup.alias("s1")
+    s2 = sup.alias("s2")
+    cond = (F.col("s1.s_nationkey") == F.col("s2.s_nationkey")) & (
+        F.col("s1.s_acctbal") > F.col("s2.s_acctbal")
+    )
+    return s1.join(s2, cond).select(
+        F.col("s1.s_suppkey").alias("richer"),
+        F.col("s2.s_suppkey").alias("poorer"),
+        F.round(F.col("s1.s_acctbal") - F.col("s2.s_acctbal"), 4).alias("gap"),
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e9))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    doc=(
+        "Range/interval join: events banded into value intervals. The band "
+        "table is tiny and broadcast; at scale this is a broadcast-nested-"
+        "loop over 3 rows per event — O(n), no shuffle."
+    ),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
+        schema="band string, lo double, hi double",
+    )
+    cond = (events.value >= bands.lo) & (events.value < bands.hi)
+    return (
+        events.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 27 YEAR AS shifted_ts
+        FROM events
+    ),
+    day_orders AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey,
+               round(sum(o_totalprice), 2) AS day_total
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, d.last_orderkey, d.day_total
+    FROM ev e
+    ASOF LEFT JOIN day_orders d
+      ON e.user_id = d.o_custkey AND e.shifted_ts >= d.o_orderdate
+    """,
+    doc=(
+        "As-of join: each event matched to the latest prior order-day of the "
+        "same customer (events shifted into the order era). Union-window "
+        "implementation — see operators/asof.py; oracle is DuckDB ASOF JOIN."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 27 YEARS")).alias("shifted_ts"),
+    )
+    day_orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            rmoney(F.sum("o_totalprice")).alias("day_total"),
+        )
+    )
+    joined = asof_join(
+        events,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="shifted_ts",
+        right_time="o_orderdate",
+        payload_cols=["last_orderkey", "day_total"],
+    )
+    return joined.select("event_id", "user_id", "last_orderkey", "day_total")
+
+
+@query(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r_name AS region,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r_name
+    """,
+    doc=(
+        "Flagship (TPC-H Q5-shaped): 5-way star join, revenue by region. "
+        "lineitem-orders shuffles on orderkey; customer/nation/region are "
+        "broadcast lookups; one final tiny aggregation."
+    ),
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            rmoney(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

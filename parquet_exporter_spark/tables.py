@@ -1,0 +1,70 @@
+"""Catalog of the driver testdata tables (TESTDATA.md / FIXTURES.md).
+
+``load(spark, sf_dir)`` returns the tables as DataFrames; ``register(spark,
+sf_dir)`` additionally publishes them as temp views so `spark.sql` queries
+see the same names DuckDB's oracle views use.
+
+Scale posture: the star-schema dimensions (region, nation, supplier, part,
+customer) are *bounded* relative to the facts (orders, lineitem, events).
+Queries broadcast dims explicitly; facts are never collected or broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions safe to broadcast at any scale factor the engine targets
+# (region/nation are fixed-cardinality; supplier/part/customer grow with SF
+# but stay orders of magnitude below the facts — broadcast decisions for
+# those are left to Catalyst/AQE via autoBroadcastJoinThreshold).
+FIXED_DIMS = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as long (legacy nanosAsLong) and truncate to
+    microseconds — the same truncation DuckDB applies when loading NANOS into
+    its microsecond TIMESTAMP, so oracle comparisons line up exactly.
+    """
+    # Engine contract: UTC session semantics. The caller's session (e.g. the
+    # driver's) may not pin a timezone; mixed NTZ/instant timestamp coercion
+    # would then depend on the host TZ and break oracle parity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    dfs = load(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

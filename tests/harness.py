@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a registered query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and an
+order-insensitive canonical form of every value. Floats are compared
+exactly after canonical formatting — queries are required to round
+non-deterministic aggregates themselves (see queries/_util.py), so any
+mismatch here is a real bug, not noise.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+import numpy as np
+
+from parquet_exporter_spark.tables import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _canon_value(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "<null>"
+        # 12 significant digits: enough to expose real differences, stable
+        # across float32/float64 round-trips of already-rounded values.
+        return f"{f:.12g}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d 00:00:00.000000")
+    return str(v)
+
+
+def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
+
+
+def compare(spark, name: str, sf_dir: str, oracle: str, fn) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        odf = con.sql(oracle).df()
+    finally:
+        con.close()
+
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    srows, orows = canonical_rows(sdf), canonical_rows(odf)
+    if srows != orows:
+        diff_s = [r for r in srows if r not in set(orows)][:5]
+        diff_o = [r for r in orows if r not in set(srows)][:5]
+        problems.append(
+            f"{name}: value mismatch; spark-only(first5)={diff_s} oracle-only(first5)={diff_o}"
+        )
+    return problems
