@@ -6,6 +6,10 @@ Importing this package registers every query into
 
 from parquet_exporter_spark.queries import (  # noqa: F401
     aggregates,
+    functions,
     joins,
     relational,
+    setops,
+    subqueries,
+    windows,
 )

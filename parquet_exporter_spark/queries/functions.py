@@ -1,0 +1,262 @@
+"""Scalar function families: string, date/time, math, array, map, JSON.
+
+All run as JVM-side Catalyst expressions inside whole-stage codegen — no
+Python UDFs anywhere on these paths (SURVEY.md section 2.2 posture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '-', c_mktsegment) AS tagged,
+           upper(c_mktsegment) AS seg_uc,
+           lower(c_name) AS name_lc,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_name, 'Customer', 'Cust') AS renamed,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+    FROM customer
+    """,
+    doc="String functions: concat/case/substring/length/trim/pad/replace/regexp.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat("c_name", F.lit("-"), "c_mktsegment").alias("tagged"),
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.lower("c_name").alias("name_lc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("renamed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                AS INTEGER) AS days_to_98,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS ymd
+    FROM orders
+    """,
+    doc=(
+        "Date/time functions: extract fields, truncation, date arithmetic, "
+        "datediff, epoch seconds, formatting. Session TZ pinned UTC for "
+        "oracle parity."
+    ),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.to_date("o_orderdate")).alias("days_to_98"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_r1,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           abs(p_size - 25) AS size_dev,
+           round(pow(p_size, 2), 1) AS size_sq,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(log10(p_retailprice), 6) AS price_log10,
+           CAST(sign(p_size - 25) AS DOUBLE) AS size_sign,
+           p_size % 7 AS size_mod,
+           round(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_exp
+    FROM part
+    """,
+    doc="Math functions: round/floor/ceil/abs/pow/sqrt/log/sign/mod/exp.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.log10("p_retailprice"), 6).alias("price_log10"),
+        F.signum(F.col("p_size") - 25).alias("size_sign"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.exp(F.col("p_size").cast("double") / 50.0), 6).alias("size_exp"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           string_split(text, ' ')[-1] AS last_token,
+           list_sort(list_distinct(string_split(text, ' ')[1:5])) AS head_vocab,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN)
+               AS mentions_spark,
+           array_to_string(string_split(text, ' ')[1:3], '_') AS bigram_key
+    FROM documents
+    """,
+    doc=(
+        "Array functions over tokenized text: size, element_at (1-based and "
+        "negative), slice, distinct+sort, contains, join."
+    ),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.sort_array(F.array_distinct(F.slice(toks, 1, 5))).alias("head_vocab"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.array_join(F.slice(toks, 1, 3), "_").alias("bigram_key"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           map_keys(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})
+               AS mkeys,
+           map_values(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})
+               AS mvals,
+           map_extract(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)},
+                       'nation')[1] AS nation_via_map
+    FROM nation
+    """,
+    doc="Map functions: construction, map_keys/map_values, key lookup.",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nation"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return nation.select(
+        "n_nationkey",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "nation").alias("nation_via_map"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events
+    """,
+    doc=(
+        "JSON functions over events.props: get_json_object (string path), "
+        "typed extraction via from_json, arithmetic on the extracted value."
+    ),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "fn_explode_wordcount",
+    oracle="""
+    SELECT t.word, CAST(count(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS t(word)
+    GROUP BY t.word
+    ORDER BY n DESC, t.word
+    LIMIT 25
+    """,
+    doc=(
+        "explode (lateral unnest) + aggregation: word frequency top-25. "
+        "The explode is a narrow op (no shuffle); only the tiny word-count "
+        "aggregate shuffles."
+    ),
+)
+def fn_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(25)
+    )
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           string_split(text, ' ')[pos] AS word
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+          FROM documents)
+    WHERE doc_id < 10
+    """,
+    doc=(
+        "posexplode with 1-based position (Spark's 0-based pos shifted to "
+        "match SQL ordinality; DuckDB lacks WITH ORDINALITY, so the oracle "
+        "unnests a generate_series of positions)."
+    ),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")

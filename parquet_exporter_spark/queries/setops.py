@@ -1,0 +1,73 @@
+"""Set operations: union all/distinct, intersect, except (all).
+
+Spark's unionByName is used everywhere (positional union is a footgun the
+oracle's SQL UNION doesn't have because both sides are written with
+identical projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+def _subsets(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return big, urgent
+
+
+_ORACLE_SUBSETS = """
+    big AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_totalprice > 250000),
+    urgent AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@query(
+    "setop_union_all",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big UNION ALL SELECT * FROM urgent",
+    doc="UNION ALL (bag union, no dedup shuffle).",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.unionByName(urgent)
+
+
+@query(
+    "setop_union_distinct",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big UNION SELECT * FROM urgent",
+    doc="UNION DISTINCT (dedup across both inputs).",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.unionByName(urgent).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big INTERSECT SELECT * FROM urgent",
+    doc="INTERSECT (distinct rows present in both inputs).",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.intersect(urgent)
+
+
+@query(
+    "setop_except_all",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big EXCEPT ALL SELECT * FROM urgent",
+    doc="EXCEPT ALL (bag difference, preserves multiplicity).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.exceptAll(urgent)

@@ -1,0 +1,128 @@
+"""Subqueries and CTEs via the SQL surface.
+
+spark.sql and DuckDB share ANSI syntax here, so the oracle is near-
+identical text — what's being verified is Catalyst's decorrelation and
+rewrite (scalar subquery → join, EXISTS → semi join, NOT EXISTS → anti
+join), which `.explain` confirms and tests/test_plans.py asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import register
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery in a filter.",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    doc="Correlated EXISTS (decorrelated to a left-semi join by Catalyst).",
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "sql_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+    """,
+    doc="Correlated NOT EXISTS (decorrelated to a left-anti join).",
+)
+def sql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+    """,
+    doc="IN subquery over a filtered fact table.",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        """
+    )
+
+
+@query(
+    "sql_cte_multi_ref",
+    oracle="""
+    WITH cust_orders AS (
+        SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey
+    ),
+    stats AS (SELECT avg(n) AS avg_n FROM cust_orders)
+    SELECT co.o_custkey, CAST(co.n AS BIGINT) AS n, co.total
+    FROM cust_orders co, stats s
+    WHERE co.n > s.avg_n
+    """,
+    doc="CTE referenced twice (tests plan reuse of a common subplan).",
+)
+def sql_cte_multi_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+            SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey
+        ),
+        stats AS (SELECT avg(n) AS avg_n FROM cust_orders)
+        SELECT co.o_custkey, CAST(co.n AS BIGINT) AS n, co.total
+        FROM cust_orders co, stats s
+        WHERE co.n > s.avg_n
+        """
+    )

@@ -1,0 +1,154 @@
+"""Window functions: ranking, analytic, and frame-based running aggregates.
+
+Determinism rule (SURVEY.md section 5): every window ORDER BY ends in a
+unique key so rank/ntile/lag results are stable across engines and runs.
+
+Scale notes: a window = one shuffle on partitionBy + per-partition sort.
+Partition keys here (mktsegment, custkey, suppkey) distribute well; a
+window WITHOUT partitionBy would serialize the world through one task and
+is banned on fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Ranking window functions: row_number/rank/dense_rank/ntile/percent_rank.",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window functions: lag/lead/first/last/nth_value/cume_dist.",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+           round(avg(l_extendedprice) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg_price,
+           CAST(count(*) OVER (
+               PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_day
+    FROM lineitem
+    """,
+    doc=(
+        "Window frames: running sum (rows unbounded), moving average (rows "
+        "N preceding), and a range frame over event-time seconds (1-day "
+        "trailing count)."
+    ),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w_range = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").cast("timestamp").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(
+            F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2,
+        ).alias("running_qty"),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg_price"),
+        F.count(F.lit(1)).over(w_range).alias("n_last_day"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT n_name, c_custkey, c_name, c_acctbal,
+               CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "Top-K per group: the canonical window + filter composition. At "
+        "scale this is one shuffle on the group key; no global sort."
+    ),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
