@@ -8,6 +8,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llm,
     relational,
     setops,
     subqueries,

@@ -1,0 +1,407 @@
+"""LLM-data-pipeline operators (BASELINE.json north star): deduplication,
+similarity search, text analysis, multimodal columns.
+
+Exact/deterministic variants are oracle-checked against DuckDB; the
+engine-private-hash paths (xxhash64 SimHash, LSH with generated planes)
+are rows-only here and property-tested in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import dedup as D
+from parquet_exporter_spark.functions import similarity as S
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc=(
+        "Exact dedup: group by full text, keep the lowest doc_id as the "
+        "representative. At scale, group by sha2(text) instead so the "
+        "shuffle carries 32-byte keys, not documents (see dedup_exact_hash)."
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "text", "n_copies")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc=(
+        "Hash-based exact dedup: the 100 TB form — shuffle 32-byte sha-256 "
+        "keys instead of document bodies; collisions are cryptographically "
+        "negligible."
+    ),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, source, {D.sql_char_shingles("text")} AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
+    """,
+    doc=(
+        "Exact n-gram (5-char shingle) Jaccard near-dup pairs, candidate-"
+        "bounded by (lang, source) blocking — the blocking key is what "
+        "keeps this from being an O(n^2) cross join at scale."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", "source", D.char_shingles(F.col("text")).alias("s"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("s_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("s").alias("s_b"),
+    )
+    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
+        F.array_union("s_a", "s_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.12)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({D.sql_char_shingles("text")}) AS shingle
+        FROM documents WHERE doc_id < 50
+    ),
+    hashed AS (SELECT doc_id, {D.sql_base_hash_31("shingle")} AS h FROM sh),
+    seeds AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.hash_coefficients(8)))})
+               AS t(seed, a, b)
+    )
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           min((a * h + b) % {D.MERSENNE_31}) AS minhash
+    FROM hashed CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+    doc=(
+        "MinHash signatures (8 hashes, universal family over an md5-derived "
+        "31-bit base hash): engine-portable arithmetic, so the signature "
+        "itself is oracle-checked bit-for-bit. Linear explode + one groupBy."
+    ),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return D.minhash_signatures(docs, n_hashes=8)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=None,  # banding uses sha2-of-struct-JSON band keys (Spark-side
+    # representation); recall/precision are property-tested in tests/test_llm.py.
+    doc=(
+        "MinHash LSH near-dup pairs: 16 hashes, 4-row bands; candidates "
+        "join on band signatures, then exact shingle-Jaccard verification."
+    ),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, n_hashes=16, band_size=4, jaccard_threshold=0.3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-private; determinism + hamming props
+    # covered in tests/test_llm.py.
+    doc="64-bit SimHash per document (token-hash sign aggregation).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({S.sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({S.sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.5
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs, blocked by label (at scale the "
+        "blocking key is an LSH bucket — see similarity_lsh_topk). Double-"
+        "precision sequential dot products on both engines."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("e_b")
+    )
+    cos = F.round(S.cosine(F.col("e_a"), F.col("e_b")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+
+
+# ------------------------------------------------------ similarity search
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({S.sql_cosine("q.qe", "c.embedding")}, 6) AS cos_sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc=(
+        "Exact cosine top-10 for 5 query vectors: broadcast queries against "
+        "the corpus (linear scan), per-query window for the cut. The "
+        "oracle-checkable baseline for ANN variants."
+    ),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(queries_df, emb, k=10)
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=None,  # approximate: bucket boundaries are implementation-
+    # defined; recall vs brute force asserted in tests/test_llm.py.
+    doc=(
+        "ANN top-k via random-hyperplane LSH buckets: within-bucket scoring "
+        "only — the 100 TB path replacing the O(n^2) cross join."
+    ),
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, k=5, n_planes=4, n_tables=8)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({T.sql_tokens('text')}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({T.sql_tokens('text')})) AS INTEGER) AS n_distinct,
+           round(CAST(len(list_distinct({T.sql_tokens('text')})) AS DOUBLE)
+                 / greatest(len({T.sql_tokens('text')}), 1), 6) AS ttr,
+           CAST(length(text) AS INTEGER) AS n_chars_computed,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / greatest(len({T.sql_tokens('text')}), 1), 6) AS mean_token_len
+    FROM documents
+    """,
+    doc=(
+        "Token statistics: counts, type-token ratio, char counts, mean "
+        "token length — whitespace+regex tokenizer, all JVM expressions."
+    ),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    dtoks = T.distinct_tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(dtoks).alias("n_distinct"),
+        F.round(F.size(dtoks).cast("double") / n_tok, 6).alias("ttr"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("double") / n_tok, 6
+        ).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           round({T.sql_lang_score('text', 'en')}, 6) AS score_en,
+           {T.sql_predicted_lang('text')} AS predicted_lang
+    FROM documents
+    """,
+    doc=(
+        "Language-ID heuristic: per-language stopword coverage, argmax with "
+        "a fixed tie order — the same arithmetic on both engines."
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(T.lang_scores(F.col("text"))["en"], 6).alias("score_en"),
+        T.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, {T.sql_quality_score('text')} AS quality
+    FROM documents
+    """,
+    doc=(
+        "Composite quality score: length saturation + stopword coverage + "
+        "punctuation penalty (deterministic weighted sum)."
+    ),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.sql_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+    doc="Content fingerprint: md5 of whitespace-normalized lowercase text.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document, built from explode + two "
+        "aggregations + a window — no MLlib, fully oracle-checkable. "
+        "idf = ln((N+1)/(df+1)); integer inputs make the doubles "
+        "deterministic across engines."
+    ),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar dimension, computed once on the driver
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+           sha256(text) AS payload_sha256,
+           substring(text, 1, 4) AS magic_prefix
+    FROM documents
+    """,
+    doc=(
+        "Multimodal column plumbing: treat content as an opaque binary "
+        "payload with typed metadata (byte length, checksum, magic bytes). "
+        "The decode stage is a Pandas-UDF stub — see "
+        "parquet_exporter_spark/operators/multimodal.py and tests/test_llm.py."
+    ),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")  # binary column, as an image/audio blob would be
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.substring("text", 1, 4).alias("magic_prefix"),
+    )

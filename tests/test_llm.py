@@ -1,0 +1,98 @@
+"""Property tests for the non-oracle LLM operators: MinHash-LSH recall,
+SimHash behavior, LSH ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import dedup as D
+from parquet_exporter_spark.functions import similarity as S
+from parquet_exporter_spark.operators.multimodal import attach_payload, decode_features
+from parquet_exporter_spark.tables import read_table
+
+
+def _synthetic_near_dups(spark):
+    """Docs with planted near-duplicates (edit a few words) + unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "swift")),  # near-dup of 1
+        (3, base.replace("morning", "evening").replace("cat", "kitten")),  # near-dup
+        (4, "completely different content about spark sql query planning and shuffles"),
+        (5, "another unrelated document that talks about parquet files and columns"),
+        (6, base),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _synthetic_near_dups(spark)
+    pairs = D.minhash_lsh_pairs(docs, n_hashes=16, band_size=4, jaccard_threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 6) in found  # exact dup always collides
+    assert (1, 2) in found or (1, 3) in found  # near-dups collide w.h.p.
+    for a, b in found:  # no false positives below the verify threshold
+        assert not ((a in (4, 5)) ^ (b in (4, 5))), f"unrelated pair {a},{b}"
+
+
+def test_minhash_signature_matches_bruteforce_jaccard_ordering(spark):
+    """Signature agreement rate approximates Jaccard: the planted dup pair
+    must agree on more hashes than an unrelated pair."""
+    docs = _synthetic_near_dups(spark)
+    sigs = D.minhash_signatures(docs, n_hashes=16).toPandas()
+    by_doc = {d: dict(zip(g["seed"], g["minhash"])) for d, g in sigs.groupby("doc_id")}
+
+    def agree(x, y):
+        return sum(by_doc[x][s] == by_doc[y][s] for s in by_doc[x])
+
+    assert agree(1, 6) == 16  # identical docs, identical signatures
+    assert agree(1, 2) > agree(1, 4)
+
+
+def test_simhash_deterministic_and_hamming(spark):
+    docs = _synthetic_near_dups(spark)
+    out1 = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    out2 = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    assert out1 == out2  # deterministic
+    assert out1[1] == out1[6]  # identical text -> identical simhash
+    ham = docs.select(
+        D.hamming64(F.lit(out1[1]).cast("long"), F.lit(out1[2]).cast("long")).alias("near"),
+        D.hamming64(F.lit(out1[1]).cast("long"), F.lit(out1[4]).cast("long")).alias("far"),
+    ).first()
+    assert ham.near < ham.far  # near-dup closer in hamming space
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = S.lsh_topk(emb, k=5, n_planes=4, n_tables=8).filter(F.col("query_id") < 20)
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # 6 hyperplanes over 64 buckets: recall is approximate by design; it
+    # must beat random chance by a wide margin.
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    wrapped = attach_payload(docs)
+    assert dict(wrapped.dtypes)["payload"] == "binary"
+    decoded = decode_features(wrapped).toPandas()
+    assert len(decoded) == 50
+    assert set(decoded.columns) == {
+        "doc_id", "payload_bytes", "format", "width", "height", "feature_mean",
+    }
+    assert (decoded["payload_bytes"] > 0).all()
+    assert (decoded["feature_mean"] > 0).all()
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    import pytest
+
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_features(attach_payload(docs), decode_stub=False).collect()
