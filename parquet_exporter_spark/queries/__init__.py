@@ -11,6 +11,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm,
     relational,
     setops,
+    streaming,
     subqueries,
     windows,
 )

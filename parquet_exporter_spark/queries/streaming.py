@@ -1,0 +1,140 @@
+"""Batch-equivalent twins of the streaming window operators, oracle-checked
+against gaps-and-islands / bucketing SQL (SURVEY.md section 2: tumbling,
+sliding, session windows). The same expressions run under readStream — see
+parquet_exporter_spark/streaming/windows.py and tests/test_streaming.py
+for watermark/late-data/stateful-dedup behavior that batch SQL can't
+express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT))
+               AS win_start,
+           make_timestamp(CAST((floor(epoch(ts) / 600) + 1) * 600 * 1000000 AS BIGINT))
+               AS win_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, event_type
+    """,
+    doc=(
+        "Tumbling 10-minute event-time windows per event type. F.window "
+        "aligns to the epoch, i.e. floor(epoch/width) bucketing."
+    ),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH shifted AS (
+        SELECT (floor(epoch(ts) / 300) - k) * 300 AS start_s
+        FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+    )
+    SELECT make_timestamp(CAST(start_s * 1000000 AS BIGINT)) AS win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM shifted
+    GROUP BY start_s
+    """,
+    doc=(
+        "Sliding windows (width 10 min, slide 5 min): every event lands in "
+        "width/slide = 2 windows; the oracle enumerates the shifted starts."
+    ),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM islands
+    GROUP BY user_id, island
+    """,
+    doc=(
+        "Session windows (5-minute gap) per user via F.session_window; the "
+        "oracle is the gaps-and-islands formulation. Boundary semantics are "
+        "CLOSED: an event exactly gap after its predecessor still extends "
+        "the session (so a new session needs diff > gap) — pinned by a "
+        "crafted fixture in tests/test_streaming.py."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, min(ts) AS first_ts, CAST(count(*) AS BIGINT) AS n_copies
+    FROM events
+    GROUP BY event_id
+    """,
+    doc=(
+        "Batch twin of stateful stream dedup: one row per event_id with "
+        "first-seen time. The streaming form (dropDuplicatesWithinWatermark) "
+        "is exercised in tests/test_streaming.py."
+    ),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_id").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_copies")
+    )

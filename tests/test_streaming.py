@@ -1,0 +1,198 @@
+"""Structured Streaming behavior tests: file-source replay into memory
+sinks, batch-vs-stream equivalence, session boundary semantics, watermark
+late-data drop, stateful dedup.
+
+Gotcha captured here: the file stream source only picks up files sitting
+directly in the watched directory — a nested `name.parquet/` directory
+written by df.write.parquet is invisible to it, so _write_events stages
+the write and copies the part file flat into the watch dir.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    read_stream,
+    run_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+from parquet_exporter_spark.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written to a clean parquet dir (ms timestamps) so the
+    streaming file source can read them."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _write_events(spark, rows, directory, filename):
+    """Write one parquet FILE (flat) into the stream-watched directory."""
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    staging = os.path.join(directory, f"__staging_{filename}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(directory, filename))
+    shutil.rmtree(staging)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_dir):
+    """The same F.window aggregation, run as a stream replay and as a batch
+    query, must produce identical window rows (complete output mode so
+    open windows are visible)."""
+    stream = tumbling_counts(read_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.win_start, r.win_end, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+        expected_df = (
+            read_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        )
+        expected = {
+            (r.win.start, r.win.end, r.event_type): (r.n, r.sum_value)
+            for r in expected_df.collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_session_window_boundary_semantics(spark):
+    """Session boundaries are CLOSED: an event exactly `gap` after its
+    predecessor still extends the session; strictly more than `gap` starts
+    a new one. The DuckDB oracle mirrors this with `diff > gap -> new`."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    gap = timedelta(minutes=5)
+
+    def n_sessions(rows):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        return (
+            df.groupBy(F.session_window("ts", "5 minutes"), "user_id").count().count()
+        )
+
+    exactly_gap = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + gap, 1, "a", 1.0, "{}"),
+    ]
+    assert n_sessions(exactly_gap) == 1  # closed boundary: still merged
+
+    just_over_gap = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + gap + timedelta(microseconds=1), 1, "a", 1.0, "{}"),
+    ]
+    assert n_sessions(just_over_gap) == 2
+
+    multi_user = [
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + gap - timedelta(microseconds=1), 1, "a", 1.0, "{}"),  # merged
+        (3, base + 3 * gap, 1, "a", 1.0, "{}"),  # new session
+        (4, base + 4 * gap, 2, "a", 1.0, "{}"),
+        (5, base + 4 * gap, 2, "a", 1.0, "{}"),  # same ts, same session
+    ]
+    assert n_sessions(multi_user) == 3
+
+
+def test_streaming_session_counts(spark, events_dir):
+    q = run_to_memory(session_counts(read_stream(spark, events_dir)), "session_out")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM session_out").first().n
+        # append mode only emits sessions finalized by the watermark; the
+        # events fixture spans a month, so almost all sessions are closed.
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark far ahead; batch 2
+    delivers an event older than the watermark -> it must be dropped from
+    the append-mode aggregate (the already-finalized window is emitted
+    with the on-time count only)."""
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    _write_events(
+        spark,
+        [
+            (1, base, 1, "a", 1.0, "{}"),
+            (2, base + timedelta(hours=2), 1, "a", 1.0, "{}"),  # watermark -> ~1h50
+        ],
+        d,
+        "batch1.parquet",
+    )
+    stream = (
+        read_stream(spark, d, max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    q = stream.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: an event far older than the watermark -> late, dropped
+        _write_events(
+            spark,
+            [(3, base + timedelta(minutes=1), 1, "a", 1.0, "{}")],
+            d,
+            "batch2.parquet",
+        )
+        q.processAllAvailable()
+        # batch 3: fresh event forces another trigger so finalized windows flush
+        _write_events(
+            spark,
+            [(4, base + timedelta(hours=3), 1, "a", 1.0, "{}")],
+            d,
+            "batch3.parquet",
+        )
+        q.processAllAvailable()
+        emitted = {(r.win_start, r.n) for r in spark.sql("SELECT * FROM late_out").collect()}
+        assert (base, 1) in emitted  # on-time event finalized alone
+        assert (base, 2) not in emitted  # late event did NOT reopen the window
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    d = str(tmp_path / "dup_events")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    _write_events(
+        spark,
+        [
+            (1, base, 1, "a", 1.0, "{}"),
+            (1, base + timedelta(seconds=30), 1, "a", 1.0, "{}"),  # dup id in-window
+            (2, base + timedelta(minutes=1), 1, "b", 1.0, "{}"),
+        ],
+        d,
+        "batch1.parquet",
+    )
+    q = run_to_memory(dedup_within_watermark(read_stream(spark, d)), "dedup_out")
+    try:
+        ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+        assert ids == [1, 2]
+    finally:
+        q.stop()
