@@ -9,6 +9,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     functions,
     joins,
     llm,
+    reference_parity,
     relational,
     setops,
     streaming,

