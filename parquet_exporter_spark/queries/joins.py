@@ -33,7 +33,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "join_inner_equi",
     oracle="""
     SELECT l_orderkey, l_linenumber, o_orderstatus,
-           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+           l_extendedprice * (1 - l_discount) AS net_price
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE o_totalprice > 200000
@@ -47,7 +47,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "o_orderstatus",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
     )
 
 
@@ -179,7 +179,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_theta",
     oracle="""
     SELECT s1.s_suppkey AS richer, s2.s_suppkey AS poorer,
-           round(s1.s_acctbal - s2.s_acctbal, 4) AS gap
+           s1.s_acctbal - s2.s_acctbal AS gap
     FROM supplier s1
     JOIN supplier s2
       ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal > s2.s_acctbal
@@ -200,7 +200,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.join(s2, cond).select(
         F.col("s1.s_suppkey").alias("richer"),
         F.col("s2.s_suppkey").alias("poorer"),
-        F.round(F.col("s1.s_acctbal") - F.col("s2.s_acctbal"), 4).alias("gap"),
+        (F.col("s1.s_acctbal") - F.col("s2.s_acctbal")).alias("gap"),
     )
 
 

@@ -364,7 +364,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar dimension, computed once on the driver
-    scored = tf.join(df_, "term").select(
+    # the vocabulary is orders of magnitude smaller than the token stream:
+    # broadcast it so the tf side never shuffles for the idf lookup
+    scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),

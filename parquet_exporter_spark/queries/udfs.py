@@ -1,0 +1,111 @@
+"""User-defined function surfaces: scalar Pandas UDF, grouped UDAF
+(applyInPandas), and a Python UDTF.
+
+The engine's rule is UDF-as-last-resort (everything else in the inventory
+is JVM expressions); these queries exist to prove the escape hatches work
+and stay Arrow-vectorized. Each computes something a SQL oracle can mirror
+so even the UDF paths are value-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+    doc=(
+        "Scalar Pandas UDF (Arrow-batched, vectorized): the charge formula "
+        "computed in pandas, value-identical to the SQL expression."
+    ),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # NB: no rounding anywhere on this path — the sequential double
+        # product is bit-identical across engines, while round() algorithms
+        # diverge at knife-edge values (pandas is also half-to-even).
+        return price * (1 - disc) * (1 + tax)
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Grouped UDAF via applyInPandas: quantity-weighted mean price per "
+        "group, one pandas frame per group. Shuffle on the group key only."
+    ),
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].sum()
+        avg = (pdf["l_quantity"] * pdf["l_extendedprice"]).sum() / w
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [round(avg, 4)]}
+        )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted, schema="l_returnflag string, weighted_avg_price double"
+    )
+
+
+@query(
+    "udtf_split_priority",
+    oracle="""
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-')[1] AS priority_code,
+           string_split(o_orderpriority, '-')[2] AS priority_name
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    doc=(
+        "Table-function surface: one input row expands to typed columns "
+        "via a Python UDTF (Spark 3.5+ lateral-join execution)."
+    ),
+)
+def udtf_split_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="priority_code string, priority_name string")
+    class SplitPriority:
+        def eval(self, priority: str):
+            code, _, name = (priority or "").partition("-")
+            yield code, name
+
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    orders.createOrReplaceTempView("udtf_orders_in")
+    spark.udtf.register("split_priority", SplitPriority)
+    return spark.sql(
+        """
+        SELECT o_orderkey, s.priority_code, s.priority_name
+        FROM udtf_orders_in, LATERAL split_priority(o_orderpriority) s
+        """
+    )

@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the scale posture, checked mechanically.
+
+Every claim the operator docstrings make about execution shape — filters
+reach the parquet scan, dims broadcast, top-k avoids global sorts,
+aggregates combine map-side, EXISTS decorrelates to semi joins — is
+asserted here against the actual plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.plans.explain import (
+    count_broadcast_joins,
+    count_shuffles,
+    formatted_plan,
+    has_partial_aggregation,
+    has_pushed_filters,
+    physical_plan,
+    read_schema_columns,
+    uses_take_ordered,
+)
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q("filter_conjunction", spark, sf_dir)
+    assert has_pushed_filters(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = q("filter_conjunction", spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    # 5 projected + 4 predicate-only columns; the unused key columns must
+    # not be read from the scan
+    assert 0 < len(cols) <= 9, cols
+    assert "l_suppkey" not in cols and "l_linenumber" not in cols, cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = q("flagship_revenue_by_region", spark, sf_dir)
+    # nation + region explicitly broadcast; customer under the auto threshold
+    assert count_broadcast_joins(df) >= 2
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    df = q("topk_global", spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert count_shuffles(df) == 0  # per-partition heaps, no range exchange
+
+
+def test_aggregation_has_map_side_combine(spark, sf_dir):
+    df = q("agg_pricing_summary", spark, sf_dir)
+    assert has_partial_aggregation(df)
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    df = q("sql_exists_correlated", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    df2 = q("sql_not_exists", spark, sf_dir)
+    assert "LeftAnti" in physical_plan(df2)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union-window as-of join must not contain any join operator at
+    all (no candidate-pair blowup) — one hash exchange for the window."""
+    df = q("join_asof", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan.replace("Joined", "")  # no join operators
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + pre-agg
+
+
+def test_reshape_is_narrow_zero_shuffle(spark, sf_dir):
+    df = q("climbs_reshape", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_wordcount_pushes_partial_agg_through_explode(spark, sf_dir):
+    df = q("fn_explode_wordcount", spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert uses_take_ordered(df)
+
+
+def test_scan_reads_only_selected_columns(spark, sf_dir):
+    from parquet_exporter_spark.tables import read_table
+
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
