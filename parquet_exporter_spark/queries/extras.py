@@ -1,0 +1,208 @@
+"""Inventory completions: CSV/JSON scans, right-outer join, unpivot,
+schema introspection, sampling, approximate percentile, binaryFile source,
+and MLlib-LSH variants of the dedup/ANN operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
+CSV_PATH = os.path.join(FIXTURES, "climbs_flat.csv")
+JSONL_PATH = os.path.join(FIXTURES, "climbs_flat.jsonl")
+
+FLAT_SCHEMA = (
+    "climb_id string, climb_name string, length_m int, yds string, latitude double"
+)
+
+
+@query(
+    "scan_csv",
+    oracle=f"""
+    SELECT climb_id, climb_name, CAST(length_m AS INTEGER) AS length_m,
+           coalesce(yds, '') AS yds, latitude
+    FROM read_csv('{CSV_PATH}', header = true)
+    WHERE length_m > 30
+    """,
+    doc=(
+        "CSV scan with explicit schema (no inference in prod paths) + "
+        "filter. Empty strings arrive as NULL in both engines' CSV readers; "
+        "normalized with coalesce."
+    ),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.schema(FLAT_SCHEMA).option("header", "true").csv(CSV_PATH)
+    return df.filter(F.col("length_m") > 30).select(
+        "climb_id",
+        "climb_name",
+        "length_m",
+        F.coalesce("yds", F.lit("")).alias("yds"),
+        "latitude",
+    )
+
+
+@query(
+    "scan_json",
+    oracle=f"""
+    SELECT climb_id, climb_name, CAST(length_m AS INTEGER) AS length_m,
+           yds, latitude
+    FROM read_json('{JSONL_PATH}')
+    WHERE latitude > 0
+    """,
+    doc="JSON-lines scan with explicit schema (reference R3) + filter.",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.schema(FLAT_SCHEMA).json(JSONL_PATH)
+    return df.filter(F.col("latitude") > 0)
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Right outer join (kept distinct from left for planner coverage).",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = read_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS nation
+          FROM customer)
+    UNPIVOT (val FOR metric IN (c_acctbal AS 'balance', nation AS 'nation_key'))
+    """,
+    doc="Unpivot (wide->long) via stack(), the inverse of pivot.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.selectExpr(
+        "c_custkey",
+        "stack(2, 'balance', c_acctbal, 'nation_key', CAST(c_nationkey AS DOUBLE))"
+        " AS (metric, val)",
+    )
+
+
+@query(
+    "schema_introspection",
+    oracle="SELECT column_name FROM (DESCRIBE lineitem)",
+    doc=(
+        "Schema introspection (reference R20, parquet2json.py:25): column "
+        "names of a scan, as a queryable table."
+    ),
+)
+def schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return spark.createDataFrame([(c,) for c in li.columns], "column_name string")
+
+
+@query(
+    "sample_fraction",
+    oracle=None,  # engine-specific PRNG: rows-only (count bounds asserted
+    # in tests/test_operators.py)
+    doc="Bernoulli TABLESAMPLE with a fixed seed (deterministic per engine).",
+)
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based: engine-specific estimates
+    doc="approx_percentile (KLL/GK sketch) — the 100 TB path for quantiles.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+
+
+@query(
+    "multimodal_binaryfile_scan",
+    oracle=None,  # filesystem listing source: no SQL oracle
+    doc=(
+        "binaryFile source: whole files as (path, modificationTime, length, "
+        "content) rows — the ingest shape for image/audio corpora."
+    ),
+)
+def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.format("binaryFile").load(os.path.join(FIXTURES, "*.parquet"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        "length",
+        F.octet_length("content").alias("content_bytes"),
+    )
+
+
+@query(
+    "dedup_minhash_mllib",
+    oracle=None,  # MLlib MinHashLSH: seeded but engine-private hashing
+    doc=(
+        "MLlib variant of MinHash near-dup: HashingTF over shingles -> "
+        "MinHashLSH.approxSimilarityJoin. Kept alongside the expression-"
+        "based implementation as the library-maintained scale path."
+    ),
+)
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from parquet_exporter_spark.functions.dedup import char_shingles
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", char_shingles(F.col("text")).alias("sh")
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs).filter(F.col("doc_id") < 200)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("id_a"),
+        F.col("datasetB.doc_id").alias("id_b"),
+        F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+    )
+
+
+@query(
+    "similarity_ann_mllib",
+    oracle=None,  # seeded random projections: engine-private
+    doc=(
+        "MLlib variant of ANN: BucketedRandomProjectionLSH (Euclidean) over "
+        "the embedding vectors, approx nearest neighbors for one probe."
+    ),
+)
+def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    probe = emb.first().features
+    ann = model.approxNearestNeighbors(emb, probe, 10, distCol="l2_dist")
+    return ann.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))

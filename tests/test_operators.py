@@ -1,0 +1,72 @@
+"""Operator behaviors the order-insensitive oracle compare can't see:
+actual sort order, approximate-aggregate error bounds, sample bounds,
+as-of join semantics on crafted input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.operators.asof import asof_join
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+from parquet_exporter_spark.tables import read_table
+
+_ensure_loaded()
+
+
+def test_sort_multi_key_order(spark, sf_dir):
+    rows = REGISTRY["sort_multi_key"].fn(spark, sf_dir).collect()
+    keys = [(r.s_nationkey, r.s_acctbal) for r in rows]
+    for (n1, b1), (n2, b2) in zip(keys, keys[1:]):
+        assert n1 >= n2  # nationkey desc
+        if n1 == n2 and b1 is not None and b2 is not None:
+            assert b1 <= b2  # acctbal asc within nation
+
+
+def test_topk_is_truly_top(spark, sf_dir):
+    top = REGISTRY["topk_global"].fn(spark, sf_dir).collect()
+    orders = read_table(spark, sf_dir, "orders")
+    true_max = orders.agg(F.max("o_totalprice")).first()[0]
+    assert top[0].o_totalprice == true_max
+    prices = [r.o_totalprice for r in top]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    approx = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).first()
+    li = read_table(spark, sf_dir, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    # HLL++ default rsd = 5%; allow 3x margin
+    assert abs(approx.approx_orders - exact_orders) / exact_orders < 0.15
+    assert abs(approx.approx_parts - exact_parts) / exact_parts < 0.15
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    n_total = read_table(spark, sf_dir, "lineitem").count()
+    n_sample = REGISTRY["sample_fraction"].fn(spark, sf_dir).count()
+    assert 0.05 * n_total < n_sample < 0.15 * n_total  # ~10% Bernoulli
+    # seeded -> deterministic across runs
+    assert n_sample == REGISTRY["sample_fraction"].fn(spark, sf_dir).count()
+
+
+def test_asof_join_crafted_semantics(spark):
+    """Pin the as-of contract on a crafted case: latest prior row wins,
+    equal timestamps match, missing prior -> NULL payload."""
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3"), (3, 10, "e4")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)],
+        "k long, t long, payload double",
+    )
+    out = {
+        r.ev: r.payload
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", payload_cols=["payload"]
+        ).collect()
+    }
+    assert out["e1"] == 100.0  # equal time: right row visible
+    assert out["e2"] == 150.0  # latest prior of the two
+    assert out["e3"] is None  # right row is AFTER the event
+    assert out["e4"] is None  # key never seen on the right

@@ -196,3 +196,21 @@ def test_dedup_within_watermark(spark, tmp_path):
         assert ids == [1, 2]
     finally:
         q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch: the exactly-once custom-sink pattern — each micro-batch
+    lands as parquet; the union of batches equals the input."""
+    out = str(tmp_path / "sink")
+    stream = read_stream(spark, events_dir).select("event_id", "user_id", "value")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_in = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(out).count() == n_in

@@ -140,5 +140,47 @@ def main() -> None:
     print(f"wrote {len(climbs)} climbs, {len(areas)} areas to {OUT_DIR}")
 
 
+
+
+def write_flat_forms() -> None:
+    """CSV and JSON-lines forms of a flat climbs projection, for the
+    csv/json scan operators (deterministic, derived from climbs.parquet)."""
+    import csv
+    import json as _json
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT uuid AS climb_id, coalesce(name, '') AS climb_name,
+               coalesce(length, 0) AS length_m,
+               coalesce(grades.yds, '') AS yds,
+               coalesce(metadata.lat, 0.0) AS latitude
+        FROM '{os.path.join(OUT_DIR, "climbs.parquet")}'
+        ORDER BY climb_id
+        """
+    ).fetchall()
+    with open(os.path.join(OUT_DIR, "climbs_flat.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["climb_id", "climb_name", "length_m", "yds", "latitude"])
+        w.writerows(rows)
+    with open(os.path.join(OUT_DIR, "climbs_flat.jsonl"), "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps(
+                    {
+                        "climb_id": r[0],
+                        "climb_name": r[1],
+                        "length_m": r[2],
+                        "yds": r[3],
+                        "latitude": r[4],
+                    }
+                )
+                + "\n"
+            )
+
+
 if __name__ == "__main__":
     main()
+    write_flat_forms()
