@@ -407,3 +407,45 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("payload_sha256"),
         F.substring("text", 1, 4).alias("magic_prefix"),
     )
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i + 1]
+                       for i in generate_series(1, len(t) - 1)]) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc=(
+        "Word n-gram (bigram) extraction + frequency top-20: zip each "
+        "token with its successor via a positional transform — narrow op, "
+        "one small aggregation shuffle."
+    ),
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )

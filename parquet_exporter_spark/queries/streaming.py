@@ -138,3 +138,51 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_id").agg(
         F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_copies")
     )
+
+
+@query(
+    "sessionize_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+    doc=(
+        "Batch sessionization via lag + running-sum gaps-and-islands — the "
+        "window-function composition of the session operator (same 5-minute "
+        "closed-gap semantics as F.session_window, numbered sessions). One "
+        "shuffle on user_id shared by both windows and the aggregate."
+    ),
+)
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_expr = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap_expr.isNull() | (gap_expr > 300), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
