@@ -15,6 +15,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     setops,
     streaming,
     subqueries,
+    tpch_shapes,
     udfs,
     windows,
 )

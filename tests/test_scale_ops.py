@@ -1,0 +1,221 @@
+"""Scale-strategy operators: salted aggregation/join correctness on
+synthetically skewed data, bucketed co-located joins, stateful streaming,
+stream-stream join."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.operators.skew import salted_join_hot_keys, salted_sum_count
+
+
+def _skewed_df(spark, n_hot=5000, n_cold=500):
+    hot = spark.range(n_hot).select(
+        F.lit(1).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(n_cold).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_sum_count_matches_plain(spark):
+    df = _skewed_df(spark)
+    salted = {
+        r.k: (r.sum_v, r.n_rows, round(r.avg_v, 9))
+        for r in salted_sum_count(df, "k", "v").withColumnRenamed("sum_v", "sum_v").collect()
+    }
+    plain = {
+        r.k: (r.s, r.c, round(r.a, 9))
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"), F.avg("v").alias("a"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    fact = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [(k, f"name-{k}") for k in range(1, 60)], "k long, k_name string"
+    )
+    salted = salted_join_hot_keys(fact, dim, "k", "k", hot_keys=[1], n_salts=8)
+    assert "k_name" in salted.columns
+    plain_count = fact.join(dim, "k").count()
+    assert salted.count() == plain_count
+    # every hot-key row found its dim match exactly once
+    hot_rows = salted.filter(F.col("k") == 1).count()
+    assert hot_rows == fact.filter(F.col("k") == 1).count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketed tables on the join key co-locate: the sort-merge join
+    reads both sides without any Exchange."""
+    warehouse = str(tmp_path / "wh")  # external table paths (warehouse.dir is static)
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(warehouse, "orders_b"))
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(warehouse, "lineitem_b"))
+        .saveAsTable("lineitem_b")
+    )
+    try:
+        # force sort-merge (broadcast would hide the bucketing benefit at
+        # this tiny SF; at 100 TB neither side broadcasts)
+        joined = spark.table("lineitem_b").hint("merge").join(
+            spark.table("orders_b").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    from tests.test_streaming import _write_events
+
+    from parquet_exporter_spark.streaming.stateful import running_user_stats
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    d = str(tmp_path / "stateful_events")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        [
+            (1, base, 1, "a", 10.0, "{}"),
+            (2, base + timedelta(seconds=1), 1, "a", 20.0, "{}"),
+            (3, base + timedelta(seconds=2), 2, "a", 5.0, "{}"),
+        ],
+        d,
+        "b1.parquet",
+    )
+    stream = read_stream(spark, d, max_files_per_trigger=1).select("user_id", "value")
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .start()
+    )
+
+    # NB: processAllAvailable() never returns for this operator — with
+    # ProcessingTimeTimeout the engine keeps scheduling micro-batches to
+    # evaluate state timeouts, so the stream is never "idle". Poll the sink.
+    def wait_for(pred, deadline_s=60):
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("SELECT * FROM stateful_out").collect()
+            if pred(rows):
+                return rows
+            time.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; last rows={rows}")
+
+    try:
+        wait_for(lambda rows: {r.user_id for r in rows} >= {1, 2})
+        # second batch: user 1 gets another event -> state carries over
+        _write_events(
+            spark,
+            [(4, base + timedelta(seconds=3), 1, "a", 30.0, "{}")],
+            d,
+            "b2.parquet",
+        )
+        rows = wait_for(lambda rows: any(r.user_id == 1 and r.n_events == 3 for r in rows))
+        by_user = {}
+        for r in sorted(rows, key=lambda r: (r.user_id, r.n_events)):
+            by_user[r.user_id] = (r.n_events, r.total, r.ema)
+        n1, total1, ema1 = by_user[1]
+        assert n1 == 3 and total1 == 60.0  # 10 + 20 + 30 across batches
+        # ema: 10 -> 0.2*20+0.8*10=12 -> 0.2*30+0.8*12=15.6
+        assert abs(ema1 - 15.6) < 1e-9
+        assert by_user[2] == (1, 5.0, 5.0)
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-bound condition:
+    clicks join impressions of the same user within 10 minutes."""
+    from tests.test_streaming import _write_events
+
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    base = datetime(2024, 1, 1)
+    d1 = str(tmp_path / "impressions")
+    d2 = str(tmp_path / "clicks")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    _write_events(
+        spark,
+        [
+            (100, base, 1, "imp", 1.0, "{}"),
+            (101, base, 2, "imp", 1.0, "{}"),
+        ],
+        d1,
+        "b1.parquet",
+    )
+    _write_events(
+        spark,
+        [
+            (200, base + timedelta(minutes=5), 1, "click", 1.0, "{}"),  # joins
+            (201, base + timedelta(hours=5), 2, "click", 1.0, "{}"),  # too late
+        ],
+        d2,
+        "b1.parquet",
+    )
+    imps = (
+        read_stream(spark, d1)
+        .select(
+            F.col("event_id").alias("imp_id"),
+            F.col("user_id").alias("imp_user"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clicks = (
+        read_stream(spark, d2)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("imp_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT imp_id, click_id FROM ss_join_out").collect()
+        assert {(r.imp_id, r.click_id) for r in rows} == {(100, 200)}
+    finally:
+        q.stop()
