@@ -150,3 +150,89 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    queries: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + multi-probe search.
+
+    Build: cluster the L2-normalized corpus with MLlib KMeans (normalizing
+    first makes euclidean cells equivalent to cosine cells, i.e. spherical
+    k-means); each corpus vector lands in exactly ONE cell — the inverted
+    file. Search: a query scores the (tiny, broadcast) centroid table,
+    probes its n_probes nearest cells, and scores exact cosine only within
+    them.
+
+    Scale shape vs lsh_topk: candidates come from one equi-join on cell id
+    (corpus shuffled once by cell, no per-table explode, no candidate
+    dedup since cells partition the corpus). Cost ≈ |corpus|·(n_probes /
+    n_centroids) scored pairs per query; tune n_centroids ~ sqrt(n) and
+    n_probes for the recall target. At 100 TB, fit the KMeans on a bounded
+    sample (the cells only need to be roughly balanced) and persist the
+    centroid table; here the corpus is small enough to fit on directly.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    # Bind the norm in its own projection: referencing norm(vec) inside the
+    # transform lambda would re-evaluate it per element.
+    normed = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v0"), norm(F.col(vec)).alias("__n")
+    ).select(
+        "id",
+        F.transform("v0", lambda x: x.cast("double") / F.col("__n")).alias("v"),
+    )
+    featurized = normed.withColumn("__fv", array_to_vector("v"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="cell"
+    ).fit(featurized)
+    inverted = model.transform(featurized).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"), "cell"
+    )
+
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = normed if queries is None else normed.join(
+        queries.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    # Nearest cells by euclidean distance to a unit vector:
+    # dist^2 = 1 + |c|^2 - 2 v.c  ->  rank by |c|^2 - 2 v.c ascending.
+    probe_w = Window.partitionBy("query_id").orderBy("__d", "cell")
+    probes = (
+        q.select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__d",
+            dot(F.col("centroid"), F.col("centroid"))
+            - 2.0 * dot(F.col("__qv"), F.col("centroid")),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probes)
+        .select("query_id", "__qv", "cell")
+    )
+    scored = (
+        probes.join(inverted, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # both sides unit vectors: dot IS the cosine
+            F.round(dot(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -240,6 +240,22 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, k=5, n_planes=4, n_tables=8)
 
 
+@query(
+    "similarity_ivf_topk",
+    oracle=None,  # approximate: cell boundaries depend on the k-means fit;
+    # recall vs brute force asserted in tests/test_llm.py.
+    doc=(
+        "ANN top-k via IVF (k-means cells + multi-probe): each corpus "
+        "vector sits in one cell, queries probe their 4 nearest of 16 "
+        "cells — one equi-join on cell id instead of a cross join."
+    ),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, k=5, n_centroids=16, n_probes=4, queries=queries_df)
+
+
 # ----------------------------------------------------------- text analysis
 
 

@@ -96,3 +96,21 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_features(attach_payload(docs), decode_stub=False).collect()
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(queries, emb, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = S.ivf_topk(emb, k=5, n_centroids=16, n_probes=4, queries=queries)
+    rows = approx.collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    # every query produced a full top-k despite probing only 4/16 cells
+    assert all(
+        sum(1 for r in rows if r.query_id == q) == 5 for q in range(20)
+    )
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing 1/4 of the cells; true neighbors concentrate in the nearest
+    # cells, so recall must be far above the 0.25 volume fraction
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
