@@ -53,10 +53,12 @@ def main() -> None:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        # best of 2: first run pays JIT/codegen compilation, which is a
-        # per-process constant, not a per-query cost at scale
+        # best of 3: the first run pays JIT/codegen compilation (a
+        # per-process constant, not a per-query cost at scale) and this
+        # box shows multi-second background-load spikes — min of 3 keeps
+        # one noisy run from dominating the recorded number
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             # count() forces full execution of every operator in the plan
             # while keeping driver materialization O(1).
