@@ -206,3 +206,71 @@ def similarity_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = emb.first().features
     ann = model.approxNearestNeighbors(emb, probe, 10, distCol="l2_dist")
     return ann.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(avg(l_quantity), 2) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Two-phase salted aggregation on a 3-value (maximally hot) key: "
+        "partials over (key, salt) spread each hot key across tasks, then "
+        "re-aggregate by key. Result identical to the plain GROUP BY — "
+        "proven by the oracle."
+    ),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.skew import salted_sum_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(li, key="l_returnflag", value="l_quantity", n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("n_rows"),
+        F.round("avg_l_quantity", 2).alias("avg_qty"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, n_name,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY o_orderpriority, n_name
+    ORDER BY o_orderpriority, n_name
+    """,
+    doc=(
+        "Salted join against a replicated dim: nation rows for 'hot' "
+        "nations are replicated across 8 salts and fact rows salted to "
+        "match, so one nation's orders never serialize through one task. "
+        "Same result as the plain join — proven by the oracle."
+    ),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.skew import salted_join_hot_keys
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderpriority", "c_nationkey"
+    )
+    # treat nations 0-2 as hot (in real use: keys over a frequency threshold)
+    joined = salted_join_hot_keys(
+        fact, nation, "c_nationkey", "n_nationkey", hot_keys=[0, 1, 2], n_salts=8
+    )
+    return (
+        joined.groupBy("o_orderpriority", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority", "n_name")
+    )
