@@ -94,3 +94,17 @@ def test_scan_reads_only_selected_columns(spark, sf_dir):
     df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     cols = read_schema_columns(df)
     assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q7_broadcasts_both_nation_dims(spark, sf_dir):
+    df = REGISTRY["q7_volume_shipping"].fn(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 2
+    assert has_pushed_filters(df)
+
+
+def test_q3_pushes_filters_to_all_scans(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # segment, orderdate, and shipdate predicates each reach a parquet scan
+    assert plan.count("PushedFilters: [") >= 3
+    assert uses_take_ordered(df) or "TakeOrderedAndProject" in plan

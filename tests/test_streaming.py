@@ -214,3 +214,34 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
         q.stop()
     n_in = spark.read.parquet(events_dir).count()
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    """Stream-static join: the static dim is re-planned per micro-batch and
+    broadcast — no state store involved, unlike stream-stream joins."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_stream(spark, events_dir).select("event_id", "user_id")
+    q = (
+        stream.join(F.broadcast(cust), "user_id")
+        .writeStream.format("memory")
+        .queryName("ss_static_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT c_mktsegment) AS segs FROM ss_static_out"
+        ).first()
+        expect = (
+            read_table(spark, sf_dir, "events")
+            .select("event_id", "user_id")
+            .join(cust, "user_id")
+            .count()
+        )
+        assert got.n == expect and got.n > 0
+        assert got.segs >= 1
+    finally:
+        q.stop()
