@@ -382,11 +382,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar dimension, computed once on the driver
-    # the vocabulary is orders of magnitude smaller than the token stream:
-    # broadcast it so the tf side never shuffles for the idf lookup
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # tf already has one row per (doc, term), so document frequency is a
+    # count over tf's term partitions: one shuffle of the small tf table
+    # instead of a second tokenize+explode pass over the corpus
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
