@@ -62,3 +62,66 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 # StreamingQuery.processAllAvailable() never observes an idle stream for
 # this operator — callers should poll the sink (or use awaitTermination
 # with their own completion condition) instead.
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+
+
+def _update_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization with EventTimeTimeout: a session closes
+    when a later event arrives past the gap, or when the watermark passes
+    last_event + gap (the timeout) — so final sessions are emitted without
+    waiting for more traffic from that user."""
+    gap_us = 5 * 60 * 1_000_000
+    closed: list[tuple] = []
+
+    def emit(start, last, n):
+        closed.append((key[0], start, last, n))
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        emit(start, last, n)
+        state.remove()
+    else:
+        cur = state.get if state.exists else None
+        ts_batches = [
+            pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdfs
+        ]
+        for ts in sorted(t for batch in ts_batches for t in batch):
+            if cur is None:
+                cur = (ts, ts, 1)
+            elif ts - cur[1] > gap_us:
+                emit(*cur)
+                cur = (ts, ts, 1)
+            else:
+                cur = (cur[0], max(cur[1], ts), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # timeout when the watermark passes the session's gap boundary
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+    if closed:
+        out = pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+
+def closed_user_sessions(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, ...) stream -> closed 5-minute-gap sessions.
+    Input must carry a watermark on ts (EventTimeTimeout requires it);
+    state is one open session per user, bounded by eviction at
+    watermark > last_event + gap."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

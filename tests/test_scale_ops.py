@@ -219,3 +219,121 @@ def test_stream_stream_join(spark, tmp_path):
         assert {(r.imp_id, r.click_id) for r in rows} == {(100, 200)}
     finally:
         q.stop()
+
+
+def test_event_time_sessionization(spark, tmp_path):
+    """Two sessions for user 1 (split by a >5 min gap) and one for user 2;
+    a late far-future event advances the watermark so timeouts close the
+    tail sessions."""
+    from tests.test_streaming import _write_events
+
+    from parquet_exporter_spark.streaming.stateful import closed_user_sessions
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    d = str(tmp_path / "session_events")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        [
+            (1, base, 1, "a", 1.0, "{}"),
+            (2, base + timedelta(minutes=1), 1, "a", 1.0, "{}"),
+            (3, base + timedelta(minutes=10), 1, "a", 1.0, "{}"),  # new session
+            (4, base + timedelta(minutes=1), 2, "a", 1.0, "{}"),
+        ],
+        d,
+        "b1.parquet",
+    )
+    stream = (
+        read_stream(spark, d, max_files_per_trigger=1)
+        .select("user_id", "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        closed_user_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still at batch1 max - 1min: only user 1's FIRST session
+        # (closed by the in-stream gap) can have been emitted so far.
+        # Advance the watermark far past every open session's gap boundary.
+        _write_events(
+            spark,
+            [(5, base + timedelta(hours=2), 3, "a", 1.0, "{}")],
+            d,
+            "b2.parquet",
+        )
+        q.processAllAvailable()
+        # one more empty-ish batch so timed-out state from the watermark
+        # advance is evaluated
+        _write_events(
+            spark,
+            [(6, base + timedelta(hours=2, minutes=1), 3, "a", 1.0, "{}")],
+            d,
+            "b3.parquet",
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM sessions_out"
+        ).collect()
+        sessions = {
+            (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events)
+            for r in rows
+            if r.user_id in (1, 2)
+        }
+        assert (1, 0, 1, 2) in sessions  # user 1: minutes 0-1, 2 events
+        assert (1, 10, 10, 1) in sessions  # user 1: minute 10, 1 event
+        assert (2, 1, 1, 1) in sessions  # user 2: minute 1, 1 event
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_upsert_keeps_latest(spark, tmp_path):
+    """Across two micro-batches, the parquet view holds exactly one row
+    per user — the one with the newest timestamp."""
+    from tests.test_streaming import _write_events
+
+    from parquet_exporter_spark.streaming.upsert import upsert_to_parquet
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    d = str(tmp_path / "upsert_events")
+    view = str(tmp_path / "user_view")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        [
+            (1, base, 1, "a", 10.0, "{}"),
+            (2, base + timedelta(minutes=1), 2, "a", 20.0, "{}"),
+        ],
+        d,
+        "b1.parquet",
+    )
+    stream = read_stream(spark, d, max_files_per_trigger=1).select(
+        "user_id", "ts", "value"
+    )
+    q = upsert_to_parquet(stream, view, key_col="user_id", ts_col="ts")
+    try:
+        q.processAllAvailable()
+        _write_events(
+            spark,
+            [
+                (3, base + timedelta(minutes=5), 1, "a", 99.0, "{}"),  # newer: wins
+                (4, base - timedelta(minutes=5), 2, "a", 0.5, "{}"),  # older: ignored
+                (5, base + timedelta(minutes=2), 3, "a", 30.0, "{}"),  # new key
+            ],
+            d,
+            "b2.parquet",
+        )
+        q.processAllAvailable()
+        got = {
+            r.user_id: r.value
+            for r in spark.read.parquet(view).select("user_id", "value").collect()
+        }
+        assert got == {1: 99.0, 2: 20.0, 3: 30.0}
+    finally:
+        q.stop()
