@@ -12,9 +12,11 @@ Queries broadcast dims explicitly; facts are never collected or broadcast.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -40,6 +42,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# read_table is on every query's hot path and queries read 4-6 tables each:
+# pin session confs once per session and footer-read each table's schema
+# once per (sf_dir, table), not per call.
+_pinned_sessions: weakref.WeakSet = weakref.WeakSet()
+_schema_cache: dict[tuple[str, str], StructType] = {}
+
+
+def _pin_session(spark: SparkSession) -> None:
+    # Engine contract: UTC session semantics. The caller's session (e.g. the
+    # driver's) may not pin a timezone; mixed NTZ/instant timestamp coercion
+    # would then depend on the host TZ and break oracle parity.
+    if spark in _pinned_sessions:
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pinned_sessions.add(spark)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
@@ -48,15 +68,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies when loading NANOS into
     its microsecond TIMESTAMP, so oracle comparisons line up exactly.
     """
-    # Engine contract: UTC session semantics. The caller's session (e.g. the
-    # driver's) may not pin a timezone; mixed NTZ/instant timestamp coercion
-    # would then depend on the host TZ and break oracle parity.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session(spark)
+    path = table_path(sf_dir, name)
+    key = (sf_dir, name)
+    cached = _schema_cache.get(key)
+    reader = spark.read.schema(cached) if cached is not None else spark.read
+    raw = reader.parquet(path)
+    if cached is None:
+        _schema_cache[key] = raw.schema
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(table_path(sf_dir, name))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+    return raw
 
 
 def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
