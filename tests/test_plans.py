@@ -108,3 +108,16 @@ def test_q3_pushes_filters_to_all_scans(spark, sf_dir):
     # segment, orderdate, and shipdate predicates each reach a parquet scan
     assert plan.count("PushedFilters: [") >= 3
     assert uses_take_ordered(df) or "TakeOrderedAndProject" in plan
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir):
+    df = REGISTRY["q8_market_share"].fn(spark, sf_dir)
+    # part, nation x2, region, supplier all broadcast; facts shuffle
+    assert count_broadcast_joins(df) >= 5
+    assert has_pushed_filters(df)
+
+
+def test_q21_uses_semi_and_anti_joins(spark, sf_dir):
+    plan = physical_plan(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
