@@ -53,17 +53,28 @@ def brute_force_topk(
     the scored pairs, and ranking uses the rounded score with the corpus
     id as tiebreak so results are stable across engines.
     """
+    # norms attach per ROW before the pair join — one dot product per pair
+    # instead of three (cosine() would recompute both norms per pair)
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec).alias("__qvec")
+        F.col(query_id).alias("query_id"),
+        F.col(vec).alias("__qvec"),
+        norm(F.col(vec)).alias("__qn"),
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec).alias("__cvec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec).alias("__cvec"),
+        norm(F.col(vec)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
