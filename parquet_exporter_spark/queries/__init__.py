@@ -16,6 +16,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     streaming,
     subqueries,
     tpch_shapes,
+    tpch_shapes2,
     udfs,
     windows,
 )
