@@ -10,6 +10,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     functions,
     joins,
     llm,
+    llm2,
     reference_parity,
     relational,
     setops,
