@@ -121,3 +121,54 @@ def test_q21_uses_semi_and_anti_joins(spark, sf_dir):
     plan = physical_plan(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q6_single_stage_full_pushdown(spark, sf_dir):
+    """Q6 is the canonical scan-filter-agg: every predicate reaches the
+    parquet scan, the aggregate combines map-side, and the only exchange
+    is the 1-row final-agg gather."""
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df)
+    assert has_partial_aggregation(df)
+    assert "Join" not in physical_plan(df)
+    # shipdate bounds, discount bounds, and quantity all push down
+    assert "l_shipdate" in plan and "l_discount" in plan and "l_quantity" in plan
+
+
+def test_q9_broadcasts_every_dim_and_prunes_part(spark, sf_dir):
+    df = q("q9_product_profit", spark, sf_dir)
+    # part, supplier, nation broadcast; only lineitem-orders shuffles
+    assert count_broadcast_joins(df) >= 3
+    assert has_pushed_filters(df)
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = physical_plan(q("q4_order_priority", spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q16_not_in_becomes_broadcast_anti_join(spark, sf_dir):
+    plan = physical_plan(q("q16_supplier_part_counts", spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+
+
+def test_q20_semi_join_chain_all_broadcast(spark, sf_dir):
+    plan = physical_plan(q("q20_promotable_suppliers", spark, sf_dir))
+    assert plan.count("LeftSemi") >= 3
+
+
+def test_contamination_benchmark_grams_broadcast(spark, sf_dir):
+    df = q("text_contamination_check", spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_pii_redaction_is_narrow(spark, sf_dir):
+    df = q("text_pii_redaction", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_emb_quantize_is_narrow(spark, sf_dir):
+    df = q("emb_quantize_int8", spark, sf_dir)
+    assert count_shuffles(df) == 0
