@@ -274,3 +274,20 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority", "n_name")
     )
+
+
+@query(
+    "scan_text",
+    oracle=f"""
+    SELECT value FROM read_csv('{CSV_PATH}', header = false,
+        columns = {{'value': 'VARCHAR'}}, delim = '\x01', quote = '')
+    """,
+    doc=(
+        "Raw text-line scan (spark.read.text): one row per line, no "
+        "parsing — the ingestion format for log files and raw crawl "
+        "dumps before structured extraction. The DuckDB twin reads the "
+        "same file as an undelimited single-column CSV."
+    ),
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.text(CSV_PATH)

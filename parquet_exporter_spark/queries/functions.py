@@ -260,3 +260,48 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(j, '$.meta.type') AS vtype,
+           CAST(json_extract(j, '$.meta.val') AS DOUBLE) AS vval,
+           CAST(json_extract(j, '$.k') AS INTEGER) AS k
+    FROM (
+        SELECT event_id,
+               '{"meta":{"type":"' || event_type || '","val":'
+                   || CAST(value AS VARCHAR) || '},"k":'
+                   || json_extract_string(props, '$.k') || '}' AS j
+        FROM events
+    )
+    """,
+    doc=(
+        "Semi-structured VARIANT columns (Spark 4): build a nested JSON "
+        "document from typed columns, parse_json into a VARIANT, then "
+        "navigate with typed variant_get path extraction. VARIANT keeps a "
+        "binary-encoded form, so repeated path reads skip re-parsing — "
+        "the scale answer for schema-on-read event payloads. Number "
+        "round-trips are exact: both engines print doubles as "
+        "shortest-round-trip decimals."
+    ),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","val":'),
+        F.col("value").cast("string"),
+        F.lit('},"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    v = F.parse_json(j)
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.val", "double").alias("vval"),
+        F.variant_get(v, "$.k", "int").alias("k"),
+    )

@@ -35,3 +35,18 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "zlib",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (Spark-native columnar alternative to Parquet; same
+    predicate-pushdown and column-pruning behavior on read)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -70,3 +70,20 @@ def test_asof_join_crafted_semantics(spark):
     assert out["e2"] == 150.0  # latest prior of the two
     assert out["e3"] is None  # right row is AFTER the event
     assert out["e4"] is None  # key never seen on the right
+
+
+def test_orc_roundtrip_preserves_values_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source: values survive the roundtrip bit-for-bit and the
+    ORC scan gets the same predicate pushdown as parquet."""
+    from parquet_exporter_spark.sinks.writers import write_orc
+
+    src = read_table(spark, sf_dir, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(src, out)
+    back = spark.read.orc(out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    assert src.exceptAll(back).count() == 0 and back.exceptAll(src).count() == 0
+    filtered = back.filter(F.col("s_suppkey") > 5).select("s_suppkey", "s_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(s_suppkey)" in plan

@@ -175,3 +175,30 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning visible in the physical plan
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "country=USA" in plan
+
+
+def test_graphql_python_datasource_partitions_per_country(spark):
+    """The Python DataSource form of the GraphQL source: one input
+    partition per country, schema fixed, parent-area enrichment applied
+    inside each task."""
+    from parquet_exporter_spark.sources.climbs import CLIMBS_SCHEMA
+    from parquet_exporter_spark.sources.graphql_datasource import (
+        SYNTH_CLIMBS_PER_COUNTRY,
+        SYNTH_COUNTRIES,
+        register,
+    )
+
+    register(spark)
+    df = spark.read.format("graphql_climbs").load()
+    assert df.schema == CLIMBS_SCHEMA
+    rows = df.collect()
+    assert len(rows) == len(SYNTH_COUNTRIES) * SYNTH_CLIMBS_PER_COUNTRY
+    assert df.rdd.getNumPartitions() == len(SYNTH_COUNTRIES)
+    # odd climbs had no coords/pathTokens -> inherited from the parent area
+    odd = next(r for r in rows if r.uuid == "usa-0001")
+    assert odd.pathTokens == ["USA", "Area 0"]
+    assert odd.metadata.lat == 40.0
+    # country subsetting via option
+    two = spark.read.format("graphql_climbs").option("countries", "USA,FRA").load()
+    assert two.rdd.getNumPartitions() == 2
+    assert two.count() == 2 * SYNTH_CLIMBS_PER_COUNTRY
