@@ -274,3 +274,76 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_open"),
         F.col("F").alias("qty_filled"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Linear-regression aggregate family (slope/intercept/r2/avgx/avgy/"
+        "count of price on quantity per return flag) — single-pass "
+        "moment accumulation with map-side partials, like any sum."
+    ),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+            F.regr_count(y, x).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_bitwise_boolean",
+    oracle="""
+    SELECT l_linestatus,
+           bit_and(l_orderkey) AS key_bit_and,
+           bit_or(l_orderkey) AS key_bit_or,
+           bit_xor(l_orderkey) AS key_bit_xor,
+           bool_and(l_quantity > 0) AS all_qty_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc=(
+        "Bitwise (bit_and/or/xor) and boolean (bool_and/bool_or/count_if) "
+        "aggregates — order-independent, so exact across engines with no "
+        "rounding; all combine map-side."
+    ),
+)
+def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and("l_orderkey").alias("key_bit_and"),
+            F.bit_or("l_orderkey").alias("key_bit_or"),
+            F.bit_xor("l_orderkey").alias("key_bit_xor"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+            F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+        )
+        .orderBy("l_linestatus")
+    )
