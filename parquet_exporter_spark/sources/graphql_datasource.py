@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from parquet_exporter_spark.sources.climbs import CLIMBS_SCHEMA
@@ -128,8 +133,40 @@ class GraphQLClimbsReader(DataSourceReader):
             yield _struct_to_tuple(climb, CLIMBS_SCHEMA)
 
 
+class GraphQLClimbsStreamReader(SimpleDataSourceStreamReader):
+    """Incremental-ingest form: one country per micro-batch, the offset is
+    the index into the (stable) country list. ``readBetweenOffsets``
+    replays any committed range deterministically, which is what gives the
+    sink exactly-once semantics after a restart."""
+
+    def __init__(self, options: dict):
+        self._inner = GraphQLClimbsReader(options)
+        self._countries = list(self._inner._countries())
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, country: str):
+        transport = self._inner._transport()
+        for climb in fetch_country_climbs(transport, country):
+            yield _struct_to_tuple(climb, CLIMBS_SCHEMA)
+
+    def read(self, start: dict):
+        i = start["next"]
+        if i >= len(self._countries):
+            return iter([]), start  # caught up: no new batch
+        # materialized list, not a generator: the engine pickles the
+        # prefetched rows into its offset cache
+        return list(self._rows(self._countries[i])), {"next": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for i in range(start["next"], end["next"]):
+            yield from self._rows(self._countries[i])
+
+
 class GraphQLClimbsDataSource(DataSource):
-    """``spark.read.format("graphql_climbs")`` after
+    """``spark.read.format("graphql_climbs")`` (batch) or
+    ``spark.readStream.format("graphql_climbs")`` (incremental) after
     ``spark.dataSource.register(GraphQLClimbsDataSource)``."""
 
     @classmethod
@@ -141,6 +178,9 @@ class GraphQLClimbsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> GraphQLClimbsReader:
         return GraphQLClimbsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> GraphQLClimbsStreamReader:
+        return GraphQLClimbsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -202,3 +202,29 @@ def test_graphql_python_datasource_partitions_per_country(spark):
     two = spark.read.format("graphql_climbs").option("countries", "USA,FRA").load()
     assert two.rdd.getNumPartitions() == 2
     assert two.count() == 2 * SYNTH_CLIMBS_PER_COUNTRY
+
+
+def test_graphql_streaming_ingest_one_country_per_batch(spark):
+    """Streaming form of the GraphQL DataSource: countries arrive
+    incrementally (offset = country index), totals match the batch read."""
+    from parquet_exporter_spark.sources.graphql_datasource import (
+        SYNTH_CLIMBS_PER_COUNTRY,
+        SYNTH_COUNTRIES,
+        register,
+    )
+
+    register(spark)
+    stream = spark.readStream.format("graphql_climbs").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("climbs_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT uuid FROM climbs_stream").collect()
+        assert len(rows) == len(SYNTH_COUNTRIES) * SYNTH_CLIMBS_PER_COUNTRY
+        assert len({r.uuid for r in rows}) == len(rows)  # exactly-once
+    finally:
+        q.stop()
