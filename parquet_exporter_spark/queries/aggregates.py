@@ -347,3 +347,58 @@ def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "agg_hll_rollup",
+    oracle=None,  # DataSketches HLL binaries are engine-private; the
+    # estimate-vs-exact error bound is asserted in tests/test_operators.py.
+    doc=(
+        "Two-level distinct-count rollup via mergeable HLL sketches "
+        "(DataSketches): per-nation customer sketches union-agg up to the "
+        "region level without rescanning — THE pattern for distinct counts "
+        "at 100 TB, where partial sketches merge across partitions/days "
+        "instead of reshuffling raw keys."
+    ),
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=None,  # sketch binary is engine-private; over-estimate-only
+    # guarantee asserted in tests/test_operators.py.
+    doc=(
+        "Count-min sketch over order priorities: a fixed-size frequency "
+        "summary (eps=0.001, conf=0.99) queried per key. Like HLL, the "
+        "sketch is a mergeable partial aggregate — heavy-hitter tracking "
+        "at 100 TB without shuffling raw keys; estimates only ever "
+        "overcount."
+    ),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    sketch = orders.agg(
+        F.count_min_sketch(
+            "o_orderpriority", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    )
+    return sketch.select(F.base64("cms").alias("sketch_b64"))

@@ -87,3 +87,52 @@ def test_orc_roundtrip_preserves_values_and_pushdown(spark, sf_dir, tmp_path):
     filtered = back.filter(F.col("s_suppkey") > 5).select("s_suppkey", "s_name")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull(s_suppkey)" in plan
+
+
+def test_hll_rollup_estimates_close_to_exact(spark, sf_dir):
+    """Merged per-nation HLL sketches must estimate region-level distinct
+    customers within the sketch's error bound (~2% at lgK=12, generous
+    margin here) — proving sketches merge losslessly across groups."""
+    est = {
+        r.n_regionkey: r.approx_customers
+        for r in REGISTRY["agg_hll_rollup"].fn(spark, sf_dir).collect()
+    }
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    exact = {
+        r.n_regionkey: r.n
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(3, 0.05 * e), (k, est[k], e)
+
+
+def test_count_min_sketch_never_undercounts(spark, sf_dir):
+    """The CMS estimate for each priority must be >= its exact count and
+    within eps*N of it (the count-min guarantee)."""
+    import base64
+
+    row = REGISTRY["agg_count_min_sketch"].fn(spark, sf_dir).collect()[0]
+    raw = base64.b64decode(row.sketch_b64)
+    orders = read_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    # query the sketch on the JVM side (no public Python reader)
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark.sparkContext._jvm.java.io.ByteArrayInputStream(raw)
+    )
+    for key, n in exact.items():
+        est = sketch.estimateCount(key)
+        assert n <= est <= n + 0.001 * total + 1, (key, n, est)
