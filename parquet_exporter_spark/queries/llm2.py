@@ -27,6 +27,20 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 
+def redact_pii(raw) -> "F.Column":
+    """Mask emails, then IPs, then phones. Order matters: emails embed
+    digits, so the narrower numeric patterns must run after; the
+    replacement tokens contain no digits, so no pass can create a match
+    for a later pass (property-tested in tests/test_properties.py)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
 @query(
     "text_pii_redaction",
     oracle=f"""
@@ -72,13 +86,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".7"),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    redacted = redact_pii(raw)
     return docs.select(
         "doc_id",
         F.regexp_count(raw, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
@@ -88,6 +96,28 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- repetition analysis
+
+
+def repetition_ratios(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) -> per-doc top-bigram and duplicate-bigram
+    fractions (docs with <2 tokens have no bigrams and produce no row)."""
+    toks = T.tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
 
 
 @query(
@@ -122,24 +152,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    counts = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return counts.groupBy("doc_id").agg(
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_frac"),
-        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
-            "dup_bigram_frac"
-        ),
-    )
+    return repetition_ratios(read_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -269,6 +282,15 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- embedding quantization
 
 
+def quantize_int8(e) -> "F.Column":
+    """Symmetric int8 quantization of an array<double> column: scale by
+    127/max|x| and round half-away-from-zero. The max-|x| element maps to
+    exactly +/-127; reconstruction error is bounded by max|x|/254 per
+    element (property-tested)."""
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    return F.transform(e, lambda x: F.round(127.0 * x / max_abs).cast("int"))
+
+
 @query(
     "emb_quantize_int8",
     oracle="""
@@ -301,9 +323,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.round(max_abs, 6).alias("max_abs"),
-        F.transform(
-            e, lambda x: F.round(127.0 * x / max_abs).cast("int")
-        ).alias("q_int8"),
+        quantize_int8(e).alias("q_int8"),
     )
 
 

@@ -90,3 +90,76 @@ def test_salted_agg_matches_plain_bruteforce(spark, rows, n_salts):
     assert {k: v[1] for k, v in got.items()} == {k: v[1] for k, v in expect.items()}
     for k in expect:
         assert abs(got[k][0] - expect[k][0]) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg 0123456789.@-", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    seeds=st.lists(st.integers(0, 10**9), min_size=0, max_size=3),
+)
+def test_pii_redaction_leaves_no_matches(spark, words, seeds):
+    """After the three-pass redaction, no email/IP/phone pattern matches
+    remain — including PII injected mid-text and adversarial near-PII
+    fragments from the random alphabet."""
+    from parquet_exporter_spark.queries.llm2 import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        redact_pii,
+    )
+
+    text = " ".join(words)
+    for s in seeds:
+        text += f" user{s}@mail{s % 97}.example or {s % 900 + 100:03d}-{s % 10000:04d} at {s % 256}.{s % 251}.{s % 240}.{s % 17}"
+    df = spark.createDataFrame([(text,)], "raw string")
+    red = df.select(redact_pii(F.col("raw")).alias("r"))
+    counts = red.select(
+        F.regexp_count("r", F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count("r", F.lit(IPV4_RE)).alias("i"),
+        F.regexp_count("r", F.lit(PHONE_RE)).alias("p"),
+    ).collect()[0]
+    assert (counts.e, counts.i, counts.p) == (0, 0, 0), red.collect()
+
+
+@settings(**_SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(-1000, 1000, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda v: max(abs(x) for x in v) > 1e-6)
+)
+def test_quantize_int8_bounds_and_error(spark, vec):
+    from parquet_exporter_spark.queries.llm2 import quantize_int8
+
+    df = spark.createDataFrame([(vec,)], "e array<double>")
+    q = df.select(quantize_int8(F.col("e")).alias("q")).collect()[0].q
+    max_abs = max(abs(x) for x in vec)
+    assert all(-127 <= qi <= 127 for qi in q), q
+    assert 127 in q or -127 in q  # the max-|x| element saturates the scale
+    scale = max_abs / 127.0
+    for x, qi in zip(vec, q):
+        assert abs(x - qi * scale) <= scale / 2 + 1e-9 * max_abs, (x, qi)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=30)
+)
+def test_repetition_ratios_match_bruteforce(spark, toks):
+    from collections import Counter
+
+    from parquet_exporter_spark.queries.llm2 import repetition_ratios
+
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    row = repetition_ratios(df).collect()[0]
+    bigrams = Counter(
+        f"{a} {b}" for a, b in zip(toks, toks[1:])
+    )
+    total = sum(bigrams.values())
+    assert row.top_bigram_frac == round(max(bigrams.values()) / total, 6)
+    assert row.dup_bigram_frac == round(1.0 - len(bigrams) / total, 6)
