@@ -43,9 +43,21 @@ def merge_latest(current: DataFrame | None, batch: DataFrame, key_col: str, ts_c
     )
 
 
-def upsert_to_parquet(stream_df: DataFrame, view_path: str, key_col: str, ts_col: str):
+def upsert_to_parquet(
+    stream_df: DataFrame,
+    view_path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint_dir: str | None = None,
+):
     """Start a foreachBatch query maintaining `view_path` as the
-    latest-per-key view of the stream. Returns the StreamingQuery."""
+    latest-per-key view of the stream. Returns the StreamingQuery.
+
+    With `checkpoint_dir`, the query is restartable: committed source
+    offsets persist, so a restarted query resumes after the last
+    committed micro-batch instead of replaying the stream; an
+    interrupted batch may re-run, which the merge absorbs (same keys,
+    same timestamps -> same view), giving end-to-end effectively-once."""
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -59,4 +71,7 @@ def upsert_to_parquet(stream_df: DataFrame, view_path: str, key_col: str, ts_col
             shutil.rmtree(view_path)
         os.replace(side, view_path)
 
-    return stream_df.writeStream.foreachBatch(_merge).outputMode("update").start()
+    writer = stream_df.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

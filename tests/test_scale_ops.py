@@ -370,3 +370,59 @@ def test_transform_with_state_record_highs(tmp_path):
         assert rows == [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)]
     finally:
         q.stop()
+
+
+def test_upsert_restarts_from_checkpoint(spark, tmp_path):
+    """Stop the upsert stream, add data, restart with the same checkpoint:
+    the query resumes from committed offsets (the restarted run processes
+    only the new file) and the view stays exactly one row per key."""
+    from tests.test_streaming import _write_events
+
+    from parquet_exporter_spark.streaming.upsert import upsert_to_parquet
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    d = str(tmp_path / "ckpt_events")
+    view = str(tmp_path / "ckpt_view")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    base = datetime(2024, 1, 1)
+    _write_events(spark, [(1, base, 1, "a", 10.0, "{}")], d, "b1.parquet")
+
+    def start():
+        stream = read_stream(spark, d, max_files_per_trigger=1).select(
+            "user_id", "ts", "value"
+        )
+        return upsert_to_parquet(
+            stream, view, key_col="user_id", ts_col="ts", checkpoint_dir=ckpt
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.user_id for r in spark.read.parquet(view).collect()} == {1}
+
+    # while the query is DOWN, newer data for user 1 and a new user arrive
+    _write_events(
+        spark,
+        [
+            (2, base + timedelta(minutes=1), 1, "a", 42.0, "{}"),
+            (3, base + timedelta(minutes=1), 2, "a", 7.0, "{}"),
+        ],
+        d,
+        "b2.parquet",
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        # restarted run committed only the new file's batch
+        progress = q2.recentProgress
+        assert sum(p["numInputRows"] for p in progress) == 2, progress
+    finally:
+        q2.stop()
+    got = {
+        r.user_id: r.value
+        for r in spark.read.parquet(view).select("user_id", "value").collect()
+    }
+    assert got == {1: 42.0, 2: 7.0}
