@@ -45,9 +45,21 @@ def run_export(
     stats_path: str | None = None,
     sample: bool = False,
 ) -> dict:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     cfg = (config or DEFAULT_CONFIG)["export"]
     filtered = region_filter(climbs, cfg.get("regions") or [])
     flat = reshape(filtered)
+    # observe(): pipeline health metrics ride the write action itself —
+    # no second scan, and on a cluster they aggregate across executors
+    obs = Observation("export_metrics")
+    flat = flat.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_observed"),
+        F.sum(F.col("latitude").isNull().cast("int")).alias("null_coord_rows"),
+        F.approx_count_distinct("country").alias("approx_countries"),
+    )
     write_parquet(flat, output_path, compression=cfg.get("compression", "snappy"))
 
     # read-back verification (reference test-export.py:104-106)
@@ -62,12 +74,12 @@ def run_export(
     # (reference compares the JSON intermediate to the parquet output,
     # export.py:246-247) — estimated from the flat rows without
     # materializing the corpus on the driver.
-    from pyspark.sql import functions as F
-
     raw_bytes = (
         flat.select(F.octet_length(F.to_json(F.struct(*flat.columns))).alias("b"))
         .agg(F.sum("b"))
         .first()[0]
         or 0
     )
-    return export_stats(n, int(raw_bytes), output_path, stats_path)
+    stats = export_stats(n, int(raw_bytes), output_path, stats_path)
+    stats["metrics"] = {k: int(v) for k, v in obs.get.items()}
+    return stats

@@ -228,3 +228,51 @@ def test_graphql_streaming_ingest_one_country_per_batch(spark):
         assert len({r.uuid for r in rows}) == len(rows)  # exactly-once
     finally:
         q.stop()
+
+
+def test_export_observe_metrics(spark, tmp_path):
+    """observe() metrics ride the export write action: observed row count
+    matches the read-back count, null-coordinate rows are counted."""
+    docs = [
+        _climb("m1", pathTokens=["USA", "S"]),
+        _climb("m2", pathTokens=["USA", "S"], lat=None, lng=None),
+    ]
+    df = ingest_climb_docs(spark, docs)
+    out = str(tmp_path / "metrics_out")
+    stats = run_export(spark, df, out)
+    m = stats["metrics"]
+    assert m["rows_observed"] == stats["total_rows"] == 2
+    assert m["approx_countries"] == 1
+    assert m["null_coord_rows"] in (0, 1)  # parent-fill may supply coords
+
+
+def test_json_scan_corrupt_record_handling(spark, tmp_path):
+    """Malformed JSON lines: PERMISSIVE mode quarantines them in
+    _corrupt_record (good rows parse normally); DROPMALFORMED removes
+    them — the ingestion guardrails for a dirty 100 TB crawl."""
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"climb_id": "ok1", "length_m": 12}\n'
+        "{not json at all}\n"
+        '{"climb_id": "ok2", "length_m": 30}\n'
+    )
+    schema = "climb_id string, length_m int, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].climb_id is None
+    good = {r.climb_id for r in rows if r._corrupt_record is None}
+    assert good == {"ok1", "ok2"}
+
+    dropped = (
+        spark.read.schema("climb_id string, length_m int")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.climb_id for r in dropped.collect()} == {"ok1", "ok2"}
