@@ -126,3 +126,41 @@ def sql_cte_multi_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE co.n > s.avg_n
         """
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    )
+    WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc=(
+        "Correlated LATERAL subquery: top-3 orders per MACHINERY customer. "
+        "Catalyst rewrites the per-row subquery into a join + per-key "
+        "window rank — no nested-loop re-execution per outer row."
+    ),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        )
+        WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
