@@ -172,3 +172,37 @@ def test_pii_redaction_is_narrow(spark, sf_dir):
 def test_emb_quantize_is_narrow(spark, sf_dir):
     df = q("emb_quantize_int8", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """When neither join side broadcasts (the 100 TB condition), Catalyst
+    injects a runtime bloom filter built from the selective dimension side
+    and applies might_contain() on the fact scan — rows that cannot join
+    are dropped before the shuffle."""
+    from parquet_exporter_spark.tables import read_table
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the default 10 GB application-side floor targets real clusters;
+    # lower it so the test-scale fact table qualifies
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        orders = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
