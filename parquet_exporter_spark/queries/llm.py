@@ -470,3 +470,21 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    SELECT doc_id, {D.sql_simhash32('text')} AS simhash32
+    FROM documents
+    """,
+    doc=(
+        "32-bit SimHash with an engine-portable md5 token hash — unlike "
+        "dedup_simhash (xxhash64, rows-only), this variant is oracle-"
+        "checked bit-for-bit. Computed narrow: the hashed-token array "
+        "binds once as a lambda variable; zero shuffles."
+    ),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32_portable(F.col("text")).alias("simhash32"))
