@@ -291,3 +291,48 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.text(CSV_PATH)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    # Same bit interleave as sinks/layout.py:_interleave, spelled in SQL:
+    # bit b of dim d lands at position b*2 + d.
+    # DuckDB's << / >> / & / | precedences differ from Spark SQL's, so each
+    # term is fully parenthesized and terms are summed (bit positions are
+    # disjoint, so + == |).
+    terms = []
+    for d, r in enumerate(("r0", "r1")):
+        for b in range(bits):
+            terms.append(f"((({r} >> {b}) & 1) << {b * 2 + d})")
+    hi = (1 << bits) - 1
+    return f"""
+    WITH r AS (
+        SELECT o_orderkey,
+               least(CAST(floor(percent_rank() OVER (ORDER BY o_custkey)
+                                * {hi + 1}) AS BIGINT), {hi}) AS r0,
+               least(CAST(floor(percent_rank() OVER (ORDER BY o_totalprice)
+                                * {hi + 1}) AS BIGINT), {hi}) AS r1
+        FROM orders)
+    SELECT o_orderkey, CAST({' + '.join(terms)} AS BIGINT) AS zvalue
+    FROM r
+    """
+
+
+@query(
+    "layout_zorder_key",
+    oracle=_zorder_oracle(),
+    doc=(
+        "Z-order (Morton) clustering key over (o_custkey, o_totalprice): "
+        "percent_rank-normalized dimensions bit-interleaved into one long "
+        "— the write_zordered layout key, bit-for-bit against the DuckDB "
+        "twin. percent_rank is exact rational arithmetic in doubles, so "
+        "both engines floor identically."
+    ),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.layout import zorder_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keyed = zorder_key(orders, ["o_custkey", "o_totalprice"], bits=8)
+    return keyed.select("o_orderkey", F.col("_zvalue").alias("zvalue"))

@@ -488,3 +488,58 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash32_portable(F.col("text")).alias("simhash32"))
+
+
+@query(
+    "multimodal_resize",
+    oracle=None,  # binary pixel buffers are stub-decoder output; shape and
+    # determinism asserted in tests/test_llm.py.
+    doc=(
+        "Image-resize stage over mapInPandas: payload -> fixed 8x8 pixel "
+        "buffer (BinaryType, Arrow zero-copy). Codec stubbed — the real "
+        "path calls Pillow at the marked boundary."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return resize_images(attach_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=None,  # 1->many fan-out over stub frames; counts asserted in
+    # tests/test_llm.py.
+    doc=(
+        "Video frame-sampling stage over mapInPandas: one payload row fans "
+        "out to one row per sampled frame (output batch length decoupled "
+        "from input batch length — the plumbing video pipelines need)."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return sample_frames(attach_payload(docs), every_n=4)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=None,  # windowed RMS over stub-PCM bytes; window counts and
+    # energy bounds asserted in tests/test_llm.py.
+    doc=(
+        "Audio feature stage over mapInPandas: payload framed into "
+        "overlapping windows (window=64, hop=32), per-window RMS energy — "
+        "the VAD/loudness framing an audio pipeline applies before any "
+        "model. Codec stubbed at the marked boundary."
+    ),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.multimodal import (
+        attach_payload,
+        audio_window_energy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return audio_window_energy(attach_payload(docs))

@@ -114,3 +114,71 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     # probing 1/4 of the cells; true neighbors concentrate in the nearest
     # cells, so recall must be far above the 0.25 volume fraction
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_resize_fixed_buffers(spark, sf_dir):
+    from parquet_exporter_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    resized = resize_images(attach_payload(docs), target_w=8, target_h=8)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    assert all(len(r.pixels) == 64 for r in rows)
+    # deterministic: same input -> same buffer
+    again = {r.doc_id: bytes(r.pixels) for r in resized.collect()}
+    assert {r.doc_id: bytes(r.pixels) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_fanout(spark, sf_dir):
+    from parquet_exporter_spark.operators.multimodal import (
+        FRAME_BYTES,
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    payloads = attach_payload(docs)
+    frames = sample_frames(payloads, every_n=3)
+    got = frames.groupBy("doc_id").count().collect()
+    sizes = {r.doc_id: r.n_bytes for r in payloads.select(
+        "doc_id", F.octet_length("payload").alias("n_bytes")).collect()}
+    for r in got:
+        n_frames = max(sizes[r.doc_id] // FRAME_BYTES, 1)
+        expected = (n_frames + 2) // 3  # ceil(n_frames / every_n)
+        assert r["count"] == expected, (r.doc_id, n_frames)
+    # frame indices are the sampled ones
+    idx = {(r.doc_id, r.frame_idx) for r in frames.select("doc_id", "frame_idx").collect()}
+    assert all(i % 3 == 0 for _, i in idx)
+
+
+def test_multimodal_audio_window_energy(spark, sf_dir):
+    from parquet_exporter_spark.operators.multimodal import (
+        attach_payload,
+        audio_window_energy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").limit(10)
+    payloads = attach_payload(docs)
+    wins = audio_window_energy(payloads, window=64, hop=32)
+    rows = wins.collect()
+    sizes = {r.doc_id: r.n_bytes for r in payloads.select(
+        "doc_id", F.octet_length("payload").alias("n_bytes")).collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        # RMS of unsigned bytes is bounded by the byte range
+        assert 0.0 <= r.energy <= 255.0
+        assert 1 <= r.n_samples <= 64
+    for doc_id, doc_rows in by_doc.items():
+        n = sizes[doc_id]
+        expected = (n + 31) // 32  # one window per hop start < n
+        assert len(doc_rows) == expected, (doc_id, n)
+        # overlapping framing: every window except possibly the last two
+        # (tail windows shorter than `window`) is full length
+        full = sum(1 for r in doc_rows if r.n_samples == 64)
+        assert full >= len(doc_rows) - 2
+    # deterministic
+    assert {(r.doc_id, r.win_idx, r.energy) for r in wins.collect()} == {
+        (r.doc_id, r.win_idx, r.energy) for r in rows
+    }

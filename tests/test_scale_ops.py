@@ -426,3 +426,46 @@ def test_upsert_restarts_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(view).select("user_id", "value").collect()
     }
     assert got == {1: 42.0, 2: 7.0}
+
+
+def test_zorder_layout_clusters_box_queries(spark, sf_dir, tmp_path):
+    """A 2-D box predicate over a z-ordered layout should find its rows in
+    far fewer files than the same data written round-robin, because the
+    Morton curve keeps rows close in BOTH dimensions within the same file."""
+    from parquet_exporter_spark.sinks.layout import write_zordered
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    plain_path = str(tmp_path / "plain")
+    zord_path = str(tmp_path / "zord")
+    orders.repartition(n_files).write.parquet(plain_path)
+    write_zordered(orders, zord_path, ["o_custkey", "o_totalprice"], n_files=n_files)
+
+    # same rows either way
+    zord = spark.read.parquet(zord_path)
+    plain = spark.read.parquet(plain_path)
+    assert zord.count() == plain.count()
+    med = orders.approxQuantile(["o_custkey", "o_totalprice"], [0.4, 0.6], 0.01)
+    (c_lo, c_hi), (p_lo, p_hi) = med[0], med[1]
+    box = (
+        F.col("o_custkey").between(c_lo, c_hi)
+        & F.col("o_totalprice").between(p_lo, p_hi)
+    )
+
+    def files_with_hits(df):
+        return (
+            df.filter(box).select(F.input_file_name()).distinct().count()
+        )
+
+    plain_files = files_with_hits(plain)
+    zord_files = files_with_hits(zord)
+    # round-robin spreads the box over every file; the curve concentrates it
+    assert plain_files == n_files
+    assert zord_files < plain_files / 2, (zord_files, plain_files)
+    # and the box rows themselves are identical
+    a = {tuple(r) for r in zord.filter(box).collect()}
+    b = {tuple(r) for r in plain.filter(box).collect()}
+    assert a == b
