@@ -8,6 +8,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     aggregates,
     extras,
     functions,
+    graph,
     joins,
     llm,
     llm2,
@@ -16,6 +17,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     setops,
     streaming,
     subqueries,
+    timeseries,
     tpch_shapes,
     tpch_shapes2,
     udfs,

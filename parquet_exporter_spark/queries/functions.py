@@ -305,3 +305,62 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.meta.val", "double").alias("vval"),
         F.variant_get(v, "$.k", "int").alias("k"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS INTEGER) AS dist_name_brand,
+           CAST(CASE WHEN levenshtein(p_brand, p_type) > 5 THEN -1
+                     ELSE levenshtein(p_brand, p_type) END AS INTEGER) AS dist_capped
+    FROM part
+    """,
+    doc=(
+        "Edit-distance functions: plain levenshtein plus the thresholded "
+        "form (distance > k reports -1), which lets Spark abandon the DP "
+        "early — the scale path for fuzzy key matching where only "
+        "near-matches matter."
+    ),
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("dist_name_brand"),
+        F.levenshtein("p_brand", "p_type", 5).alias("dist_capped"),
+    )
+
+
+@query(
+    "fn_url_parse",
+    # The oracle reconstructs each component from the same inputs the URL
+    # was assembled from, verifying Spark's parse_url output value-for-value.
+    oracle="""
+    SELECT doc_id,
+           'api.example.com' AS host,
+           '/corpus/' || source || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&rev=1' AS query_string,
+           lang AS lang_param
+    FROM documents
+    """,
+    doc="URL component extraction with parse_url (host/path/query/param).",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://api.example.com/corpus/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&rev=1"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

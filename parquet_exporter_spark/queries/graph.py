@@ -1,0 +1,138 @@
+"""Graph operator: connected components over near-duplicate candidate
+edges, turning pairwise dedup hits into whole duplicate CLUSTERS.
+
+LSH/boilerplate dedup produces pairs (A~B, B~C); a cleaning pipeline
+needs the transitive closure (A,B,C share one cluster id, keep one doc
+per cluster). The reference has no graph surface; this extends the
+engine per SURVEY.md section 2.2.
+
+Spark side: iterative min-label propagation on DataFrames (the classic
+Pregel/GraphX formulation expressed as join + groupBy.min). Each
+iteration is one shuffle on the node key; lineage is truncated with
+localCheckpoint so plans stay flat no matter how many iterations run.
+Convergence is detected by counting changed labels (an O(nodes) agg,
+not a collect of the data). At 100 TB this is exactly the GraphFrames
+strategy: iterations ~ graph diameter, which for boilerplate-share
+graphs is tiny (shared chunks form near-cliques).
+
+Oracle side: DuckDB recursive CTE with UNION (distinct) reachability —
+min reachable label per node — which terminates on cyclic graphs
+because the distinct-union fixpoint is finite.
+
+Spark's own WITH RECURSIVE (used in timeseries.py) only supports UNION
+ALL, which cannot terminate on a cyclic edge set, so the iterative
+DataFrame loop IS the idiomatic Spark formulation, not a workaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+_CHUNK = 10  # tokens per chunk; same chunking as dedup_boilerplate_chunks
+
+
+def _chunk_edges(docs: DataFrame) -> DataFrame:
+    """Candidate edges: documents sharing a non-overlapping 10-token
+    chunk (same chunking as queries/llm2.py dedup_boilerplate_chunks).
+    Returns a directed edge set with both (a,b) and (b,a).
+
+    At 100 TB the join key would be xxhash64(chunk) so the shuffle
+    carries 8-byte keys; the text key is kept here for oracle parity.
+    """
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.floor(F.size(toks) / _CHUNK).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * _CHUNK + 1, _CHUNK), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (
+        c.alias("a")
+        .join(c.alias("b"), "chunk")
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation until fixpoint: (node, component) where
+    component = min doc_id reachable from the node. `edges` must
+    contain both directions of every undirected edge."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest([array_to_string(list_slice(t, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}), ' ')
+                       for i in generate_series(0, CAST(floor(len(t) / {_CHUNK}) AS INT) - 1)])
+                   AS chunk
+        FROM toks
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "Duplicate-cluster assignment: connected components over "
+        "shared-boilerplate-chunk candidate edges; component id = min "
+        "doc_id in the cluster. A cleaning pipeline keeps one document "
+        "per component instead of dropping both ends of every pair."
+    ),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    edges = _chunk_edges(docs).persist()
+    try:
+        labels = connected_components(edges)
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    finally:
+        edges.unpersist()

@@ -459,3 +459,35 @@ def cleaning_pipeline_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- train/holdout split
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM documents
+    """,
+    doc=(
+        "Deterministic content-hash train/holdout split: bucket = "
+        "md5(text) first 8 hex chars mod 100, <90 -> train. Hashing the "
+        "CONTENT (not the id) keeps exact duplicates in the same split, "
+        "so the holdout can't leak via copies; no RNG, so the split is "
+        "reproducible across runs and engines."
+    ),
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
+    )

@@ -1,0 +1,186 @@
+"""Time-series operators: recursive date spines, gap filling with LOCF,
+and value-range histogram bucketing.
+
+The reference has no time-series surface (its operator list ends at R24,
+`/root/reference/export.py:244-262`); these extend the engine per
+SURVEY.md section 2.2 for event/feed data. Everything here is a pure
+Catalyst expression composition, oracle-checked against DuckDB.
+
+Scale notes:
+- the month spine is O(months) rows — trivially small at any data scale;
+  the recursion happens on the spine, never on the fact table;
+- the daily gap-fill partitions BOTH the spine and the LOCF window by
+  user_id, so at 100 TB the work shuffles once on the key and every
+  partition's window is evaluated independently (no global sort);
+- the histogram groups on a derived bucket id (13 distinct values), so
+  the aggregation is a map-side partial + a 13-row final reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.queries._util import rmoney, rratio
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table, register
+
+
+@query(
+    "sql_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE months(m, mx) AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months WHERE m < mx
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_orders,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month_start,
+           CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(monthly.rev, 0), 2) AS revenue
+    FROM months LEFT JOIN monthly ON months.m = monthly.m
+    """,
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE) generating a complete "
+        "month spine from min to max order date, left-joined to monthly "
+        "revenue so empty months surface as zero rows. The recursion "
+        "carries the max bound as a column, so the recursive step needs "
+        "no subquery; spine cardinality is O(months), independent of "
+        "fact-table size."
+    ),
+)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, mx) AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+            FROM orders
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM months WHERE m < mx
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month_start,
+               CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+               round(coalesce(monthly.rev, 0d), 2) AS revenue
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+        """
+    )
+
+
+@query(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 6) AS daily_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    )
+    SELECT s.user_id, s.d,
+           last_value(daily.daily_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           daily.daily_value IS NOT NULL AS is_observed
+    FROM spine s
+    LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+    """,
+    doc=(
+        "Per-user daily gap filling: build each user's calendar spine with "
+        "sequence()+explode, left-join observed daily sums, then carry the "
+        "last observation forward (LOCF) with last(ignorenulls) over a "
+        "user-partitioned running window. The spine never has leading "
+        "nulls because it starts at the user's first observed day."
+    ),
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        rratio(F.sum("value")).alias("daily_value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.last("daily_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("daily_value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 12
+
+
+@query(
+    "agg_width_bucket_histogram",
+    # DuckDB has no width_bucket; the CASE mirrors Spark's WidthBucket
+    # expression bit-for-bit: same double division (hi-lo)/n, same floor,
+    # v < lo -> 0, v >= hi -> n+1.
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                    WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N + 1}
+                    ELSE CAST(floor((o_totalprice - {_HIST_LO})
+                              / (({_HIST_HI} - {_HIST_LO}) / {_HIST_N})) AS BIGINT) + 1
+               END AS bucket,
+               o_totalprice
+        FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS bucket_revenue
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Equi-width histogram of order totals via width_bucket: 12 "
+        "buckets over [0, 600k) plus underflow/overflow buckets 0 and 13. "
+        "The group-by key has at most 14 values, so the shuffle after the "
+        "map-side partial aggregation is 14 rows per task regardless of "
+        "input scale."
+    ),
+)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        F.col("o_totalprice"), F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_N)
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            rmoney(F.sum("o_totalprice")).alias("bucket_revenue"),
+        )
+        .orderBy("bucket")
+    )
