@@ -14,6 +14,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm2,
     reference_parity,
     relational,
+    sampling,
     setops,
     streaming,
     subqueries,

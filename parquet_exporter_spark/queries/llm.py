@@ -543,3 +543,33 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return audio_window_energy(attach_payload(docs))
+
+
+@query(
+    "emb_l2_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({S.sql_dot("embedding", "embedding")}), 6) AS l2_norm,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> round(x / sqrt({S.sql_dot("embedding", "embedding")}), 6))
+               AS unit_vec
+    FROM embeddings
+    """,
+    doc=(
+        "L2 normalization of the embedding column (the standard prep "
+        "before cosine ANN: normalized vectors reduce cosine to a dot "
+        "product). Pure per-row lambda — narrow, no shuffle; double-"
+        "precision sequential norm on both engines, elements rounded to "
+        "6 places for the cross-engine hash."
+    ),
+)
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    nrm = S.norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 6)
+        ).alias("unit_vec"),
+    )

@@ -1,0 +1,102 @@
+"""Corpus sampling operators for training-data curation.
+
+A 100 TB crawl is never trained on whole: pipelines select to a token
+budget (highest-value documents per source until the budget is spent)
+or sample stratified by source so the mixture matches a recipe. Both
+are single-shuffle window/sample operations here.
+
+Scale notes: the budget selection is one shuffle on `source` and a
+per-partition running sum — no global sort, no driver materialization.
+Stratified sampling is a narrow map (per-row Bernoulli draw keyed by
+the stratum fraction), zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+_BUDGET_TOKENS = 20_000  # per-source token budget
+
+
+@query(
+    "sample_tokens_budget",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               len({T.sql_tokens('text')}) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM sized
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    doc=(
+        "Token-budget curriculum selection: per source, keep documents in "
+        "descending-length order (doc_id tiebreak) until the cumulative "
+        "token count exceeds the budget. The running sum is a "
+        "source-partitioned window — one shuffle, then each partition "
+        "scans once; the budget cut happens executor-side, so the driver "
+        "never sees the corpus."
+    ),
+)
+def sample_tokens_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
+# Mixture recipe: fraction of each source stratum to keep. Sources absent
+# from the map are dropped entirely (fraction 0), the sampleBy contract.
+STRATA_FRACTIONS = {"src0": 0.2, "src1": 0.8, "src2": 0.5}
+
+
+@query(
+    "sample_stratified",
+    oracle=None,  # seeded Bernoulli draws are engine-private: rows-only +
+    # per-stratum bounds and determinism asserted in tests/test_operators.py
+    doc=(
+        "Stratified (per-source) sampling with sampleBy: each stratum is "
+        "kept at its recipe fraction via an independent Bernoulli draw — "
+        "a narrow map over the scan, no shuffle, deterministic under a "
+        "fixed seed."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.sampleBy("source", STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "source", "lang"
+    )

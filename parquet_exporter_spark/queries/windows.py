@@ -152,3 +152,79 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_median
+    FROM events
+    """,
+    doc=(
+        "Rolling median of the last 5 events per user (ts order, event_id "
+        "tiebreak). Spark rejects median() with a window frame, so the "
+        "frame is materialized with collect_list (bounded: <=5 doubles), "
+        "sorted, and interpolated exactly like DuckDB's median (mean of "
+        "the middle pair for even counts) — identical doubles in, "
+        "bit-identical interpolation out."
+    ),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("rolling_median"),
+    )
+
+
+@query(
+    "outlier_zscore",
+    # mu/sd are rounded to 6 BEFORE the z computation on both sides: the
+    # two engines sum partitions in different orders, so the raw moments
+    # differ in the last bits; after rounding, z is computed from
+    # identical doubles and the |z| >= 2.5 cut is deterministic.
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               round(avg(value), 6) AS mu,
+               round(stddev_samp(value), 6) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(round((e.value - s.mu) / s.sd, 4)) >= 2.5
+    """,
+    doc=(
+        "Per-group z-score outlier flagging: broadcast the per-type "
+        "moments (one tiny aggregate) back onto the stream and keep "
+        "|z| >= 2.5. At 100 TB the stats side is a handful of rows, so "
+        "the enrich join is a broadcast — the fact table never shuffles."
+    ),
+)
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )

@@ -136,3 +136,31 @@ def test_count_min_sketch_never_undercounts(spark, sf_dir):
     for key, n in exact.items():
         est = sketch.estimateCount(key)
         assert n <= est <= n + 0.001 * total + 1, (key, n, est)
+
+
+def test_sample_stratified_bounds(spark, sf_dir):
+    from parquet_exporter_spark.queries.sampling import STRATA_FRACTIONS
+    from parquet_exporter_spark.tables import read_table
+
+    totals = {
+        r["source"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    sampled = REGISTRY["sample_stratified"].fn(spark, sf_dir)
+    got = {r["source"]: r["n"] for r in sampled.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # only recipe strata survive, each within +/-60% relative of its fraction
+    assert set(got) <= set(STRATA_FRACTIONS)
+    for src, frac in STRATA_FRACTIONS.items():
+        if src not in totals:
+            continue
+        expect = totals[src] * frac
+        assert 0.4 * expect <= got.get(src, 0) <= 1.6 * expect, (src, expect, got.get(src))
+    # deterministic under the fixed seed
+    again = REGISTRY["sample_stratified"].fn(spark, sf_dir)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
