@@ -10,7 +10,7 @@ of input scale; AQE coalesces the post-shuffle partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.queries._util import rmoney, rratio
@@ -402,3 +402,40 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cms")
     )
     return sketch.select(F.base64("cms").alias("sketch_b64"))
+
+
+@query(
+    "agg_ntile_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Equi-depth (decile) histogram via ntile with a deterministic "
+        "tiebreak — the oracle-checkable exact form. The global ORDER BY "
+        "serializes one sort task, so at 100 TB the same statistic comes "
+        "from approx_percentile cut points broadcast onto the scan; this "
+        "exact variant is the correctness baseline for that path."
+    ),
+)
+def agg_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -364,3 +364,41 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_string"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_na_handling",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(oc.spend, -1.0), 2) AS spend_filled,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'CONSTRUCTION'
+                ELSE c.c_mktsegment END AS segment
+    FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    """,
+    doc=(
+        "DataFrameNaFunctions surface: na.fill for the nulls an outer "
+        "join introduces (customers with no orders) and na.replace for "
+        "value recoding — the imperative twins of COALESCE and CASE."
+    ),
+)
+def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("spend")
+    )
+    joined = cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+    filled = joined.na.fill({"n_orders": 0, "spend": -1.0}).na.replace(
+        {"BUILDING": "CONSTRUCTION"}, subset=["c_mktsegment"]
+    )
+    return filled.select(
+        "c_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("spend"), 2).alias("spend_filled"),
+        F.col("c_mktsegment").alias("segment"),
+    )

@@ -328,3 +328,60 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "join_hint_merge",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS volume
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Join strategy hint: force sort-merge on a join the planner would "
+        "broadcast (supplier is tiny). Same result, different physical "
+        "plan — asserted in tests/test_plans.py. The hint surface is how "
+        "a user overrides the planner when a 'small' dim is small only "
+        "in the sample."
+    ),
+)
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = read_table(spark, sf_dir, "supplier").hint("merge")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+    )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_quantity), 2) AS qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Join strategy hint: force shuffled-hash (build a hash table per "
+        "partition, no sort) — the right call when one side is much "
+        "smaller per key but too big to broadcast. Plan asserted in "
+        "tests/test_plans.py."
+    ),
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").hint("shuffle_hash")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )

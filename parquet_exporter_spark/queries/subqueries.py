@@ -164,3 +164,28 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@query(
+    "sql_distribute_by",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+    doc=(
+        "DISTRIBUTE BY / SORT BY surface: explicit hash repartitioning on "
+        "l_suppkey with a within-partition sort — the SQL form of "
+        "repartition + sortWithinPartitions, used to lay data out for a "
+        "downstream co-located consumer. Values are distribution-"
+        "independent, so the oracle is the plain SELECT."
+    ),
+)
+def sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity >= 30
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey
+        """
+    )

@@ -50,3 +50,30 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 0,
+    compression: str = "snappy",
+) -> None:
+    """Small-file compaction: rewrite a fragmented dataset into
+    `target_files` parquet files, optionally sorted within each file so
+    parquet row-group min/max stats prune reads on `sort_cols`.
+
+    The small-file problem is THE operational failure mode of streaming /
+    incremental ingest at scale: thousands of KB-sized files turn a scan
+    into a metadata storm. Compaction is one round-robin repartition
+    (no key skew by construction) plus an optional in-partition sort;
+    `maxRecordsPerFile` caps the opposite failure (one giant file).
+    """
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -206,3 +206,41 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_outlier_stats_join_is_broadcast(spark, sf_dir):
+    df = q("outlier_zscore", spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_width_bucket_histogram_has_map_side_combine(spark, sf_dir):
+    df = q("agg_width_bucket_histogram", spark, sf_dir)
+    assert has_partial_aggregation(df)
+
+
+def test_tokens_budget_single_shuffle(spark, sf_dir):
+    # one hash exchange on `source` for the window; the cut is executor-side
+    df = q("sample_tokens_budget", spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_l2_normalize_is_narrow(spark, sf_dir):
+    df = q("emb_l2_normalize", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_join_hint_merge_forces_sort_merge(spark, sf_dir):
+    df = q("join_hint_merge", spark, sf_dir)
+    assert "SortMergeJoin" in physical_plan(df)
+    assert count_broadcast_joins(df) == 0
+
+
+def test_join_hint_shuffle_hash_forces_hash(spark, sf_dir):
+    df = q("join_hint_shuffle_hash", spark, sf_dir)
+    assert "ShuffledHashJoin" in physical_plan(df)
+    assert count_broadcast_joins(df) == 0
+
+
+def test_distribute_by_adds_hash_exchange(spark, sf_dir):
+    df = q("sql_distribute_by", spark, sf_dir)
+    assert "Exchange hashpartitioning(l_suppkey" in physical_plan(df)

@@ -276,3 +276,24 @@ def test_json_scan_corrupt_record_handling(spark, tmp_path):
         .json(str(p))
     )
     assert {r.climb_id for r in dropped.collect()} == {"ok1", "ok2"}
+
+
+def test_compaction_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    from parquet_exporter_spark.sinks.writers import write_compacted
+    from parquet_exporter_spark.tables import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)  # simulate streaming small files
+    n_frag = len([p for p in (tmp_path / "fragmented").glob("part-*")])
+    assert n_frag >= 32
+
+    compacted = str(tmp_path / "compacted")
+    write_compacted(
+        spark.read.parquet(frag), compacted, target_files=4, sort_cols=["l_shipdate"]
+    )
+    parts = [p for p in (tmp_path / "compacted").glob("part-*.parquet")]
+    assert len(parts) == 4
+    assert spark.read.parquet(compacted).count() == li.count()
