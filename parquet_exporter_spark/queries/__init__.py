@@ -6,6 +6,7 @@ Importing this package registers every query into
 
 from parquet_exporter_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     extras,
     functions,
     graph,

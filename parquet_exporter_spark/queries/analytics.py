@@ -1,0 +1,117 @@
+"""Product-analytics query shapes over the events table: funnels and
+cohort retention — the standard sessionized-event workloads an analytics
+engine is judged on (the reference has no event surface; SURVEY.md
+section 2.2 extension).
+
+Scale notes: both queries reduce the fact table to per-user aggregates
+first (one shuffle on user_id, map-side partial min/distinct), so every
+later join touches at most |users| rows — at 100 TB of events the
+user dimension is what shuffles, never the raw stream. The funnel's
+final counts are three 1-row aggregates cross-joined driver-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+
+@query(
+    "funnel_three_step",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+    doc=(
+        "Ordered three-step funnel (view -> click -> purchase): each stage "
+        "keeps users whose stage event happens strictly AFTER their "
+        "previous stage's first event — order matters, not mere "
+        "co-occurrence. Stages are per-user min-timestamp aggregates, so "
+        "each step joins user-cardinality tables."
+    ),
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(stage: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c.select("user_id", "t_click"), "t_click", "t_purchase")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM first f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Weekly cohort retention: users grouped by first-activity week, "
+        "counted distinct in each later week. Both inputs are per-user "
+        "reductions (first week, distinct active weeks), so the retention "
+        "join is users x ~weeks rows — the raw event stream shuffles "
+        "exactly once. Week starts are Monday-truncated in both engines; "
+        "the offset divides an exact multiple of 7 days."
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

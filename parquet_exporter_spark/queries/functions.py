@@ -402,3 +402,43 @@ def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("spend"), 2).alias("spend_filled"),
         F.col("c_mktsegment").alias("segment"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    WITH qs AS (
+        SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           CAST(len(arr) AS INT) AS n_items,
+           list_sum(list_transform(arr, x -> x * 2)) AS doubled_sum,
+           CAST(len(list_filter(arr, x -> x >= 30)) AS INT) AS n_heavy,
+           len(list_filter(arr, x -> x = 50)) > 0 AS has_50,
+           len(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_pos
+    FROM qs
+    """,
+    doc=(
+        "Higher-order array functions — transform / filter / aggregate / "
+        "exists / forall — over per-order quantity arrays (sorted for a "
+        "deterministic fold order; quantities are integer-valued doubles, "
+        "so the sequential sums are exact on both engines). These lambdas "
+        "run as JVM expressions inside codegen, not UDFs."
+    ),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("arr")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("arr").alias("n_items"),
+        F.aggregate(
+            F.transform("arr", lambda x: x * 2), F.lit(0.0), lambda a, x: a + x
+        ).alias("doubled_sum"),
+        F.size(F.filter("arr", lambda x: x >= 30)).alias("n_heavy"),
+        F.exists("arr", lambda x: x == 50).alias("has_50"),
+        F.forall("arr", lambda x: x > 0).alias("all_pos"),
+    )

@@ -109,3 +109,70 @@ def udtf_split_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_orders_in, LATERAL split_priority(o_orderpriority) s
         """
     )
+
+
+@query(
+    "udf_cogrouped_pandas",
+    oracle=None,  # Arrow cogroup is engine-private; value-checked against
+    # the DataFrame twin (broadcast-join + groupBy) in tests/test_operators.py
+    doc=(
+        "Co-grouped pandas UDF: customer and orders both shuffle on the "
+        "customer key, then each key's two groups arrive as a pandas "
+        "DataFrame pair — the escape hatch for per-key merge logic "
+        "(asof/interpolation) the relational operators can't express. "
+        "Arrow-batched; one shuffle per side, same as a join."
+    ),
+)
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(key, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:  # orders whose customer is outside the dim: drop
+            return pd.DataFrame(
+                {"c_custkey": [], "c_acctbal": [], "total_spend": []}
+            )
+        total = float(odf["o_totalprice"].sum()) if len(odf) else 0.0
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "c_acctbal": [float(cdf["c_acctbal"].iloc[0])],
+                "total_spend": [round(total, 2)],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(merge, "c_custkey bigint, c_acctbal double, total_spend double")
+    )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle=None,  # value-checked against F.octet_length in tests/test_operators.py
+    doc=(
+        "mapInArrow: per-batch transform at the pyarrow RecordBatch level "
+        "— zero pandas conversion overhead, the leanest Python escape "
+        "hatch (the multimodal codec boundary in operators/multimodal.py "
+        "is the mapInPandas sibling). Computes UTF-8 byte lengths with "
+        "Arrow compute kernels; narrow, no shuffle."
+    ),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def byte_lengths(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.binary_length(pc.cast(b.column(1), pa.binary())),
+                ],
+                names=["doc_id", "n_bytes"],
+            )
+
+    return docs.mapInArrow(byte_lengths, "doc_id bigint, n_bytes int")

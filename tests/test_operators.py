@@ -164,3 +164,42 @@ def test_sample_stratified_bounds(spark, sf_dir):
     assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_cogrouped_pandas_matches_join_twin(spark, sf_dir):
+    got = {
+        r["c_custkey"]: (r["c_acctbal"], r["total_spend"])
+        for r in REGISTRY["udf_cogrouped_pandas"].fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    twin = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"))
+    )
+    want = {r["c_custkey"]: (r["c_acctbal"], r["spend"]) for r in twin.collect()}
+    assert set(got) == set(want)
+    for k, (bal, spend) in want.items():
+        assert got[k][0] == bal
+        # pandas sums per group sequentially, Spark partial-aggregates:
+        # identical up to float addition order, compare with money tolerance
+        assert abs(got[k][1] - spend) <= 0.011, (k, got[k][1], spend)
+
+
+def test_map_in_arrow_matches_octet_length(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r["n_bytes"]
+        for r in REGISTRY["udf_map_in_arrow"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length("text").alias("n"))
+        .collect()
+    }
+    assert got == want

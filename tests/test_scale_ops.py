@@ -121,7 +121,7 @@ def test_stateful_running_stats(spark, tmp_path):
     # NB: processAllAvailable() never returns for this operator — with
     # ProcessingTimeTimeout the engine keeps scheduling micro-batches to
     # evaluate state timeouts, so the stream is never "idle". Poll the sink.
-    def wait_for(pred, deadline_s=60):
+    def wait_for(pred, deadline_s=180):  # generous: box load can starve micro-batches
         import time
 
         t0 = time.time()

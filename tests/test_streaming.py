@@ -245,3 +245,24 @@ def test_stream_static_join(spark, sf_dir, events_dir):
         assert got.segs >= 1
     finally:
         q.stop()
+
+
+def test_available_now_trigger_drains_and_stops(spark, events_dir):
+    """Trigger.AvailableNow: process everything currently in the source in
+    bounded micro-batches, then stop on its own — the incremental-batch
+    pattern (cron-driven catch-up jobs) as opposed to always-on streams."""
+    stream = tumbling_counts(read_stream(spark, events_dir, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("availnow")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # stopped itself after draining
+    got = spark.table("availnow")
+    expected = tumbling_counts(
+        spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
