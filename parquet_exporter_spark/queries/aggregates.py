@@ -197,19 +197,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
     doc=(
         "collect_set, sort-normalized on both sides (SURVEY section 5 trap: "
-        "collection order is nondeterministic)."
+        "collection order is nondeterministic). Serialized to a scalar "
+        "string because the driver's value-hash canonicalizer requires "
+        "hashable (non-list) cells."
     ),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
     )
 
 

@@ -131,8 +131,13 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    # Unpacked to scalar columns: the driver canonicalizes even rows-only
+    # outputs and cannot hash a raw array cell.
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        F.round(pcts.getItem(0), 2).alias("p50"),
+        F.round(pcts.getItem(1), 2).alias("p90"),
+        F.round(pcts.getItem(2), 2).alias("p99"),
     )
 
 

@@ -136,7 +136,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            string_split(text, ' ')[1] AS first_token,
            string_split(text, ' ')[-1] AS last_token,
-           list_sort(list_distinct(string_split(text, ' ')[1:5])) AS head_vocab,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')[1:5])), ',')
+               AS head_vocab,
            CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN)
                AS mentions_spark,
            array_to_string(string_split(text, ' ')[1:3], '_') AS bigram_key
@@ -155,7 +156,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
-        F.sort_array(F.array_distinct(F.slice(toks, 1, 5))).alias("head_vocab"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(toks, 1, 5))), ",").alias(
+            "head_vocab"
+        ),
         F.array_contains(toks, "spark").alias("mentions_spark"),
         F.array_join(F.slice(toks, 1, 3), "_").alias("bigram_key"),
     )
@@ -165,15 +168,21 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT n_nationkey,
-           map_keys(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})
-               AS mkeys,
-           map_values(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})
-               AS mvals,
+           array_to_string(
+               map_keys(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}),
+               ',') AS mkeys,
+           array_to_string(
+               map_values(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}),
+               ',') AS mvals,
            map_extract(map {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)},
                        'nation')[1] AS nation_via_map
     FROM nation
     """,
-    doc="Map functions: construction, map_keys/map_values, key lookup.",
+    doc=(
+        "Map functions: construction, map_keys/map_values, key lookup. "
+        "Key/value lists serialized to scalar strings (construction order is "
+        "deterministic on both engines) so the driver canonicalizer can hash them."
+    ),
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
@@ -182,8 +191,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nation.select(
         "n_nationkey",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
         F.element_at(m, "nation").alias("nation_via_map"),
     )
 

@@ -550,17 +550,22 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id,
            round(sqrt({S.sql_dot("embedding", "embedding")}), 6) AS l2_norm,
-           list_transform(CAST(embedding AS DOUBLE[]),
-                          x -> round(x / sqrt({S.sql_dot("embedding", "embedding")}), 6))
-               AS unit_vec
+           array_to_string(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(1000000 * x /
+                                        sqrt({S.sql_dot("embedding", "embedding")}))
+                                        AS BIGINT)),
+               ',') AS unit_vec
     FROM embeddings
     """,
     doc=(
         "L2 normalization of the embedding column (the standard prep "
         "before cosine ANN: normalized vectors reduce cosine to a dot "
         "product). Pure per-row lambda — narrow, no shuffle; double-"
-        "precision sequential norm on both engines, elements rounded to "
-        "6 places for the cross-engine hash."
+        "precision sequential norm on both engines. The unit vector is "
+        "serialized as comma-joined 1e6-scaled integers: integer "
+        "formatting is engine-stable and the driver canonicalizer "
+        "requires scalar (hashable) cells."
     ),
 )
 def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +574,11 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(nrm, 6).alias("l2_norm"),
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double") / nrm, 6)
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(F.lit(1000000) * x.cast("double") / nrm).cast("bigint"),
+            ),
+            ",",
         ).alias("unit_vec"),
     )

@@ -301,9 +301,10 @@ def quantize_int8(e) -> "F.Column":
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2_norm,
            round(list_max(list_transform(e, x -> abs(x))), 6) AS max_abs,
-           list_transform(e, x -> CAST(round(
-               127.0 * x / list_max(list_transform(e, y -> abs(y)))) AS INTEGER))
-               AS q_int8
+           array_to_string(
+               list_transform(e, x -> CAST(round(
+                   127.0 * x / list_max(list_transform(e, y -> abs(y)))) AS INTEGER)),
+               ',') AS q_int8
     FROM d
     """,
     doc=(
@@ -311,7 +312,9 @@ def quantize_int8(e) -> "F.Column":
         "for ANN at scale): scale by 127/max|x| per vector and round. "
         "Per-row lambda expressions only — no shuffle, and float->double "
         "widening plus sequential list folds make both engines' doubles "
-        "bit-identical before the shared round-half-away-from-zero."
+        "bit-identical before the shared round-half-away-from-zero. The "
+        "int8 vector is comma-joined to a scalar string for the driver "
+        "canonicalizer."
     ),
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +326,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.round(max_abs, 6).alias("max_abs"),
-        quantize_int8(e).alias("q_int8"),
+        F.array_join(quantize_int8(e), ",").alias("q_int8"),
     )
 
 

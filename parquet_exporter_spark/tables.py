@@ -16,7 +16,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructType
 
 TABLES = (
     "region",
@@ -63,10 +63,12 @@ def _pin_session(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as long (legacy nanosAsLong) and truncate to
-    microseconds — the same truncation DuckDB applies when loading NANOS into
-    its microsecond TIMESTAMP, so oracle comparisons line up exactly.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    rejects — read as long via legacy nanosAsLong, then truncate to micros,
+    matching DuckDB's truncation) and plain TIMESTAMP(MICROS) (pass
+    through). Normalization is conditional on the type actually read so
+    both encodings produce identical microsecond timestamps.
     """
     _pin_session(spark)
     path = table_path(sf_dir, name)
@@ -76,7 +78,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw = reader.parquet(path)
     if cached is None:
         _schema_cache[key] = raw.schema
-    if name == "events":
+    if name == "events" and isinstance(raw.schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
 

@@ -57,10 +57,34 @@ def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
     return rows
 
 
+def complex_output_columns(df) -> list[str]:
+    """Columns the driver's canonicalizer cannot hash (raw array/map/struct).
+
+    The driver does a pandas ``sort_values`` over the raw frame; list/dict
+    cells raise ``TypeError: unhashable type``. Queries must serialize
+    complex outputs to scalars (array_join / to_json) on BOTH sides.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(spark, name: str, sf_dir: str, oracle: str, fn) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     problems: list[str] = []
-    sdf = fn(spark, sf_dir).toPandas()
+    sparkdf = fn(spark, sf_dir)
+    bad_cols = complex_output_columns(sparkdf)
+    if bad_cols:
+        problems.append(
+            f"{name}: raw complex-typed output columns {bad_cols} would crash "
+            "the driver canonicalizer; serialize via array_join/to_json"
+        )
+        return problems
+    sdf = sparkdf.toPandas()
     con = duckdb_connection(sf_dir)
     try:
         odf = con.sql(oracle).df()
