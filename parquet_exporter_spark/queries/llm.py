@@ -80,23 +80,50 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
           / len(list_distinct(list_concat(a.s, b.s))) >= 0.12
     """,
     doc=(
-        "Exact n-gram (5-char shingle) Jaccard near-dup pairs, candidate-"
-        "bounded by (lang, source) blocking — the blocking key is what "
-        "keeps this from being an O(n^2) cross join at scale."
+        "Exact n-gram (5-char shingle) Jaccard near-dup pairs. Candidate "
+        "generation is bounded by (lang, source, size-bucket) EQUI-join "
+        "keys, not a bare block cross-product: J(A,B) >= t implies "
+        "min(|A|,|B|)/max(|A|,|B|) >= t, so shingle-set sizes bucketed by "
+        "log base 1/t can differ by at most one bucket — probing "
+        "{b-1, b, b+1} is LOSSLESS pruning (identical results to the full "
+        "blocked join the oracle runs) while keeping every pair of "
+        "size-incompatible docs out of the join entirely. At 100 TB the "
+        "residual within-bucket quadratic term is the exact-verify cost "
+        "floor; for candidate *generation* at lower cost use the MinHash "
+        "LSH banding path (functions/dedup.py) and feed survivors here."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 0.12
+    import math
+
+    log_inv_t = math.log(1.0 / threshold)
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "lang", "source", D.char_shingles(F.col("text")).alias("s"))
+    sh = docs.select(
+        "doc_id", "lang", "source", D.char_shingles(F.col("text")).alias("s")
+    ).withColumn("bucket", F.floor(F.log(F.size("s").cast("double")) / F.lit(log_inv_t)))
+    # Probe side explodes to the three admissible buckets; build side keeps
+    # its own bucket. Each qualifying pair matches on exactly one probe value.
     a = sh.select(
-        F.col("doc_id").alias("id_a"), "lang", "source", F.col("s").alias("s_a")
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "source",
+        F.col("s").alias("s_a"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe_bucket"),
     )
     b = sh.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("s").alias("s_b"),
+        F.col("bucket").alias("bucket_b"),
     )
+    size_ratio_ok = (
+        F.least(F.size("s_a"), F.size("s_b")).cast("double")
+        / F.greatest(F.size("s_a"), F.size("s_b"))
+    ) >= threshold
     jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
         F.array_union("s_a", "s_b")
     )
@@ -105,10 +132,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("lang") == F.col("lang_b"))
             & (F.col("source") == F.col("source_b"))
+            & (F.col("probe_bucket") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
+        # cheap exact size-ratio cut before the wide array intersect
+        .filter(size_ratio_ok)
         .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.12)
+        .filter(F.col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
 
@@ -382,15 +412,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()  # scalar dimension, computed once on the driver
+    # N folded into the DAG as a broadcast 1-row aggregate (the count scan
+    # reads only parquet footers) so the query is ONE job — a driver-side
+    # docs.count() would be a separate action + scheduling round-trip.
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     # tf already has one row per (doc, term), so document frequency is a
     # count over tf's term partitions: one shuffle of the small tf table
     # instead of a second tokenize+explode pass over the corpus
     df_w = Window.partitionBy("term")
-    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
+    scored = tf.crossJoin(n_docs).withColumn("df", F.count(F.lit(1)).over(df_w)).select(
         "doc_id",
         "term",
-        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        F.round(
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

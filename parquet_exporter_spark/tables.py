@@ -16,7 +16,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -80,6 +80,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _schema_cache[key] = raw.schema
     if name == "events" and isinstance(raw.schema["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+        # MICROS testdata reads as TIMESTAMP_NTZ; normalize to instant
+        # TimestampType so both encodings are type-equivalent downstream
+        # (e.g. ts::long casts, which Spark forbids on NTZ). Session TZ is
+        # pinned UTC above, so the instant values are unchanged.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -91,6 +91,19 @@ def compare(spark, name: str, sf_dir: str, oracle: str, fn) -> list[str]:
     finally:
         con.close()
 
+    bad_oracle_cols = [
+        c
+        for c in odf.columns
+        if len(odf) and isinstance(odf[c].iloc[0], (list, tuple, dict, np.ndarray))
+    ]
+    if bad_oracle_cols:
+        problems.append(
+            f"{name}: oracle output columns {bad_oracle_cols} hold raw list/map "
+            "cells that would crash the driver canonicalizer; serialize via "
+            "array_join/to_json in the oracle SQL too"
+        )
+        return problems
+
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
