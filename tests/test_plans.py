@@ -26,7 +26,10 @@ _ensure_loaded()
 
 
 def q(name, spark, sf_dir):
-    return REGISTRY[name].fn(spark, sf_dir)
+    # raw_fn: plan assertions need the pre-execution plan. The prepared-plan
+    # cache (registry.py) may return a DataFrame another test already
+    # executed, whose executedPlan string is the AQE-final form.
+    return REGISTRY[name].raw_fn(spark, sf_dir)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -244,3 +247,17 @@ def test_join_hint_shuffle_hash_forces_hash(spark, sf_dir):
 def test_distribute_by_adds_hash_exchange(spark, sf_dir):
     df = q("sql_distribute_by", spark, sf_dir)
     assert "Exchange hashpartitioning(l_suppkey" in physical_plan(df)
+
+
+def test_ngram_jaccard_candidates_are_bucket_bounded(spark, sf_dir):
+    """Candidate generation must be an equi-join whose keys include the
+    length bucket — not a bare (lang, source) block join (which is O(n^2)
+    inside each block) and never a cartesian product."""
+    df = q("dedup_ngram_jaccard", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the hash-join keys must carry the size-bucket column
+    join_line = next(
+        line for line in plan.splitlines() if "Join" in line and "bucket" in line
+    )
+    assert "probe_bucket" in join_line, plan[:2000]

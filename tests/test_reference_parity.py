@@ -162,6 +162,31 @@ def test_geojson_feature_collection(spark, tmp_path):
     assert "latitude" not in feat["properties"]
 
 
+def test_geojson_distributed_sink(spark, tmp_path):
+    from parquet_exporter_spark.operators.climbs_reshape import reshape
+    from parquet_exporter_spark.sinks.geojson import write_feature_collection_distributed
+
+    docs = [_climb("g1"), _climb("g3"), _climb("g2", metadata=None)]
+    flat = reshape(ingest_climb_docs(spark, docs)).select(
+        "climb_id", "climb_name", "latitude", "longitude"
+    )
+    out = str(tmp_path / "geo_parts")
+    n = write_feature_collection_distributed(flat, out)
+    assert n == 2
+    header = open(os.path.join(out, "header.json")).read()
+    footer = open(os.path.join(out, "footer.json")).read()
+    lines = [
+        line
+        for p in sorted(os.listdir(os.path.join(out, "features")))
+        if p.startswith("part-")
+        for line in open(os.path.join(out, "features", p)).read().splitlines()
+        if line
+    ]
+    doc = json.loads(header + ",".join(lines) + footer)
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 2
+    assert {f["properties"]["climb_id"] for f in doc["features"]} == {"g1", "g3"}
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     docs = [_climb(f"p{i}", pathTokens=[c, "S"]) for i, c in enumerate(["USA", "USA", "Canada"])]
     from parquet_exporter_spark.operators.climbs_reshape import reshape
