@@ -24,6 +24,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     reference_parity,
     llm,
     llm2,
+    llm3,
     timeseries,
     sampling,
     streaming,

@@ -1,0 +1,203 @@
+"""Training-data pipeline operators, part 3: sequence packing, lexical
+quality signals, blocklist filtering, corpus LM scoring.
+
+These extend the LLM-pipeline family (llm.py / llm2.py) with the
+operations a pre-training corpus build runs between cleaning and
+tokenizer sharding. Everything is built-in Catalyst expressions — no
+Python UDFs — and each operator's shuffle structure is chosen for the
+100 TB posture (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+_TOK = T.sql_tokens("text")
+
+
+@query(
+    "sample_sequence_packing",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(cum - n_tokens
+                - floor((cum - n_tokens) / {SEQ_BUDGET}) * {SEQ_BUDGET} AS BIGINT)
+               AS seq_offset
+    FROM (
+        SELECT doc_id, source, len({_TOK}) AS n_tokens,
+               sum(len({_TOK})) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    """,
+    doc=(
+        "Sequence packing for training: concatenate each source block's "
+        "documents (deterministic doc_id order) into a token stream and "
+        "chunk it at the sequence budget; every doc gets (seq_id, offset). "
+        "Scale shape: packing is windowed PER SOURCE BLOCK, so the running "
+        "sum parallelizes across blocks instead of forcing a global "
+        "single-partition prefix scan — the standard two-phase global "
+        "packing is only needed when one block exceeds a worker."
+    ),
+)
+def sample_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(T.tokens(F.col("text")))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("bigint")
+    seq_id = F.floor(start / SEQ_BUDGET).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("start", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            seq_id.alias("seq_id"),
+            (F.col("start") - seq_id * SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           round(-list_sum(list_transform(
+               list_distinct(string_split(text, '')), c ->
+                   (CAST(len(list_filter(string_split(text, ''), x -> x = c))
+                         AS DOUBLE) / len(string_split(text, '')))
+                   * log2(CAST(len(list_filter(string_split(text, ''), x -> x = c))
+                               AS DOUBLE) / len(string_split(text, ''))))), 6)
+               AS char_entropy
+    FROM documents
+    """,
+    doc=(
+        "Character-level Shannon entropy per document — a cheap quality "
+        "signal (gibberish and boilerplate sit at distribution extremes). "
+        "Entirely narrow: higher-order array expressions per row, zero "
+        "shuffles, linear at any scale."
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        F.transform(probs, lambda p: p * F.log2(p)), F.lit(0.0), lambda a, x: a + x
+    )
+    return docs.select("doc_id", F.round(ent, 6).alias("char_entropy"))
+
+
+@query(
+    "text_type_token_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}), 6) AS ttr
+    FROM documents
+    """,
+    doc=(
+        "Type-token ratio (lexical diversity) per document: distinct "
+        "tokens over total tokens. Low TTR flags repetitive/spammy text. "
+        "Narrow, zero shuffles."
+    ),
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    )
+
+
+BLOCKED_SOURCES = ("src0", "src7")
+
+
+@query(
+    "filter_domain_blocklist",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE source NOT IN {BLOCKED_SOURCES!r}
+    """,
+    doc=(
+        "Corpus cleaning: drop documents from blocklisted sources/domains "
+        "via a BROADCAST LEFT ANTI join — the blocklist (thousands of "
+        "domains in practice) ships to every executor, the corpus never "
+        "shuffles. The NOT IN form the oracle runs is what Catalyst "
+        "decorrelates to the same anti join."
+    ),
+)
+def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    block = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    return docs.join(F.broadcast(block), "source", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    freq AS (
+        SELECT *, sum(tf) OVER (PARTITION BY term) AS term_freq,
+                  sum(tf) OVER () AS total_tokens
+        FROM tf
+    )
+    SELECT doc_id,
+           round(sum(tf * ln(CAST(term_freq AS DOUBLE) / total_tokens))
+                 / sum(tf), 6) AS avg_logprob
+    FROM freq GROUP BY doc_id
+    """,
+    doc=(
+        "Corpus unigram language-model score per document: average "
+        "ln p(token) under the corpus's own unigram distribution — the "
+        "cheap perplexity proxy used to rank text quality before a real "
+        "LM scores survivors. Shuffle structure mirrors tfidf: one "
+        "(doc,term) aggregation, one term-partitioned window for corpus "
+        "frequencies, one per-doc aggregation — partial aggregation "
+        "map-side at each step; the global token total rides the term "
+        "window (NOT a single-partition window over the corpus: it's "
+        "computed per term partition as a 1-row broadcast-joined "
+        "aggregate)."
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    term_freq = F.sum("tf").over(Window.partitionBy("term"))
+    # 1-row total joined via broadcast: scale-safe (no global window)
+    total = F.broadcast(tf.agg(F.sum("tf").alias("total_tokens")))
+    scored = (
+        tf.withColumn("term_freq", term_freq)
+        .crossJoin(total)
+        .withColumn(
+            "logp", F.log(F.col("term_freq").cast("double") / F.col("total_tokens"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"), 6).alias("avg_logprob")
+    )

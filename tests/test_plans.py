@@ -261,3 +261,25 @@ def test_ngram_jaccard_candidates_are_bucket_bounded(spark, sf_dir):
         line for line in plan.splitlines() if "Join" in line and "bucket" in line
     )
     assert "probe_bucket" in join_line, plan[:2000]
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark, sf_dir):
+    df = q("filter_domain_blocklist", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert count_broadcast_joins(df) >= 1
+    assert count_shuffles(df) == 0  # corpus never shuffles
+
+
+def test_entropy_and_ttr_are_narrow(spark, sf_dir):
+    assert count_shuffles(q("text_char_entropy", spark, sf_dir)) == 0
+    assert count_shuffles(q("text_type_token_ratio", spark, sf_dir)) == 0
+
+
+def test_sequence_packing_single_block_shuffle(spark, sf_dir):
+    """Packing must window per source block — exactly one hash exchange,
+    never a global single-partition prefix scan."""
+    df = q("sample_sequence_packing", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
