@@ -184,3 +184,53 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "scd2_history_from_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id, ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, event_id, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CAST(lead(valid_from) OVER w2 IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    doc=(
+        "SCD Type-2 dimension history from a change stream (CDC -> "
+        "dimension): collapse each user's event stream to its change "
+        "points, then stitch [valid_from, valid_to) intervals with "
+        "lead(); the open interval is the current row. ONE hash exchange "
+        "on user_id serves both windows (same partitioning), so history "
+        "rebuild is a single shuffle at any scale; incremental "
+        "maintenance of the same shape runs in streaming/upsert.py."
+    ),
+)
+def scd2_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "event_id", F.col("ts").alias("valid_from"))
+    )
+    # event_id tiebreak keeps lead() deterministic when two change points
+    # share a timestamp (cross-engine ordering parity)
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -41,7 +41,10 @@ def _canon_value(v) -> str:
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        try:
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        except ValueError:  # pandas NaT (null timestamp)
+            return "<null>"
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d 00:00:00.000000")
     return str(v)

@@ -283,3 +283,12 @@ def test_sequence_packing_single_block_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_scd2_single_shuffle_serves_both_windows(spark, sf_dir):
+    """lag-window and lead-window both partition on user_id: one hash
+    exchange, no second shuffle for the interval stitch."""
+    df = q("scd2_history_from_events", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
