@@ -341,3 +341,32 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = zorder_key(orders, ["o_custkey", "o_totalprice"], bits=8)
     return keyed.select("o_orderkey", F.col("_zvalue").alias("zvalue"))
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc=(
+        "ORC scan: Spark's native columnar alternative to parquet "
+        "(spark.read.orc / write_orc in sinks/writers.py). The query "
+        "round-trips the nation dimension through an ORC file and reads "
+        "it back; values are format-independent, so the oracle is the "
+        "original table — this checks the ORC reader AND writer preserve "
+        "schema and values exactly."
+    ),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from parquet_exporter_spark.sinks.writers import write_orc
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pes_orc_nation_{tag}")
+    if not os.path.isdir(path):
+        nation = read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        write_orc(nation, path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

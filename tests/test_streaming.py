@@ -266,3 +266,64 @@ def test_available_now_trigger_drains_and_stops(spark, events_dir):
         spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Stream-stream inner join with event-time interval bounds: 'click'
+    events join 'view' events of the same user within 10 minutes AFTER the
+    view. Both sides carry watermarks so the state store can evict views
+    older than the join horizon — the unbounded-state hazard a raw
+    stream-stream join would have. Verified against the equivalent batch
+    range join over the same files."""
+    views = (
+        read_stream(spark, events_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    clicks = (
+        read_stream(spark, events_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_interval_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM ss_interval_out").first().n
+        ev = spark.read.parquet(events_dir)
+        v = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        expect = v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).count()
+        assert got == expect, (got, expect)
+        assert got > 0
+    finally:
+        q.stop()
