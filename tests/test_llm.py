@@ -182,3 +182,27 @@ def test_multimodal_audio_window_energy(spark, sf_dir):
     assert {(r.doc_id, r.win_idx, r.energy) for r in wins.collect()} == {
         (r.doc_id, r.win_idx, r.energy) for r in rows
     }
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Offsets stay inside the budget; each source block's token stream is
+    contiguous: start(next) == start(prev) + n_tokens(prev)."""
+    from parquet_exporter_spark.queries.llm3 import SEQ_BUDGET
+    from parquet_exporter_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["sample_sequence_packing"]
+        .fn(spark, sf_dir)
+        .orderBy("source", "seq_id", "seq_offset", "doc_id")
+        .collect()
+    )
+    assert rows
+    by_source = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < SEQ_BUDGET, r
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        pos = 0
+        for r in rs:
+            assert r.seq_id * SEQ_BUDGET + r.seq_offset == pos, (src, r, pos)
+            pos += r.n_tokens

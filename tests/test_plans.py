@@ -292,3 +292,14 @@ def test_scd2_single_shuffle_serves_both_windows(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_unigram_logprob_no_global_window(spark, sf_dir):
+    """Corpus total must ride a broadcast 1-row aggregate, never a
+    single-partition window over the whole corpus."""
+    df = q("text_unigram_logprob", spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_partial_aggregation(df)
+    # the only SinglePartition exchange allowed is the 1-row total gather
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
