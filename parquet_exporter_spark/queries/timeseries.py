@@ -201,7 +201,8 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
+           coalesce(lead(valid_from) OVER w2,
+                    TIMESTAMP '2099-12-31 00:00:00') AS valid_to,
            CAST(lead(valid_from) OVER w2 IS NULL AS BOOLEAN) AS is_current
     FROM changes
     WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
@@ -227,10 +228,17 @@ def scd2_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_id tiebreak keeps lead() deterministic when two change points
     # share a timestamp (cross-engine ordering parity)
     w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    # Open intervals end at a far-future sentinel, not NULL — the standard
+    # SCD2 convention; range predicates stay sargable (valid_from <= t AND
+    # t < valid_to needs no NULL branch). 2099 (not 9999) keeps the value
+    # inside pandas datetime64[ns] bounds for Arrow interchange.
     return changes.select(
         "user_id",
         "event_type",
         "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.coalesce(
+            F.lead("valid_from").over(w2),
+            F.lit("2099-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
