@@ -451,3 +451,31 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("arr", lambda x: x == 50).alias("has_50"),
         F.forall("arr", lambda x: x > 0).alias("all_pos"),
     )
+
+
+@query(
+    "fn_try_safe_ops",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_num,
+           round(o_totalprice / NULLIF(o_orderkey % 5, 0), 4) AS try_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit
+    FROM orders
+    """,
+    doc=(
+        "Error-safe expression evaluation: try_cast / try_divide return "
+        "NULL instead of failing the job — at 100 TB a single malformed "
+        "row must not kill a 10k-task stage. DuckDB twin: TRY_CAST and "
+        "NULLIF-guarded division."
+    ),
+)
+def fn_try_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_num"),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 4
+        ).alias("try_div"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
+    )

@@ -215,3 +215,27 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 15 OFFSET 30
+    """,
+    doc=(
+        "Keyless pagination: ORDER BY + LIMIT/OFFSET (page 3 of size 15). "
+        "Executes as a single global top-(offset+limit) heap then a "
+        "driver-side skip — fine for UI pages; deep pagination at scale "
+        "should switch to keyset (WHERE key > last_seen ORDER BY key "
+        "LIMIT n), which this same plan shape serves."
+    ),
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(30)
+        .limit(15)
+    )

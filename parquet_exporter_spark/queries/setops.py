@@ -71,3 +71,33 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, urgent = _subsets(spark, sf_dir)
     return big.exceptAll(urgent)
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc=(
+        "Schema-evolution union: unionByName(allowMissingColumns=True) "
+        "aligns inputs BY COLUMN NAME and null-fills columns one side "
+        "lacks — how an engine unions parquet generations whose schemas "
+        "drifted. Positional UNION ALL would silently misalign here "
+        "because the two projections order columns differently."
+    ),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    old_gen = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new_gen = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )

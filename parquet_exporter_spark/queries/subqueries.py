@@ -189,3 +189,35 @@ def sql_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice >= 250000 AND o_orderpriority LIKE '1-%'
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Parameterized SQL (spark.sql named args): values bind as "
+        "literals server-side — no string interpolation, no injection "
+        "surface, and Catalyst constant-folds them like any literal, so "
+        "pushdown still reaches the scan."
+    ),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice >= :min_total AND o_orderpriority LIKE :prio
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 250000, "prio": "1-%"},
+    )
