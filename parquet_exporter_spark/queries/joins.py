@@ -385,3 +385,38 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderkey % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_a
+        FROM orders GROUP BY 1
+    ), b AS (
+        SELECT nullif(o_custkey % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_b
+        FROM orders GROUP BY 1
+    )
+    SELECT a.k AS k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+        "match each other instead of dropping out — the semantics MERGE "
+        "and dimension-key reconciliation need. Still a hash-joinable "
+        "equi-condition (Catalyst plans <=> as an equi-join key, not a "
+        "filter), so it shuffles/broadcasts like any equi join."
+    ),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    b = orders.groupBy(
+        F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k_b")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k_b))
+        .select(a.k.alias("k"), "n_a", "n_b")
+    )

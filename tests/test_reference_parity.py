@@ -322,3 +322,17 @@ def test_compaction_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     parts = [p for p in (tmp_path / "compacted").glob("part-*.parquet")]
     assert len(parts) == 4
     assert spark.read.parquet(compacted).count() == li.count()
+
+
+def test_parquet_merge_schema_on_read(spark, tmp_path):
+    """Schema evolution across parquet generations: mergeSchema=true reads
+    the union schema; columns absent in a generation surface as NULLs."""
+    gen1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    gen2 = spark.createDataFrame([(2, "b", 9.5)], "id int, name string, score double")
+    out = str(tmp_path / "evolved")
+    gen1.write.parquet(os.path.join(out, "g=1"))
+    gen2.write.parquet(os.path.join(out, "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert {f.name for f in merged.schema.fields} >= {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
