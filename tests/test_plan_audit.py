@@ -1,0 +1,63 @@
+"""Fleet-wide physical-plan audit: every registered query is scanned for
+scale red flags. Anything flagged must appear in the allowlist below WITH
+its justification — new entries require a documented reason, so a scale
+regression (an accidental cartesian, an unbounded nested-loop join, a
+driver-bottleneck gather) fails CI instead of shipping.
+"""
+
+from __future__ import annotations
+
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+# name -> (allowed flags, why it's fine at scale)
+ALLOWED: dict[str, tuple[set[str], str]] = {
+    "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "join_theta": ({"bnlj", "cartesian"}, "non-equi theta join over bounded inputs"),
+    "join_range": ({"bnlj"}, "3-row band table broadcast; O(n*k) per-row nested loop, no shuffle"),
+    "q11_important_stock": ({"bnlj"}, "1-row fraction-of-total scalar broadcast"),
+    "q22_global_sales_opportunity": ({"bnlj"}, "1-row avg-balance scalar broadcast"),
+    "sql_scalar_subquery": (
+        {"single_partition_x2"},
+        "two scalar subqueries -> two 1-row gathers; both broadcast back",
+    ),
+    "sql_cte_multi_ref": ({"bnlj"}, "1-row aggregate CTE re-joined as a scalar"),
+    "similarity_topk_bruteforce": ({"bnlj"}, "query set broadcast against corpus — the exact baseline"),
+    "dedup_embedding_cosine": ({"bnlj"}, "blocked pair generation over a bounded block"),
+    "similarity_ivf_topk": ({"bnlj"}, "k centroid rows broadcast for cell assignment"),
+    "text_unigram_logprob": ({"bnlj"}, "1-row corpus-total broadcast (plan-asserted elsewhere)"),
+    "funnel_three_step": (
+        {"bnlj", "single_partition_x3"},
+        "three 1-row stage counts gathered then cross-joined into the "
+        "single summary row; the per-user stage joins underneath shuffle "
+        "on user_id normally",
+    ),
+}
+
+
+def _flags(plan: str) -> set[str]:
+    out = set()
+    if "CartesianProduct" in plan:
+        out.add("cartesian")
+    n_single = plan.count("Exchange SinglePartition")
+    if n_single > 1:
+        out.add(f"single_partition_x{n_single}")
+    if "BroadcastNestedLoopJoin" in plan:
+        out.add("bnlj")
+    return out
+
+
+def test_no_unapproved_scale_red_flags(spark, sf_dir):
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        df = qd.raw_fn(spark, sf_dir)
+        flags = _flags(df._jdf.queryExecution().executedPlan().toString())
+        allowed = ALLOWED.get(name, (set(), ""))[0]
+        extra = flags - allowed
+        if extra:
+            offenders[name] = sorted(extra)
+    assert not offenders, (
+        "scale red flags outside the allowlist (add with a justification "
+        f"only if genuinely bounded): {offenders}"
+    )
