@@ -25,6 +25,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm,
     llm2,
     llm3,
+    llm4,
+    sqlsurface,
     timeseries,
     sampling,
     streaming,

@@ -186,3 +186,53 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("user_id", "session_no").agg(
         F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "Stream-stream interval join (batch twin): purchases attributed to "
+        "a same-user click within the preceding 30 minutes. The streaming "
+        "form (two readStreams + watermarks bounding state retention to "
+        "the interval width) runs in tests/test_streaming.py::"
+        "test_stream_stream_interval_join; this registered twin is the "
+        "oracle-checked semantics. Plan: ONE equi-shuffle on user_id with "
+        "the time bound as a post-join residual — never a cartesian; at "
+        "100 TB state/skew is bounded per user-partition."
+    ),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("lag_seconds"),
+    )

@@ -242,3 +242,109 @@ def scd2_history_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 6) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.user_id, s.d, daily.dv
+        FROM spine s LEFT JOIN daily USING (user_id, d)
+    ),
+    ctx AS (
+        SELECT user_id, d, dv,
+               last_value(dv IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN dv IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_prev AS prev_d,
+               first_value(dv IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN dv IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER w_next AS next_d
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, d,
+           round(CASE
+               WHEN dv IS NOT NULL THEN dv
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   prev_v + (next_v - prev_v)
+                   * CAST(date_diff('day', prev_d, d) AS DOUBLE)
+                   / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
+               ELSE coalesce(prev_v, next_v)
+           END, 6) AS value_interp,
+           dv IS NOT NULL AS is_observed
+    FROM ctx
+    """,
+    doc=(
+        "Daily spine with LINEAR interpolation between observed points "
+        "(edges fall back to nearest-observed), complementing the LOCF "
+        "variant. Same scale shape as the LOCF query: the spine and both "
+        "context windows partition on user_id, so history rebuild is one "
+        "shuffle and each user's window evaluates independently — no "
+        "global sort at any scale. Interpolation arithmetic runs on "
+        "both-side-rounded daily values, so the IEEE ops are bit-equal "
+        "across engines before the final rounding."
+    ),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        rratio(F.sum("value")).alias("dv")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("dv").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "user_id",
+        "d",
+        "dv",
+        F.last("dv", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("dv", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("dv").isNotNull(), F.col("dv"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * F.datediff("d", "prev_d").cast("double")
+            / F.datediff("next_d", "prev_d").cast("double"),
+        )
+        .otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return ctx.select(
+        "user_id",
+        "d",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("dv").isNotNull().alias("is_observed"),
+    )
