@@ -18,6 +18,7 @@ FIXTURES = os.path.join(
 )
 CSV_PATH = os.path.join(FIXTURES, "climbs_flat.csv")
 JSONL_PATH = os.path.join(FIXTURES, "climbs_flat.jsonl")
+XML_PATH = os.path.join(FIXTURES, "climbs_flat.xml")
 
 FLAT_SCHEMA = (
     "climb_id string, climb_name string, length_m int, yds string, latitude double"
@@ -62,6 +63,40 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.schema(FLAT_SCHEMA).json(JSONL_PATH)
     return df.filter(F.col("latitude") > 0)
+
+
+@query(
+    "scan_xml",
+    oracle=f"""
+    SELECT climb_id, coalesce(climb_name, '') AS climb_name,
+           CAST(length_m AS INTEGER) AS length_m,
+           coalesce(yds, '') AS yds, latitude
+    FROM read_csv('{CSV_PATH}', header = true)
+    WHERE latitude > 30
+    """,
+    doc=(
+        "XML scan via the Spark 4 native XML data source (rowTag mode) "
+        "with explicit schema. DuckDB has no XML reader, so the oracle "
+        "reads the byte-equivalent CSV twin of the same fixture "
+        "(fixtures/climbs_flat.xml is generated from climbs_flat.csv by "
+        "tools/gen_fixtures.py). Empty XML elements and empty CSV fields "
+        "both normalize through coalesce."
+    ),
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        spark.read.schema(FLAT_SCHEMA)
+        .format("xml")
+        .option("rowTag", "climb")
+        .load(XML_PATH)
+    )
+    return df.filter(F.col("latitude") > 30).select(
+        "climb_id",
+        F.coalesce("climb_name", F.lit("")).alias("climb_name"),
+        "length_m",
+        F.coalesce("yds", F.lit("")).alias("yds"),
+        "latitude",
+    )
 
 
 @query(

@@ -236,3 +236,40 @@ def window_named_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing2_excl_self"
         ),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH bal AS (
+        SELECT c_nationkey,
+               CAST(round(100 * round(sum(c_acctbal), 2)) AS BIGINT) AS bal_cents
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           round(bal_cents / 100.0, 2) AS nation_balance,
+           round(CAST(bal_cents AS DOUBLE) / sum(bal_cents) OVER (), 6) AS share
+    FROM bal
+    """,
+    doc=(
+        "RATIO_TO_REPORT / percent-of-total: each nation's share of total "
+        "customer balance via an unbounded window over the aggregated "
+        "rows. The per-group sums are rounded to cents and summed as "
+        "BIGINT so the grand total is order-independent across engines "
+        "(a raw double grand total would depend on summation order). "
+        "Window input is aggregate-sized (25 rows), not fact-sized."
+    ),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    bal = cust.groupBy("c_nationkey").agg(
+        F.round(F.round(F.sum("c_acctbal"), 2) * 100).cast("bigint").alias("bal_cents")
+    )
+    w = Window.partitionBy()
+    return bal.select(
+        "c_nationkey",
+        F.round(F.col("bal_cents") / 100.0, 2).alias("nation_balance"),
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w), 6
+        ).alias("share"),
+    )

@@ -236,3 +236,45 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
         ).alias("lag_seconds"),
     )
+
+
+@query(
+    "cdc_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ts AS last_ts, round(value, 6) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "CDC log compaction / latest-record-per-key snapshot: collapse an "
+        "append-only change log to the newest row per (user_id, "
+        "event_type), deterministic tiebreak on event_id. One shuffle on "
+        "the key; Catalyst plans the rn=1 filter as WindowGroupLimit "
+        "(per-partition top-1 pushed below the shuffle), so state never "
+        "exceeds one row per key per partition — the upsert-sink shape "
+        "(streaming/upsert.py) in batch form."
+    ),
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

@@ -27,6 +27,19 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     "dedup_embedding_cosine": ({"bnlj"}, "blocked pair generation over a bounded block"),
     "similarity_ivf_topk": ({"bnlj"}, "k centroid rows broadcast for cell assignment"),
     "text_unigram_logprob": ({"bnlj"}, "1-row corpus-total broadcast (plan-asserted elsewhere)"),
+    "dq_constraint_checks": (
+        {"single_partition_x4"},
+        "four whole-table constraint checks, each a scalar aggregate: the "
+        "single-partition exchange carries ONE partially-aggregated row "
+        "per check (map-side combine runs first), so the gather is "
+        "O(checks), not O(rows)",
+    ),
+    "profile_table_summary": (
+        {"single_partition_x3"},
+        "three per-column profile rows, each a scalar aggregate over the "
+        "column; same bounded 1-row-per-gather shape as "
+        "dq_constraint_checks",
+    ),
     "funnel_three_step": (
         {"bnlj", "single_partition_x3"},
         "three 1-row stage counts gathered then cross-joined into the "

@@ -181,6 +181,31 @@ def write_flat_forms() -> None:
             )
 
 
+def write_xml_form() -> None:
+    """XML form of the same flat climbs projection, for the native Spark 4
+    XML data source scan operator (deterministic, derived from
+    climbs_flat.csv so the DuckDB oracle can read the CSV twin)."""
+    import csv
+    from xml.sax.saxutils import escape
+
+    with open(os.path.join(OUT_DIR, "climbs_flat.csv"), newline="") as f:
+        rows = list(csv.DictReader(f))
+    with open(os.path.join(OUT_DIR, "climbs_flat.xml"), "w") as f:
+        f.write("<climbs>\n")
+        for r in rows:
+            f.write(
+                "  <climb>"
+                f"<climb_id>{escape(r['climb_id'])}</climb_id>"
+                f"<climb_name>{escape(r['climb_name'])}</climb_name>"
+                f"<length_m>{r['length_m']}</length_m>"
+                f"<yds>{escape(r['yds'])}</yds>"
+                f"<latitude>{r['latitude']}</latitude>"
+                "</climb>\n"
+            )
+        f.write("</climbs>\n")
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
+    write_xml_form()
