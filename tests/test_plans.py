@@ -303,3 +303,49 @@ def test_unigram_logprob_no_global_window(spark, sf_dir):
     # the only SinglePartition exchange allowed is the 1-row total gather
     assert plan.count("Exchange SinglePartition") <= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cdc_snapshot_uses_window_group_limit(spark, sf_dir):
+    df = q("cdc_latest_snapshot", spark, sf_dir)
+    plan = physical_plan(df)
+    # rn=1 compiles to WindowGroupLimit: per-partition top-1 runs below the
+    # exchange, so state is one row per key per partition, never the log
+    assert "WindowGroupLimit" in plan, plan
+    assert count_shuffles(df) == 1
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    df = q("sample_weighted", spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert count_shuffles(df) == 0  # per-partition heaps; no global sort
+
+
+def test_gopher_filter_is_narrow_zero_shuffle(spark, sf_dir):
+    df = q("text_gopher_quality_filter", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    df2 = q("text_stopword_fraction", spark, sf_dir)
+    assert count_shuffles(df2) == 0
+
+
+def test_interval_join_is_equi_shuffle_not_cartesian(spark, sf_dir):
+    df = q("stream_interval_join", spark, sf_dir)
+    plan = physical_plan(df)
+    # user_id equality must be the join key; time bound stays a residual
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert has_pushed_filters(df)  # event_type filters reach both scans
+
+
+def test_dq_fk_check_is_broadcast_anti_join(spark, sf_dir):
+    df = q("dq_constraint_checks", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_ratio_to_report_window_input_is_aggregated(spark, sf_dir):
+    df = q("window_ratio_to_report", spark, sf_dir)
+    plan = physical_plan(df)
+    # the single-partition exchange must sit ABOVE the partial/final
+    # aggregate pair (plan text prints parents first), i.e. the
+    # unpartitioned window consumes the 25 aggregated rows, not the fact
+    assert has_partial_aggregation(df)
+    assert plan.index("Exchange SinglePartition") < plan.index("HashAggregate"), plan
