@@ -65,7 +65,7 @@ def text_stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                len({_SQL_TOK}) AS word_count,
                round(CAST(list_sum(list_transform({_SQL_TOK}, t -> len(t))) AS DOUBLE)
                      / greatest(len({_SQL_TOK}), 1), 6) AS mean_word_len,
-               round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                      / greatest(length(text), 1), 6) AS symbol_ratio,
                len(list_intersect(list_distinct({_SQL_TOK}), {T.STOPWORDS['en']!r}))
                    AS stopword_hits
@@ -100,11 +100,10 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(word_count, F.lit(1)),
         6,
     )
+    # chars remaining after stripping [a-zA-Z0-9 ] ARE the symbols
     symbol_ratio = F.round(
-        (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
-        ).cast("double")
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+        .cast("double")
         / F.greatest(F.length("text"), F.lit(1)),
         6,
     )
