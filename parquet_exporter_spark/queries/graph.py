@@ -136,3 +136,139 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     finally:
         edges.unpersist()
+
+
+_EDGE_CTES = f"""
+    toks AS (
+        SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest([array_to_string(list_slice(t, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}), ' ')
+                       for i in generate_series(0, CAST(floor(len(t) / {_CHUNK}) AS INT) - 1)])
+                   AS chunk
+        FROM toks
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+    )
+"""
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank CTE: the fixed iteration count makes
+    the iterative algorithm expressible as plain SQL, so even this
+    operator is value-checked against DuckDB rather than rows-only."""
+    ctes = [
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "n AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        "it0 AS (SELECT node, round(1.0 / n.n_nodes, 9) AS rank FROM nodes CROSS JOIN n)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""it{i} AS (
+            SELECT e.dst AS node,
+                   round((1 - {_PR_DAMPING}) / any_value(n.n_nodes)
+                         + {_PR_DAMPING} * sum(r.rank / o.deg), 9) AS rank
+            FROM edges e
+            JOIN it{i - 1} r ON e.src = r.node
+            JOIN outdeg o ON o.node = e.src
+            CROSS JOIN n
+            GROUP BY e.dst)"""
+        )
+    return (
+        f"WITH {_EDGE_CTES}, "
+        + ", ".join(ctes)
+        + f" SELECT node AS doc_id, round(rank, 6) AS rank FROM it{_PR_ITERS}"
+    )
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        f"PageRank ({_PR_ITERS} fixed iterations, d={_PR_DAMPING}) over the "
+        "shared-chunk document graph — centrality for duplicate-cluster "
+        "auditing (which boilerplate hub connects everything). Spark side "
+        "is the iterative join+agg loop with localCheckpoint lineage "
+        "truncation (the GraphX formulation on DataFrames); each "
+        "iteration is ONE shuffle on dst. Ranks are snapped to 1e-9 per "
+        "iteration on BOTH engines so cross-engine float summation order "
+        "cannot accumulate drift — that is what makes an iterative "
+        "algorithm hash-comparable. The oracle unrolls the fixed "
+        "iteration count into chained CTEs."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    edges = _chunk_edges(docs).persist()
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        n_nodes = nodes.count()  # scalar driver action, like CC convergence
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ranks = nodes.withColumn(
+            "rank", F.round(F.lit(1.0 / n_nodes), 9)
+        ).localCheckpoint(eager=True)
+        for _ in range(_PR_ITERS):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .join(outdeg, edges.src == outdeg.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+            )
+            ranks = (
+                contrib.groupBy("node")
+                .agg(
+                    F.round(
+                        (1 - _PR_DAMPING) / n_nodes + _PR_DAMPING * F.sum("c"), 9
+                    ).alias("rank")
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+    finally:
+        edges.unpersist()
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGE_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src AND e1.src < e1.dst AND e2.src < e2.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+    doc=(
+        "Global triangle count over the shared-chunk graph (each triangle "
+        "counted once via the a<b<c ordering): the standard clustering "
+        "/ community-density signal. Two equi-joins on node keys — the "
+        "canonical distributed formulation; at scale the oriented "
+        "(degree-ordered) variant bounds the join fan-out on hubs."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    e = _chunk_edges(docs)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).filter(
+        F.col("a") < F.col("b")
+    )
+    e2 = e.select(F.col("src").alias("b2"), F.col("dst").alias("c")).filter(
+        F.col("b2") < F.col("c")
+    )
+    e3 = e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
