@@ -273,3 +273,121 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w), 6
         ).alias("share"),
     )
+
+
+@query(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS disc_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`): the "
+        "discounted-price formula defined once in SQL and reused. Catalyst "
+        "INLINES the function body into the plan, so the aggregate is "
+        "byte-identical to writing the expression out (which is exactly "
+        "what the oracle does) — a SQL UDF is free at any scale, unlike a "
+        "Python UDF."
+    ),
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS disc_revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_session_variable",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big
+    FROM orders WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Session variables (Spark 4 `DECLARE VARIABLE` / SQL:2023): a "
+        "parameterized threshold referenced by name inside the query. "
+        "Variables resolve to literals at analysis time, so the filter "
+        "still pushes to the scan; the oracle inlines the same value."
+    ),
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE big_order_cutoff DOUBLE DEFAULT 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_big
+        FROM orders WHERE o_totalprice > big_order_cutoff
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "fn_collated_compare",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_matches
+    FROM customer
+    WHERE lower(c_mktsegment) IN ('automobile', 'building')
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "String collations (Spark 4): case-insensitive comparison via "
+        "UTF8_LCASE collation instead of wrapping every operand in "
+        "lower() — the collation travels with the type, so comparisons, "
+        "GROUP BY, and joins all honor it. initcap() manufactures mixed "
+        "case so the test is non-degenerate on the uppercase source data; "
+        "DuckDB expresses the same predicate with lower()."
+    ),
+)
+def fn_collated_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_matches
+        FROM customer
+        WHERE initcap(c_mktsegment) COLLATE UTF8_LCASE IN ('aUtOmObIlE', 'BUILDING')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "join_existence_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           f.o_custkey IS NOT NULL AS has_open_order
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') f
+      ON c.c_custkey = f.o_custkey
+    """,
+    doc=(
+        "Mark join / existence flag: annotate every customer with whether "
+        "an open order EXISTS, without dropping non-matches (semi join) "
+        "or duplicating matches (inner join). Spelled as a left join "
+        "against the DISTINCT key set on both sides; the distinct "
+        "pre-aggregation bounds the build side by key cardinality."
+    ),
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    open_keys = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+    return cust.join(open_keys, cust.c_custkey == open_keys.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_open_order"),
+    )
