@@ -469,3 +469,43 @@ def test_zorder_layout_clusters_box_queries(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in zord.filter(box).collect()}
     b = {tuple(r) for r in plain.filter(box).collect()}
     assert a == b
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The skew posture SCALE.md claims: with AQE skew-join on, a hot key's
+    oversized shuffle partition is split at runtime (plan shows skew=true)
+    instead of one straggler task carrying the whole key."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        # 2M rows, ~99% on key 0; right side small but not broadcastable
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 100 < 99, 0)
+            .otherwise((F.col("id") % 32) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(33).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        # inspect the SAME DataFrame that executes: AQE finalizes the plan
+        # per-execution, so a never-collected df stays isFinalPlan=false
+        cnt = left.join(right, "k").groupBy().count()
+        assert cnt.collect()[0][0] == 2_000_000
+        plan = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
