@@ -172,3 +172,155 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("doc_id", "weight", F.round("log_key", 6).alias("sort_key"))
     )
+
+
+VOCAB_MIN_DF = 3
+VOCAB_TOP_N = 200
+
+
+@query(
+    "text_build_vocab",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOK}) AS term FROM documents
+    ),
+    stats AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS tf_corpus,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term
+    )
+    SELECT term, tf_corpus, df
+    FROM stats
+    WHERE df >= {VOCAB_MIN_DF}
+    ORDER BY tf_corpus DESC, term ASC
+    LIMIT {VOCAB_TOP_N}
+    """,
+    doc=(
+        "Vocabulary construction for tokenizer training: corpus term "
+        "frequency + document frequency, min-df pruned, top-N by corpus "
+        "count with lexicographic tie-break. One explode + one (term) "
+        "aggregate + TakeOrdered — the same shuffle budget as word count; "
+        "min-df pruning happens pre-sort so the heap only sees the "
+        "surviving vocabulary."
+    ),
+)
+def text_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_corpus"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= VOCAB_MIN_DF)
+        .orderBy(F.col("tf_corpus").desc(), F.col("term").asc())
+        .limit(VOCAB_TOP_N)
+    )
+
+
+@query(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len({_SQL_TOK})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_source)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot.total_tokens, 6) AS actual_share,
+           round(1.0 / tot.n_sources, 6) AS target_share,
+           round((1.0 / tot.n_sources)
+                 / (CAST(n_tokens AS DOUBLE) / tot.total_tokens), 6) AS sample_weight
+    FROM per_source CROSS JOIN tot
+    """,
+    doc=(
+        "Domain-mixture reweighting: per-source token shares vs a uniform "
+        "target mixture, yielding the per-source sampling weight a "
+        "curriculum builder feeds to sampleBy (weight >1 upsamples "
+        "under-represented domains). The cross join carries ONE total row "
+        "against a source-cardinality aggregate — both sides bounded by "
+        "the number of domains, never the corpus."
+    ),
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    actual = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("sample_weight"),
+    )
+
+
+# Hand-set logistic-regression weights over the Gopher features: the point
+# is MODEL INFERENCE AS A CATALYST EXPRESSION (no Python UDF), not the
+# model itself — swap the literals for trained coefficients in production.
+_LR_BIAS = -1.5
+_LR_W_WORDS = 0.02
+_LR_W_MWL = 0.30
+_LR_W_SYM = -8.0
+
+
+@query(
+    "text_quality_logreg_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len({_SQL_TOK}) AS word_count,
+               round(CAST(list_sum(list_transform({_SQL_TOK}, t -> len(t))) AS DOUBLE)
+                     / greatest(len({_SQL_TOK}), 1), 6) AS mwl,
+               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS sym
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({_LR_BIAS} + {_LR_W_WORDS} * word_count
+                 + {_LR_W_MWL} * mwl + {_LR_W_SYM} * sym))), 6) AS quality_prob
+    FROM feats
+    """,
+    doc=(
+        "Quality-classifier inference as a pure Catalyst expression: "
+        "logistic regression over the Gopher features evaluated inside "
+        "whole-stage codegen — the fasttext-classifier-scoring pattern "
+        "without leaving the JVM. Zero shuffles; at 100 TB this is a "
+        "free rider on the cleaning scan. Features are rounded before "
+        "the dot product so both engines feed identical doubles to exp()."
+    ),
+)
+def text_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    word_count = F.size(toks)
+    mwl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / F.greatest(word_count, F.lit(1)),
+        6,
+    )
+    sym = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    z = (
+        F.lit(_LR_BIAS)
+        + F.lit(_LR_W_WORDS) * word_count
+        + F.lit(_LR_W_MWL) * mwl
+        + F.lit(_LR_W_SYM) * sym
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+    )

@@ -300,3 +300,13 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     sample_mean = sum(r.weight for r in sample) / len(sample)
     assert len(sample) == 25
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Rank mass stays ~1 over the symmetric graph (no dangling nodes),
+    and every rank is positive — the invariants the oracle's value-hash
+    can't articulate."""
+    ranks = REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r.rank > 0 for r in ranks)

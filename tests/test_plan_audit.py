@@ -27,6 +27,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     "dedup_embedding_cosine": ({"bnlj"}, "blocked pair generation over a bounded block"),
     "similarity_ivf_topk": ({"bnlj"}, "k centroid rows broadcast for cell assignment"),
     "text_unigram_logprob": ({"bnlj"}, "1-row corpus-total broadcast (plan-asserted elsewhere)"),
+    "sample_domain_mixture": (
+        {"bnlj"},
+        "1-row totals aggregate broadcast against a per-source aggregate; "
+        "both sides bounded by domain cardinality, never the corpus",
+    ),
     "dq_constraint_checks": (
         {"single_partition_x4"},
         "four whole-table constraint checks, each a scalar aggregate: the "
