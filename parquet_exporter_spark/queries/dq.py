@@ -138,3 +138,53 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("c_custkey").unionAll(prof("c_acctbal")).unionAll(prof("c_nationkey"))
+
+
+@query(
+    "profile_frequent_items",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Frequent-items profiling via the approx_top_k space-saving "
+        "sketch, exploded to (item, count) rows. The sketch capacity (8) "
+        "exceeds the column's cardinality (5), which makes space-saving "
+        "counts EXACT — so the oracle is the plain exact group-by, and "
+        "the query still exercises the sketch path that stays "
+        "fixed-memory when cardinality explodes at 100 TB."
+    ),
+)
+def profile_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    sk = orders.agg(F.expr("approx_top_k(o_orderpriority, 8)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+
+
+@query(
+    "catalog_row_counts",
+    oracle="""
+    SELECT 'region' AS table_name, CAST((SELECT count(*) FROM region) AS BIGINT) AS n_rows
+    UNION ALL SELECT 'nation', (SELECT count(*) FROM nation)
+    UNION ALL SELECT 'customer', (SELECT count(*) FROM customer)
+    UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier)
+    UNION ALL SELECT 'part', (SELECT count(*) FROM part)
+    UNION ALL SELECT 'orders', (SELECT count(*) FROM orders)
+    UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem)
+    """,
+    doc=(
+        "Catalog statistics surface: per-table row counts answered from "
+        "parquet FOOTER metadata (tables.table_rowcount), zero data scan "
+        "— the engine's equivalent of catalog stats that also feed the "
+        "TF-IDF corpus-cardinality literal. The oracle recomputes the "
+        "counts the slow way."
+    ),
+)
+def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark import tables
+
+    names = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    rows = [(t, tables.table_rowcount(sf_dir, t)) for t in names]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
