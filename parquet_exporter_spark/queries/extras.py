@@ -19,6 +19,7 @@ FIXTURES = os.path.join(
 CSV_PATH = os.path.join(FIXTURES, "climbs_flat.csv")
 JSONL_PATH = os.path.join(FIXTURES, "climbs_flat.jsonl")
 XML_PATH = os.path.join(FIXTURES, "climbs_flat.xml")
+PARTITIONED_EVENTS = os.path.join(FIXTURES, "events_partitioned")
 
 FLAT_SCHEMA = (
     "climb_id string, climb_name string, length_m int, yds string, latitude double"
@@ -96,6 +97,29 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length_m",
         F.coalesce("yds", F.lit("")).alias("yds"),
         "latitude",
+    )
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle=f"""
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM read_parquet('{PARTITIONED_EVENTS}/*/*.parquet', hive_partitioning = 1)
+    WHERE event_type = 'click'
+    """,
+    doc=(
+        "Hive-partitioned directory scan with partition PRUNING: the "
+        "event_type predicate is resolved against directory names, so "
+        "only the matching partition's files are listed and read "
+        "(plan-asserted via PartitionFilters in tests/test_plans.py). "
+        "At 100 TB partition pruning is the difference between scanning "
+        "one partition and scanning the lake."
+    ),
+)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(PARTITIONED_EVENTS)
+    return df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
     )
 
 

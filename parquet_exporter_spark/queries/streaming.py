@@ -278,3 +278,40 @@ def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@query(
+    "cdc_apply_deletes",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc=(
+        "CDC merge with tombstones: the latest event per user determines "
+        "the key's final state, and a trailing 'error' event acts as a "
+        "delete marker that removes the key from the snapshot (re-insert "
+        "on any later non-delete event falls out of the same rule). Same "
+        "WindowGroupLimit shape as cdc_latest_snapshot plus the tombstone "
+        "filter — MERGE INTO semantics from plain operators."
+    ),
+)
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

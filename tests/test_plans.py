@@ -349,3 +349,11 @@ def test_ratio_to_report_window_input_is_aggregated(spark, sf_dir):
     # unpartitioned window consumes the 25 aggregated rows, not the fact
     assert has_partial_aggregation(df)
     assert plan.index("Exchange SinglePartition") < plan.index("HashAggregate"), plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    df = q("scan_partitioned_pruned", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan[:1500]
+    # the pruned column never reaches the data scan schema
+    assert "event_type" not in str(read_schema_columns(df))

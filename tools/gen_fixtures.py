@@ -205,7 +205,31 @@ def write_xml_form() -> None:
         f.write("</climbs>\n")
 
 
+def write_partitioned_events() -> None:
+    """Hive-partitioned copy of the sf0.001 events table (partitioned by
+    event_type), for the partition-pruning scan operator. Deterministic:
+    derived from the driver's seed-42 testdata; one file per partition."""
+    import duckdb
+
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = os.path.join(OUT_DIR, "events_partitioned")
+    for (et,) in con.sql(
+        f"SELECT DISTINCT event_type FROM '{src}' ORDER BY 1"
+    ).fetchall():
+        d = os.path.join(out, f"event_type={et}")
+        os.makedirs(d, exist_ok=True)
+        con.sql(
+            f"""
+            COPY (SELECT event_id, ts, user_id, value, props FROM '{src}'
+                  WHERE event_type = '{et}' ORDER BY event_id)
+            TO '{os.path.join(d, "part-0.parquet")}' (FORMAT PARQUET)
+            """
+        )
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
     write_xml_form()
+    write_partitioned_events()
