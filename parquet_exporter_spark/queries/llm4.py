@@ -324,3 +324,31 @@ def text_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
     )
+
+
+@query(
+    "emb_pca_project",
+    oracle=None,  # eigendecomposition has no SQL twin; invariants
+    # (orthonormality, variance ordering, centering) are property-tested
+    # in tests/test_llm.py::test_pca_invariants.
+    doc=(
+        "Distributed PCA projection of the embedding corpus to 2 "
+        "components: one Arrow-batched mapInPandas pass accumulates "
+        "per-partition (n, sum, Gram) moments — the driver collects "
+        "O(partitions) rows, never data — the 64x64 eigensolve runs "
+        "driver-side, and projection is a zero-shuffle zip_with dot "
+        "product with the components as literals "
+        "(operators/pca.py). The dimensionality-reduction front end for "
+        "embedding visualization / coarse clustering at corpus scale."
+    ),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.pca import pca_fit, pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", k=2)
+    return pca_project(emb, "embedding", mean, comps).select(
+        "vec_id",
+        F.round("proj_1", 4).alias("proj_1"),
+        F.round("proj_2", 4).alias("proj_2"),
+    )

@@ -206,3 +206,30 @@ def test_sequence_packing_invariants(spark, sf_dir):
         for r in rs:
             assert r.seq_id * SEQ_BUDGET + r.seq_offset == pos, (src, r, pos)
             pos += r.n_tokens
+
+
+def test_pca_invariants(spark, sf_dir):
+    """Eigendecomposition has no SQL oracle; assert the linear-algebra
+    invariants instead: orthonormal components, descending explained
+    variance that matches the projected sample variance, and centered
+    projections."""
+    import numpy as np
+
+    from parquet_exporter_spark.operators.pca import pca_fit, pca_project
+    from parquet_exporter_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    mean, comps, evals = pca_fit(emb, "embedding", k=3)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+    assert evals[0] >= evals[1] >= evals[2] > 0
+    rows = pca_project(emb, "embedding", mean, comps).select(
+        "proj_1", "proj_2", "proj_3"
+    ).collect()
+    p = np.array([[r.proj_1, r.proj_2, r.proj_3] for r in rows])
+    # projections are mean-centered and their variances match the eigenvalues
+    assert np.allclose(p.mean(axis=0), 0, atol=1e-6)
+    assert np.allclose(p.var(axis=0, ddof=1), evals, rtol=1e-6)
+    # spark-side projection agrees with a numpy reference projection
+    x = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb.collect()])
+    ref = (x - mean) @ comps.T
+    assert np.allclose(np.sort(p[:, 0]), np.sort(ref[:, 0]), atol=1e-6)
