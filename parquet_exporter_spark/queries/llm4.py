@@ -352,3 +352,121 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("proj_1", 4).alias("proj_1"),
         F.round("proj_2", 4).alias("proj_2"),
     )
+
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (same trick as
+    graph_pagerank): deterministic farthest-id-free init (the K smallest
+    vec_ids), per-iteration centroid means and distances snapped to 1e-9
+    on both engines, assignment ties broken by smallest cluster id."""
+    parts = [
+        """emb AS (
+            SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+            FROM embeddings
+        )""",
+        f"""pos AS (SELECT unnest(generate_series(1, {_KM_DIM})) AS i)""",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x
+            FROM emb ORDER BY vec_id LIMIT {_KM_K}
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""d{it} AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum(power(e.x[p.i] - c.x[p.i], 2)), 9) AS dist
+            FROM emb e CROSS JOIN {prev} c CROSS JOIN pos p
+            GROUP BY e.vec_id, c.cid
+        )""")
+        parts.append(
+            f"""a{it} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                FROM d{it}
+            ) WHERE rn = 1
+        )""")
+        if it < _KM_ITERS:
+            parts.append(
+                f"""c{it} AS (
+                SELECT cid, list(m ORDER BY i) AS x FROM (
+                    SELECT a.cid, p.i, round(avg(e.x[p.i]), 9) AS m
+                    FROM a{it} a JOIN emb e USING (vec_id) CROSS JOIN pos p
+                    GROUP BY a.cid, p.i
+                ) GROUP BY cid
+            )""")
+            prev = f"c{it}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vec_id, CAST(cid AS INT) AS cluster, dist FROM a{_KM_ITERS}"
+    )
+
+
+@query(
+    "emb_kmeans_cluster",
+    oracle=_kmeans_oracle(),
+    doc=(
+        f"K-means clustering ({_KM_K} clusters, {_KM_ITERS} fixed Lloyd "
+        "iterations) over the embedding corpus, value-checked against a "
+        "DuckDB oracle that unrolls the iterations into CTEs — the same "
+        "snap-to-1e-9 determinism contract as graph_pagerank. Spark side: "
+        "assignment is a narrow expression over literal centroids (zero "
+        "shuffle), centroid recomputation is one posexplode aggregate per "
+        "iteration whose 4x64 result is collected driver-side as model "
+        "state — the mllib strategy without the mllib black box, so every "
+        "step stays oracle-comparable. At 100 TB the per-iteration "
+        "aggregate is the only shuffle and centroid state stays O(k*d)."
+    ),
+)
+def emb_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+    )
+    init = emb.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [list(r.x) for r in init]  # cid = position (vec_id ascending)
+
+    def dist_to(c: list[float]):
+        carr = F.array(*[F.lit(v) for v in c])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    assigned = None
+    for it in range(_KM_ITERS):
+        dists = [dist_to(c) for c in cents]
+        m = F.least(*dists)
+        cluster = F.lit(_KM_K - 1)
+        for cid in range(_KM_K - 2, -1, -1):
+            cluster = F.when(dists[cid] == m, F.lit(cid)).otherwise(cluster)
+        assigned = emb.select(
+            "vec_id", "x", cluster.alias("cluster"), m.alias("dist")
+        )
+        if it < _KM_ITERS - 1:
+            rows = (
+                assigned.select("cluster", F.posexplode("x").alias("i", "v"))
+                .groupBy("cluster", "i")
+                .agg(F.round(F.avg("v"), 9).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r.cluster, {})[r.i] = r.m
+            cents = [
+                [by_cid[cid][i] for i in range(_KM_DIM)] for cid in range(_KM_K)
+            ]
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
+    )
