@@ -470,3 +470,91 @@ def emb_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist"
     )
+
+
+_BG_K = 0.5  # add-k smoothing
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOK} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest([t[i] for i in generate_series(1, len(t) - 1)]) AS w1,
+               unnest([t[i + 1] for i in generate_series(1, len(t) - 1)]) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    doc_bg AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w1) AS v FROM (
+        SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg
+    )),
+    scored AS (
+        SELECT d.doc_id,
+               d.n,
+               round(ln((c2.c2 + {_BG_K}) / (c1.c1 + {_BG_K} * v.v)), 9) AS lp
+        FROM doc_bg d
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           round(sum(n * lp) / sum(n), 6) AS avg_bigram_logprob,
+           CAST(sum(n) AS BIGINT) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "Bigram language-model scoring with add-k smoothing (k=0.5): "
+        "avg ln p(w2|w1) per document under the corpus bigram "
+        "distribution — the perplexity-proxy step up from "
+        "text_unigram_logprob; low scores surface machine-generated or "
+        "shuffled-word text that unigram stats cannot see. Shapes: doc "
+        "bigrams aggregate once, join corpus bigram/unigram counts on "
+        "term keys (tfidf-shaped shuffles), vocabulary size rides along "
+        "as a broadcast scalar. Per-instance log-probs snap to 1e-9 "
+        "before the weighted average for cross-engine hash stability."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = T.tokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp = F.round(
+        F.log((F.col("c2") + _BG_K) / (F.col("c1") + _BG_K * F.col("v"))), 9
+    )
+    scored = (
+        doc_bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "n", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 6).alias(
+            "avg_bigram_logprob"
+        ),
+        F.sum("n").alias("n_bigrams"),
+    )

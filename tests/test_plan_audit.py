@@ -27,6 +27,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     "dedup_embedding_cosine": ({"bnlj"}, "blocked pair generation over a bounded block"),
     "similarity_ivf_topk": ({"bnlj"}, "k centroid rows broadcast for cell assignment"),
     "text_unigram_logprob": ({"bnlj"}, "1-row corpus-total broadcast (plan-asserted elsewhere)"),
+    "text_bigram_logprob": (
+        {"bnlj"},
+        "1-row vocabulary-size scalar broadcast into the scoring join; "
+        "the bigram/unigram count joins underneath shuffle on term keys",
+    ),
     "sample_domain_mixture": (
         {"bnlj"},
         "1-row totals aggregate broadcast against a per-source aggregate; "
