@@ -558,3 +558,40 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n").alias("n_bigrams"),
     )
+
+
+_CAP_PER_SOURCE = 40
+
+
+@query(
+    "sample_per_group_cap",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {_CAP_PER_SOURCE}
+    """,
+    doc=(
+        "Per-domain document cap: keep at most N docs per source, chosen "
+        "by a deterministic hash order (md5 of doc_id) so the 'random' "
+        "cap is reproducible and engine-portable — the standard guard "
+        "against one domain dominating a corpus mix. WindowGroupLimit "
+        "pushes the rn<=N cut below the shuffle, so per-partition state "
+        "is N rows per source, never the domain's full contents."
+    ),
+)
+def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP_PER_SOURCE)
+        .select("doc_id", "source")
+    )
