@@ -348,3 +348,53 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(interp, 6).alias("value_interp"),
         F.col("dv").isNotNull().alias("is_observed"),
     )
+
+
+@query(
+    "timeseries_downsample_ohlc",
+    oracle="""
+    SELECT user_id,
+           make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT))
+               AS bucket_start,
+           round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || '-' || lpad(CAST(event_id AS VARCHAR), 10, '0')), 6)
+               AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || '-' || lpad(CAST(event_id AS VARCHAR), 10, '0')), 6)
+               AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "OHLC downsampling: per (user, 6-hour bucket) open/high/low/close "
+        "over the event stream — the standard time-series resample. "
+        "Open/close use min_by/max_by on a zero-padded (epoch_us, "
+        "event_id) string key, giving a deterministic engine-portable "
+        "tiebreak for same-timestamp events. One hash aggregate with "
+        "map-side partials; min_by/max_by carry one candidate row per "
+        "partition, same cost class as min/max."
+    ),
+)
+def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600).cast("bigint") * 21600
+    )
+    return (
+        ev.groupBy("user_id", bucket.alias("bucket_start"))
+        .agg(
+            rratio(F.min_by("value", key)).alias("open"),
+            rratio(F.max("value")).alias("high"),
+            rratio(F.min("value")).alias("low"),
+            rratio(F.max_by("value", key)).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
