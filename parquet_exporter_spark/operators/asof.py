@@ -34,8 +34,24 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join; payload columns are NULL when no prior right row."""
+    """Left as-of join; payload columns are NULL when no prior (backward)
+    or following (forward) right row.
+
+    direction="backward": latest right row with right.t <= left.t (the
+    default, DuckDB ``ASOF JOIN ... >=`` semantics). direction="forward":
+    earliest right row with right.t >= left.t — same single-shuffle
+    union-window shape with the window direction reversed (first
+    ignorenulls over [current, unbounded following]) and the side order
+    flipped so an equal-time right row stays visible.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward":
+        return _asof_forward(
+            left, right, left_key, right_key, left_time, right_time, payload_cols
+        )
     left_cols = left.columns
     l = left.withColumn(_SIDE, F.lit(1)).select(
         F.col(left_key).alias("__key"),
@@ -63,3 +79,43 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
     )
     return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def _asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    # left side = 0 so at equal times the left row precedes the right row
+    # and the [current, following] window still sees it
+    left_cols = left.columns
+    l = left.withColumn(_SIDE, F.lit(0)).select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.col(_SIDE),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r = right.withColumn(_SIDE, F.lit(1)).select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.col(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload_cols],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t"), F.col(_SIDE))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col(_SIDE),
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col(_SIDE) == 0).drop(_SIDE)

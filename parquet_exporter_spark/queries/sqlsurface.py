@@ -489,3 +489,77 @@ def join_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", F.col("dist").cast("bigint").alias("dist"))
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 27 YEAR AS shifted_ts
+        FROM events
+    ),
+    day_orders AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(max(o_orderkey) AS BIGINT) AS next_orderkey,
+               round(sum(o_totalprice), 2) AS day_total
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    ),
+    u AS (
+        SELECT user_id AS k, shifted_ts AS t, 0 AS side, event_id,
+               CAST(NULL AS BIGINT) AS next_orderkey,
+               CAST(NULL AS DOUBLE) AS day_total
+        FROM ev
+        UNION ALL
+        SELECT o_custkey, o_orderdate, 1, CAST(NULL AS BIGINT),
+               next_orderkey, day_total
+        FROM day_orders
+    ),
+    f AS (
+        SELECT event_id, k AS user_id, side,
+               first_value(next_orderkey IGNORE NULLS) OVER w AS next_orderkey,
+               first_value(day_total IGNORE NULLS) OVER w AS day_total
+        FROM u
+        WINDOW w AS (PARTITION BY k ORDER BY t, side
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, next_orderkey, day_total FROM f WHERE side = 0
+    """,
+    doc=(
+        "FORWARD as-of join: each event matched to the EARLIEST same-"
+        "customer order-day at or after it — the complement of join_asof's "
+        "backward direction (operators/asof.py, direction='forward'); "
+        "next-scheduled-delivery / next-price-change lookups. Same single-"
+        "shuffle union-window shape with the window reversed; DuckDB's "
+        "native ASOF only does backward, so the oracle spells the same "
+        "union-window in SQL."
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.asof import asof_join
+    from parquet_exporter_spark.queries._util import rmoney
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 27 YEARS")).alias("shifted_ts"),
+    )
+    day_orders = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("next_orderkey"),
+            rmoney(F.sum("o_totalprice")).alias("day_total"),
+        )
+    )
+    joined = asof_join(
+        events,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="shifted_ts",
+        right_time="o_orderdate",
+        payload_cols=["next_orderkey", "day_total"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "next_orderkey", "day_total")

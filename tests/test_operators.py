@@ -310,3 +310,27 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = sum(r.rank for r in ranks)
     assert abs(total - 1.0) < 1e-3, total
     assert all(r.rank > 0 for r in ranks)
+
+
+def test_asof_forward_crafted_semantics(spark):
+    """Forward as-of: earliest following row wins, equal timestamps match,
+    nothing after -> NULL payload."""
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 16, "e2"), (2, 7, "e3"), (3, 10, "e4")],
+        "k long, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 6, 60.0)],
+        "k long, t long, payload double",
+    )
+    out = {
+        r.ev: r.payload
+        for r in asof_join(
+            left, right, "k", "k", "t", "t",
+            payload_cols=["payload"], direction="forward",
+        ).collect()
+    }
+    assert out["e1"] == 100.0  # equal time: right row visible
+    assert out["e2"] is None   # nothing at or after t=16
+    assert out["e3"] is None   # right row is BEFORE the event
+    assert out["e4"] is None   # key never seen on the right
