@@ -139,7 +139,10 @@ _KNUTH = 2_654_435_761
                   / {_HASH_MOD + 1}) / n_chars AS log_key
         FROM documents
     )
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(log_key, 6) AS sort_key
+    -- + 0.0 normalizes IEEE negative zero (round of a tiny negative key
+    -- prints '-0' in one engine and '0' in the other)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(log_key, 6) + 0.0 AS sort_key
     FROM keyed
     ORDER BY log_key DESC, doc_id ASC
     LIMIT 25
@@ -170,7 +173,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("log_key").desc(), F.col("doc_id").asc())
         .limit(25)
-        .select("doc_id", "weight", F.round("log_key", 6).alias("sort_key"))
+        .select("doc_id", "weight", (F.round("log_key", 6) + F.lit(0.0)).alias("sort_key"))
     )
 
 

@@ -167,8 +167,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.08 * p_retailprice * l_quantity), 2) AS sum_profit
+           -- DECIMAL(18,4) summation: per-row doubles are bit-identical
+           -- across engines, and decimal addition is exact and
+           -- order-independent, so the rounded total cannot straddle a
+           -- 0.005 boundary differently per engine (it did at sf0.1 with
+           -- raw double sums)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.08 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -205,7 +211,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit.alias("profit"),
         )
         .groupBy("nation", "o_year")
-        .agg(rmoney(F.sum("profit")).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(F.col("profit").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
