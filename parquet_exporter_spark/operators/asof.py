@@ -81,6 +81,83 @@ def asof_join(
     return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Nearest-direction as-of join: each left row takes the right row whose
+    time is closest in either direction; ties go backward (the earlier row).
+
+    ``left_time``/``right_time`` must be NUMERIC (cast timestamps to epoch
+    micros first) — nearest needs arithmetic on the axis, and numeric order
+    lets both directions run as RANGE frames over one union:
+
+    - backward = ``last(payload, ignorenulls)`` over
+      ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``
+    - forward = ``first(payload, ignorenulls)`` over
+      ``RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING``
+
+    A RANGE frame anchored at the current ORDER BY value sees every row at
+    an equal time regardless of row order, so no side-tag tiebreak column is
+    needed. Both frames share one partitioning and sort — a single shuffle
+    of |L| + |R| rows, no candidate-pair blowup (same scalability argument
+    as the directional forms above).
+    """
+    left_cols = left.columns
+    l = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(True).alias("__is_left"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(False).alias("__is_left"),
+        F.col(right_time).alias("__rt"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in payload_cols],
+    )
+    unioned = l.unionByName(r)
+    wb = (
+        Window.partitionBy("__key")
+        .orderBy("__t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__key")
+        .orderBy("__t")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__is_left"),
+        F.col("__t"),
+        F.last("__rt", ignorenulls=True).over(wb).alias("__bt"),
+        F.first("__rt", ignorenulls=True).over(wf).alias("__ft"),
+        *[F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}") for c in payload_cols],
+        *[F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}") for c in payload_cols],
+    )
+    use_back = F.col("__ft").isNull() | (
+        F.col("__bt").isNotNull()
+        & ((F.col("__t") - F.col("__bt")) <= (F.col("__ft") - F.col("__t")))
+    )
+    return filled.filter(F.col("__is_left")).select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
 def _asof_forward(
     left: DataFrame,
     right: DataFrame,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_exporter_spark.operators.asof import asof_join
+from parquet_exporter_spark.operators.asof import asof_join, asof_join_nearest
 from parquet_exporter_spark.queries._util import rmoney
 from parquet_exporter_spark.registry import query
 from parquet_exporter_spark.tables import read_table
@@ -419,4 +419,169 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, a.k.eqNullSafe(b.k_b))
         .select(a.k.alias("k"), "n_a", "n_b")
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               epoch_us(ts - INTERVAL 27 YEAR) AS t
+        FROM events
+    ),
+    day_orders AS (
+        SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS rt,
+               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey,
+               round(sum(o_totalprice), 2) AS day_total
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, d.last_orderkey, d.day_total
+    FROM ev e
+    LEFT JOIN LATERAL (
+        SELECT last_orderkey, day_total
+        FROM day_orders d
+        WHERE d.o_custkey = e.user_id
+        ORDER BY CASE WHEN e.t >= d.rt THEN e.t - d.rt ELSE d.rt - e.t END,
+                 d.rt
+        LIMIT 1
+    ) d ON TRUE
+    """,
+    doc=(
+        "Nearest-direction as-of join: each event matched to the closest "
+        "order-day of the same customer in EITHER direction, ties backward "
+        "— the alignment sensor-fusion and feature-join pipelines need "
+        "when a reading may precede or follow its reference. Single-"
+        "shuffle dual-RANGE-frame union form (operators/asof.py:"
+        "asof_join_nearest); oracle is a DuckDB lateral argmin over "
+        "abs(time difference)."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts") - F.expr("INTERVAL 27 YEAR")).alias("t"),
+    )
+    day_orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").cast("bigint").alias("last_orderkey"),
+            rmoney(F.sum("o_totalprice")).alias("day_total"),
+        )
+        .select(
+            "o_custkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("rt"),
+            "last_orderkey",
+            "day_total",
+        )
+    )
+    return asof_join_nearest(
+        ev,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="t",
+        right_time="rt",
+        payload_cols=["last_orderkey", "day_total"],
+    ).select("event_id", "user_id", "last_orderkey", "day_total")
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH audit AS (
+        SELECT o_orderkey AS audit_key, CAST(o_orderdate AS DATE) AS w_start,
+               CAST(o_orderdate AS DATE) + 5 AS w_end
+        FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    ship AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS l_shipdate,
+               CAST(l_shipdate AS DATE) + CAST(1 + l_orderkey % 20 AS INTEGER)
+                   AS l_deliverydate
+        FROM lineitem
+    )
+    SELECT a.audit_key, l.l_orderkey, l.l_linenumber,
+           CAST(least(a.w_end, l.l_deliverydate)
+                - greatest(a.w_start, l.l_shipdate) + 1 AS BIGINT)
+               AS overlap_days
+    FROM audit a
+    JOIN ship l
+      ON l.l_shipdate <= a.w_end AND a.w_start <= l.l_deliverydate
+    """,
+    doc=(
+        "Interval-overlap join: delivery windows [l_shipdate, "
+        "l_shipdate + 1 + l_orderkey % 20 days] against audit windows [o_orderdate, +5d] with NO "
+        "equi key — the genomics/sessions overlap-join shape. Implemented "
+        "as a GRID-BINNED equi-join: both sides explode their interval "
+        "onto a 32-day grid, join on bin equality, and a pair is emitted "
+        "only from the bin containing greatest(start_a, start_b) — "
+        "lossless (every overlapping pair shares that bin) and duplicate-"
+        "free without a distinct. At 100 TB this turns an O(|A|*|B|) "
+        "nested-loop theta join into one bounded shuffle whose key "
+        "cardinality scales with the time span / grid width; grid width "
+        "trades fan-out (intervals span few bins) against per-bin "
+        "selectivity, and is chosen ~= the typical interval length. "
+        "Oracle is the plain inequality join."
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid_days = 32
+
+    def _bin(col: str):
+        return F.floor(F.datediff(F.col(col), F.lit("1970-01-01")) / grid_days)
+
+    audit = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.col("o_orderkey").alias("audit_key"),
+            F.to_date("o_orderdate").alias("w_start"),
+            F.date_add(F.to_date("o_orderdate"), 5).alias("w_end"),
+        )
+        .withColumn("bin", F.explode(F.sequence(_bin("w_start"), _bin("w_end"))))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("l_shipdate"),
+            F.date_add(
+                F.to_date("l_shipdate"),
+                (F.lit(1) + F.col("l_orderkey") % 20).cast("int"),
+            ).alias("l_deliverydate"),
+        )
+        .withColumn(
+            "bin", F.explode(F.sequence(_bin("l_shipdate"), _bin("l_deliverydate")))
+        )
+    )
+    anchor_bin = F.floor(
+        F.datediff(F.greatest("w_start", "l_shipdate"), F.lit("1970-01-01"))
+        / grid_days
+    )
+    return (
+        audit.join(
+            li,
+            (audit.bin == li.bin)
+            & (F.col("l_shipdate") <= F.col("w_end"))
+            & (F.col("w_start") <= F.col("l_deliverydate")),
+        )
+        .filter(audit.bin == anchor_bin)
+        .select(
+            "audit_key",
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.datediff(
+                    F.least("w_end", "l_deliverydate"),
+                    F.greatest("w_start", "l_shipdate"),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
     )

@@ -357,3 +357,26 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan[:1500]
     # the pruned column never reaches the data scan schema
     assert "event_type" not in str(read_schema_columns(df))
+
+
+def test_asof_nearest_is_join_free_single_sort(spark, sf_dir):
+    """The dual-RANGE-frame nearest as-of must contain no join operator
+    (both directions come from windows over one union) and at most two
+    hash exchanges (pre-agg of day_orders + the window partitioning)."""
+    df = q("join_asof_nearest", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan.replace("Joined", "")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_interval_overlap_is_equi_bin_join_not_nested_loop(spark, sf_dir):
+    """The grid-binned overlap join must plan as a hash-partitioned or
+    broadcast equi join on the bin key — never a broadcast nested loop /
+    cartesian over the raw inequality condition."""
+    df = q("join_interval_overlap", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
