@@ -95,9 +95,8 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Shared oracle CTEs: chunk-share edges + recursive min-label reachability.
+_CC_CTES = f"""
     WITH RECURSIVE toks AS (
         SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
     ),
@@ -118,6 +117,13 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         UNION
         SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
     )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_CTES
+    + """
     SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
     FROM reach GROUP BY node
     """,
@@ -272,3 +278,44 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "dedup_near_keep_canonical",
+    oracle=_CC_CTES
+    + """
+    SELECT d.doc_id,
+           CAST(coalesce(r.component, d.doc_id) AS BIGINT) AS keep_id,
+           d.doc_id = coalesce(r.component, d.doc_id) AS is_kept
+    FROM documents d
+    LEFT JOIN (
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    ) r ON d.doc_id = r.node
+    """,
+    doc=(
+        "End-to-end near-dedup keep-one policy: cluster candidate edges "
+        "with connected components, keep the minimum doc_id per cluster as "
+        "the canonical copy, and map every document to its keeper "
+        "(singletons keep themselves). This is the row a cleaning pipeline "
+        "filters on (`is_kept`) and the provenance column it writes "
+        "(`keep_id`). Same scale posture as dedup_connected_components: "
+        "edges from one chunk-hash shuffle, O(diameter) label-propagation "
+        "iterations, then one left join back to the corpus."
+    ),
+)
+def dedup_near_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    edges = _chunk_edges(docs).persist()
+    try:
+        labels = connected_components(edges)
+        keep = F.coalesce(F.col("label"), F.col("doc_id"))
+        return (
+            docs.join(labels, docs.doc_id == labels.node, "left")
+            .select(
+                "doc_id",
+                keep.alias("keep_id"),
+                (F.col("doc_id") == keep).alias("is_kept"),
+            )
+        )
+    finally:
+        edges.unpersist()

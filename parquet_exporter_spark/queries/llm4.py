@@ -598,3 +598,66 @@ def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CAP_PER_SOURCE)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "emb_standardize_dims",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS val,
+               generate_subscripts(embedding, 1) - 1 AS pos
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT pos, avg(val) AS mu, stddev_pop(val) AS sigma
+        FROM d GROUP BY pos
+    )
+    SELECT d.vec_id, CAST(d.pos AS INTEGER) AS pos,
+           round((d.val - s.mu) / nullif(s.sigma, 0), 4) + 0 AS z
+    FROM d JOIN stats s USING (pos)
+    """,
+    doc=(
+        "Per-dimension z-score standardization of an embedding column — "
+        "the feature-scaling pass before k-means / PCA / quantization. "
+        "Dimension stats come from ONE posexplode + groupBy(pos) shuffle "
+        "whose key cardinality is the dimension count (64), packed into "
+        "two array literals in a single row and broadcast back; the "
+        "standardization itself is a narrow zip_with over the original "
+        "array (no second explode of the corpus). Output exploded to "
+        "(vec_id, pos, z) scalars for oracle comparison."
+    ),
+)
+def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.avg(F.col("val").cast("double")).alias("mu"),
+            F.stddev_pop(F.col("val").cast("double")).alias("sigma"),
+        )
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sigma"))),
+            lambda s: s["sigma"],
+        ).alias("sigmas"),
+    )
+    centered = F.zip_with(
+        "embedding", "mus", lambda x, m: x.cast("double") - m
+    )
+    z = F.zip_with(
+        centered,
+        F.col("sigmas"),
+        # + 0.0 collapses IEEE -0.0 to 0.0 (canonical form matches the oracle)
+        lambda c, s: F.round(c / F.nullif(s, F.lit(0.0)), 4) + F.lit(0.0),
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select("vec_id", F.posexplode(z).alias("pos", "z"))
+        .select("vec_id", "pos", "z")
+    )

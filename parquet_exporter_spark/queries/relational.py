@@ -239,3 +239,28 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(30)
         .limit(15)
     )
+
+
+@query(
+    "ids_global_rownum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id
+    FROM lineitem
+    """,
+    doc=(
+        "Contiguous 1-based global row ids in key order WITHOUT the "
+        "single-partition global window (the canonical scale-killer): "
+        "range-partition + in-partition sort, O(partitions) offset "
+        "prefix-sum broadcast back, Arrow mapInPandas cumulative count — "
+        "one data shuffle total (operators/ids.py). The oracle is the "
+        "naive global row_number()."
+    ),
+)
+def ids_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.ids import global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return global_row_number(li, ["l_orderkey", "l_linenumber"], id_col="row_id")

@@ -50,6 +50,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "column; same bounded 1-row-per-gather shape as "
         "dq_constraint_checks",
     ),
+    "emb_standardize_dims": (
+        {"bnlj"},
+        "1-row packed dimension-stats aggregate broadcast back to the "
+        "corpus; cardinality = 1 regardless of data size",
+    ),
     "funnel_three_step": (
         {"bnlj", "single_partition_x3"},
         "three 1-row stage counts gathered then cross-joined into the "

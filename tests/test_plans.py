@@ -380,3 +380,24 @@ def test_interval_overlap_is_equi_bin_join_not_nested_loop(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_global_rownum_avoids_single_partition_sort(spark, sf_dir):
+    """Contiguous ids must come from a RANGE shuffle + O(partitions)
+    offsets, never the naive single-partition global window over the
+    data (at most one SinglePartition exchange — the tiny offset
+    prefix-sum)."""
+    df = q("ids_global_rownum", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "MapInPandas" in plan
+
+
+def test_standardize_dims_stats_shuffle_is_dimension_bounded(spark, sf_dir):
+    """Dimension stats shuffle on pos (cardinality = dim count) and come
+    back as ONE broadcast row; the corpus itself is never re-shuffled."""
+    df = q("emb_standardize_dims", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1  # groupBy(pos) only
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
