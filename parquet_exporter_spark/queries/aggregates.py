@@ -441,3 +441,31 @@ def agg_ntile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "EXACT distinct counting that still merges like a sketch: keys map "
+        "to (bucket, bit position), per-bucket bitmaps build with "
+        "bitmap_construct_agg (associative partial aggregation — map-side "
+        "combine works, unlike a naive count(DISTINCT) whose expand holds "
+        "every key until the final stage), then bitmap_count sums per "
+        "group. The standard bitmap-index trick for exact dedup counts at "
+        "warehouse scale; approximate needs use agg_approx_distinct / "
+        "agg_hll_rollup instead."
+    ),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_orderkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_orders")
+    )

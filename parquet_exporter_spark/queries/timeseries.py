@@ -398,3 +398,40 @@ def timeseries_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(
+               CAST(list(value ORDER BY ts, event_id) AS DOUBLE[]),
+               (acc, x) -> 0.3 * x + 0.7 * acc
+           ), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Exponentially weighted moving average per key (alpha=0.3, "
+        "s_0 = x_0): an ORDER-DEPENDENT fold no commutative aggregate can "
+        "express. One shuffle on the key, then a per-group sorted fold via "
+        "higher-order F.aggregate over the collected series — state is "
+        "O(series length per key), the same bound as any sessionization; "
+        "unbounded streams use streaming/stateful.py instead. Oracle is "
+        "DuckDB list_reduce over the identically-ordered list."
+    ),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    series = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        series,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.3) * x + F.lit(0.7) * acc
+        ),
+    )
+    return ev.groupBy("user_id").agg(F.round(ewma, 6).alias("ewma"))
