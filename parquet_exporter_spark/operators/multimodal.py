@@ -188,3 +188,46 @@ def audio_window_energy(
             )
 
     return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_average_hash(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Perceptual average-hash (aHash) for near-duplicate image detection:
+    resize to ``hash_w x hash_h`` grayscale, then bit i = pixel_i > mean,
+    packed into a 64-bit signed long. Near-duplicate images differ in a few
+    bits, so downstream dedup is a Hamming-band equi-join on hash prefixes
+    — the SimHash machinery (functions/dedup.py) applies unchanged to
+    image corpora once payloads carry real pixels.
+
+    Stub path hashes the deterministic fake resize buffer; the real path
+    would decode + grayscale + resize via Pillow first. One narrow
+    mapInPandas pass, hash arithmetic vectorized in numpy over the whole
+    Arrow batch (no per-row Python loop beyond the byte-cycling stub)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = hash_w * hash_h
+        weights = 1 << np.arange(size, dtype=np.uint64)
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real aHash requires Pillow decode; run with decode_stub=True"
+                )
+            pix = np.frombuffer(
+                b"".join(
+                    bytes((b * (size // max(len(b), 1) + 1))[:size])
+                    for b in pdf["payload"]
+                ),
+                dtype=np.uint8,
+            ).reshape(len(pdf), size)
+            bits = pix > pix.mean(axis=1, keepdims=True)
+            hashes = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": hashes.astype(np.int64)}
+            )
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -585,3 +585,69 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_days"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 27 YEAR AS shifted_ts
+        FROM events
+    ),
+    day_orders AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey,
+               round(sum(o_totalprice), 2) AS day_total
+        FROM orders
+        GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN d.o_orderdate >= e.shifted_ts - INTERVAL 30 DAY
+                THEN d.last_orderkey END AS last_orderkey,
+           CASE WHEN d.o_orderdate >= e.shifted_ts - INTERVAL 30 DAY
+                THEN d.day_total END AS day_total
+    FROM ev e
+    ASOF LEFT JOIN day_orders d
+      ON e.user_id = d.o_custkey AND e.shifted_ts >= d.o_orderdate
+    """,
+    doc=(
+        "As-of join with a tolerance bound (pandas merge_asof `tolerance` "
+        "semantics): the latest prior match counts only if it is within 30 "
+        "days, else the payload is NULL — how feature pipelines avoid "
+        "joining against stale state. Same single-shuffle union-window "
+        "plan; the right-side time rides along as payload and the bound is "
+        "a post-window expression, so tolerance costs nothing extra."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 27 YEARS")).alias("shifted_ts"),
+    )
+    day_orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            rmoney(F.sum("o_totalprice")).alias("day_total"),
+        )
+    )
+    joined = asof_join(
+        events,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="shifted_ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderdate", "last_orderkey", "day_total"],
+    )
+    within = F.col("o_orderdate").cast("timestamp") >= (
+        F.col("shifted_ts") - F.expr("INTERVAL 30 DAYS")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("last_orderkey")).alias("last_orderkey"),
+        F.when(within, F.col("day_total")).alias("day_total"),
+    )

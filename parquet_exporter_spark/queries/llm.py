@@ -616,3 +616,25 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("unit_vec"),
     )
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle=None,  # perceptual hash over the stub decode; determinism,
+    # bit-range, and near-dup Hamming behavior asserted in tests/test_llm.py.
+    doc=(
+        "Perceptual average-hash for image near-dedup: 8x8 stub-resize -> "
+        "bit per pixel-above-mean -> 64-bit signature "
+        "(operators/multimodal.py:image_average_hash). Downstream dedup "
+        "reuses the SimHash Hamming-band machinery unchanged; one narrow "
+        "Arrow pass, hashing vectorized across each batch."
+    ),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.multimodal import (
+        attach_payload,
+        image_average_hash,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return image_average_hash(attach_payload(docs))

@@ -101,3 +101,17 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old_gen.unionByName(new_gen, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big INTERSECT ALL SELECT * FROM urgent",
+    doc=(
+        "INTERSECT ALL (bag intersection, preserves multiplicity): planned "
+        "as a single hash-partitioned count-compare on the row key, the "
+        "same one-shuffle shape as EXCEPT ALL."
+    ),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.intersectAll(urgent)

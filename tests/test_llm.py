@@ -233,3 +233,21 @@ def test_pca_invariants(spark, sf_dir):
     x = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb.collect()])
     ref = (x - mean) @ comps.T
     assert np.allclose(np.sort(p[:, 0]), np.sort(ref[:, 0]), atol=1e-6)
+
+
+def test_image_ahash_deterministic_and_discriminative(spark, sf_dir):
+    from parquet_exporter_spark.operators.multimodal import (
+        attach_payload,
+        image_average_hash,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    a = {r.doc_id: r.ahash for r in image_average_hash(attach_payload(docs)).collect()}
+    b = {r.doc_id: r.ahash for r in image_average_hash(attach_payload(docs)).collect()}
+    assert a == b  # deterministic across runs
+    assert len(set(a.values())) > 1  # distinct payloads spread across hashes
+    # identical payloads hash identically: duplicate one doc's text
+    dup = docs.limit(1).unionByName(docs.limit(1))
+    h = [r.ahash for r in image_average_hash(attach_payload(dup)).collect()]
+    assert h[0] == h[1]
