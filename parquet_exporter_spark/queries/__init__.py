@@ -144,8 +144,6 @@ PRIORITY = (
     "window_frames",
     "sql_exists_correlated",
     "sql_scalar_subquery",
-    "setop_union_all",
-    "setop_intersect",
     "dedup_exact",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
