@@ -36,7 +36,15 @@ def global_row_number(
     (must be unique for deterministic ids)."""
     out_cols = df.columns
     part = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-    tagged = part.withColumn("__pid", F.spark_partition_id())
+    # Pin partition identity before it fans out to the counts branch and
+    # the data branch: AQE may coalesce the range exchange differently per
+    # branch, which would make spark_partition_id disagree between the
+    # offset table and the data. localCheckpoint materializes the
+    # partitioning once; both branches read the same blocks — the same
+    # reason RDD zipWithIndex counts and maps over one materialization.
+    tagged = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         tagged.groupBy("__pid")

@@ -244,9 +244,9 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ids_global_rownum",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity,
-           row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id
-    FROM lineitem
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_orderkey) AS row_id
+    FROM orders
     """,
     doc=(
         "Contiguous 1-based global row ids in key order WITHOUT the "
@@ -260,7 +260,8 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ids_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_exporter_spark.operators.ids import global_row_number
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-    return global_row_number(li, ["l_orderkey", "l_linenumber"], id_col="row_id")
+    # o_orderkey is unique at every SF — required: with a non-unique sort
+    # key, tie order (and therefore id assignment inside a tie) is
+    # engine-dependent.
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(o, ["o_orderkey"], id_col="row_id")

@@ -334,3 +334,16 @@ def test_asof_forward_crafted_semantics(spark):
     assert out["e2"] is None   # nothing at or after t=16
     assert out["e3"] is None   # right row is BEFORE the event
     assert out["e4"] is None   # key never seen on the right
+
+
+def test_global_rownum_deterministic_across_runs(spark, sf_dir):
+    """Ids must depend only on the sort order (unique key), not on the
+    range-partition boundary sampling: two independent runs agree row
+    for row."""
+    from parquet_exporter_spark.registry import REGISTRY
+
+    fn = REGISTRY["ids_global_rownum"].raw_fn
+    a = {r.o_orderkey: r.row_id for r in fn(spark, sf_dir).collect()}
+    b = {r.o_orderkey: r.row_id for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))

@@ -389,8 +389,15 @@ def test_global_rownum_avoids_single_partition_sort(spark, sf_dir):
     prefix-sum)."""
     df = q("ids_global_rownum", spark, sf_dir)
     plan = physical_plan(df)
-    assert "Exchange rangepartitioning" in plan
+    # The range shuffle lives inside the pinned (localCheckpoint) RDD, so
+    # the visible plan reads ExistingRDD; the only SinglePartition
+    # exchange is the O(partitions) offset prefix-sum.
+    assert "Scan ExistingRDD" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+    # the only hash exchange is the pid-count aggregate (post partial-agg,
+    # O(partitions) rows); the data side flows ExistingRDD -> join -> Arrow
+    # pass with no further shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
     assert "MapInPandas" in plan
 
 
