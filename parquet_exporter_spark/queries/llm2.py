@@ -494,3 +494,82 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 90, "train").otherwise("holdout").alias("split"),
     )
+
+
+@query(
+    "text_boilerplate_strip_rebuild",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest([array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')
+                       for i in generate_series(0, CAST(floor(len(t) / 10) AS INT) - 1)])
+                   AS chunk,
+               unnest([i for i in generate_series(0, CAST(floor(len(t) / 10) AS INT) - 1)])
+                   AS idx
+        FROM toks
+    ),
+    freq AS (
+        SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk
+    ),
+    rebuilt AS (
+        SELECT c.doc_id,
+               string_agg(CASE WHEN f.nd < 3 THEN c.chunk END, ' ' ORDER BY c.idx)
+                   AS cleaned,
+               count(*) FILTER (WHERE f.nd < 3) AS n_kept,
+               count(*) FILTER (WHERE f.nd >= 3) AS n_dropped
+        FROM ch c JOIN freq f USING (chunk)
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.cleaned, '') AS cleaned_text,
+           CAST(coalesce(r.n_kept, 0) AS INTEGER) AS n_kept_chunks,
+           CAST(coalesce(r.n_dropped, 0) AS INTEGER) AS n_dropped_chunks
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc=(
+        "Boilerplate STRIP-and-REBUILD (the CCNet/RefinedWeb line-dedup "
+        "pass): chunks appearing in >=3 documents (headers, footers, "
+        "license blurbs) are removed and each document is reassembled from "
+        "its surviving chunks in original order. Two bounded shuffles — "
+        "chunk-keyed frequency (8-byte hash keys at scale) and doc-keyed "
+        "reassembly; per-doc state is the chunk list, the same bound as "
+        "tokenization. Short documents (<10 tokens) pass through with "
+        "empty cleaned_text, counted explicitly."
+    ),
+)
+def text_boilerplate_strip_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.floor(F.size(toks) / 10).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = docs.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+    freq = ch.groupBy("chunk").agg(F.count_distinct("doc_id").alias("nd"))
+    tagged = ch.join(freq, "chunk").select(
+        "doc_id",
+        F.struct(F.col("idx"), (F.col("nd") < 3).alias("keep"), F.col("chunk")).alias(
+            "c"
+        ),
+    )
+    arr = F.array_sort(F.collect_list("c"))
+    kept = F.filter(arr, lambda s: s["keep"])
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.array_join(F.transform(kept, lambda s: s["chunk"]), " ").alias("cleaned"),
+        F.size(kept).alias("n_kept"),
+        (F.size(arr) - F.size(kept)).alias("n_dropped"),
+    )
+    return docs.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept_chunks"),
+        F.coalesce("n_dropped", F.lit(0)).cast("int").alias("n_dropped_chunks"),
+    )
