@@ -14,6 +14,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # noqa: E402
+
+# scale-critical non-headline operators whose plans are part of the
+# evidence trail (asserted in tests/test_plans.py / test_plan_audit.py)
+EXTRA = [
+    "join_asof_nearest",
+    "join_interval_overlap",
+    "ids_global_rownum",
+    "emb_standardize_dims",
+    "agg_bitmap_exact_distinct",
+    "text_boilerplate_strip_rebuild",
+]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
 
@@ -36,7 +47,7 @@ def main() -> None:
         "exchange), `WindowGroupLimit` (per-key top-k below the shuffle).",
         "",
     ]
-    for name in HEADLINE:
+    for name in [*HEADLINE, *EXTRA]:
         qd = REGISTRY.get(name)
         if qd is None:
             continue
@@ -53,7 +64,7 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md with {len(HEADLINE)} plans")
+    print(f"wrote PLANS.md with {len(HEADLINE) + len(EXTRA)} plans")
 
 
 if __name__ == "__main__":
