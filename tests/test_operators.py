@@ -347,3 +347,32 @@ def test_global_rownum_deterministic_across_runs(spark, sf_dir):
     b = {r.o_orderkey: r.row_id for r in fn(spark, sf_dir).collect()}
     assert a == b
     assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
+def test_asof_nearest_ties_go_backward_and_one_sided_matches(spark):
+    """Nearest semantics on hand-built rows: equidistant -> earlier row;
+    only-before / only-after still match; keys with no right rows -> NULL."""
+    from parquet_exporter_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 10, "mid"), (1, 3, "early"), (1, 30, "late"), (2, 5, "lonely")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 80.0), (1, 12, 120.0), (1, 28, 280.0)],
+        "k long, t long, payload double",
+    )
+    out = {
+        r.tag: r.payload
+        for r in asof_join_nearest(
+            left, right, "k", "k", "t", "t", ["payload"]
+        ).collect()
+    }
+    # t=10: dist 2 to both 8 and 12 -> tie goes BACKWARD (80.0)
+    assert out["mid"] == 80.0
+    # t=3: nothing before, nearest after is 8
+    assert out["early"] == 80.0
+    # t=30: nearest is 28 (dist 2) vs 12 (dist 18)
+    assert out["late"] == 280.0
+    # key 2 has no right rows at all
+    assert out["lonely"] is None
