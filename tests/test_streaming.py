@@ -327,3 +327,45 @@ def test_stream_stream_interval_join(spark, events_dir):
         assert got > 0
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Exactly-once resume across a query restart: the checkpoint's file-
+    source offsets mean a restarted query processes ONLY data that arrived
+    while it was down — nothing is replayed into the sink twice."""
+    watch = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(watch)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        stream.awaitTermination(120)
+
+    _write_events(
+        spark,
+        [(i, t0 + timedelta(seconds=i), 1, "click", 1.0, "{}") for i in range(5)],
+        watch,
+        "batch1.parquet",
+    )
+    run_available_now()
+    _write_events(
+        spark,
+        [(i, t0 + timedelta(seconds=i), 1, "click", 1.0, "{}") for i in range(5, 8)],
+        watch,
+        "batch2.parquet",
+    )
+    run_available_now()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 + 3, batch1 not replayed on restart
+    assert got.select("event_id").distinct().count() == 8
