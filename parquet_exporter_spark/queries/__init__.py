@@ -42,6 +42,17 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # Queries with a green (or no_oracle-by-design) row in a past round's
 # CORRECTNESS_r{N}.json. Kept at the back of the registry so the driver's
 # per-round check budget lands on still-unverified queries.
+#
+# NEXT ROUND: after CORRECTNESS_r03.json lands, fold its green names
+# (expected: the PRIORITY block above) into this set, then promote the
+# next ~50 never-checked names into PRIORITY — suggested order: remaining
+# windows/subqueries/setops/relational, reference_parity, the rest of the
+# llm/llm2/llm3/llm4 families, timeseries, sampling, streaming, udfs,
+# sqlsurface, dq, graph, and the round-3 additions (join_asof_nearest,
+# join_interval_overlap, join_asof_tolerance, ids_global_rownum,
+# emb_standardize_dims, dedup_near_keep_canonical, geo_nearest_climbs,
+# timeseries_ewma, agg_bitmap_exact_distinct, setop_intersect_all,
+# text_boilerplate_strip_rebuild).
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---
