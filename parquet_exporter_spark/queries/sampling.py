@@ -100,3 +100,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("source", STRATA_FRACTIONS, seed=42).select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS shuffle_pos
+    FROM documents
+    """,
+    doc=(
+        "Deterministic global corpus shuffle: pre-training wants examples "
+        "in a reproducible pseudo-random order, which is exactly 'assign "
+        "contiguous positions in md5(doc_id) order'. Composes the global "
+        "row-id operator (operators/ids.py) over the hash key — one range "
+        "shuffle, no single-partition sort, same order every run and every "
+        "engine."
+    ),
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.ids import global_row_number
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__k")
+    )
+    return global_row_number(docs, ["__k", "doc_id"], id_col="shuffle_pos").select(
+        "doc_id", "source", "shuffle_pos"
+    )

@@ -221,3 +221,34 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_total": 250000, "prio": "1-%"},
     )
+
+
+@query(
+    "sql_identifier_template",
+    oracle="""
+    SELECT o_orderpriority AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Templated table/column names via the IDENTIFIER() clause "
+        "(Spark 3.5+): the safe way to write generic per-table/per-column "
+        "jobs (profilers, exporters) — names bind as parameters, not "
+        "string-spliced SQL, so there is no injection surface and the "
+        "analyzed plan is identical to the hand-written query."
+    ),
+)
+def sql_identifier_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS key,
+               count(*) AS n,
+               round(avg(IDENTIFIER(:val)), 2) AS avg_total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"col": "o_orderpriority", "val": "o_totalprice", "tbl": "orders"},
+    )
