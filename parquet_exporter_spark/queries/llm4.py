@@ -661,3 +661,65 @@ def emb_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(z).alias("pos", "z"))
         .select("vec_id", "pos", "z")
     )
+
+
+def _rademacher_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic +-1 projection matrix from md5 parity — engine-
+    independent, embedded as literals on BOTH sides like the PCA
+    components, so the projection is oracle-checked exactly."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{k}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+_JL_OUT, _JL_IN = 8, 64
+_JL_SIGNS = _rademacher_signs(_JL_OUT, _JL_IN)
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(
+               f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+               f"[{', '.join(f'{s}.0' for s in _JL_SIGNS[k])}]) / 8.0, 6) AS d{k}"
+               for k in range(_JL_OUT)
+           )}
+    FROM embeddings
+    """,
+    doc=(
+        "Johnson-Lindenstrauss random projection 64d -> 8d with a "
+        "deterministic Rademacher (+-1) matrix scaled by 1/sqrt(64): the "
+        "cheap dimensionality reduction for coarse clustering / ANN "
+        "pre-filtering when PCA's data pass is not worth it. The matrix "
+        "is data-independent literals, so the whole operator is a narrow "
+        "per-row expression — zero shuffles, and unlike PCA it needs no "
+        "fit job at all. Oracle computes the identical dot products via "
+        "DuckDB list_dot_product."
+    ),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(s)) for s in _JL_SIGNS[k]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / 8.0,
+            6,
+        ).alias(f"d{k}")
+        for k in range(_JL_OUT)
+    ]
+    return emb.select("vec_id", *cols)
