@@ -638,3 +638,61 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return image_average_hash(attach_payload(docs))
+
+
+_LSH_P_HASHES, _LSH_P_BAND = 8, 2
+
+
+@query(
+    "dedup_minhash_lsh_pairs_portable",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {D.sql_char_shingles("text")} AS s FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hashed AS (SELECT doc_id, {D.sql_base_hash_31("shingle")} AS h FROM ex),
+    seeds AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.hash_coefficients(_LSH_P_HASHES)))})
+               AS t(seed, a, b)
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a * h + b) % {D.MERSENNE_31}) AS mh
+        FROM hashed CROSS JOIN seeds
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {_LSH_P_BAND} AS band,
+               array_to_string(list(mh ORDER BY seed), ',') AS band_sig
+        FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.3
+    """,
+    doc=(
+        "The ENTIRE MinHash-LSH near-dup pipeline — shingle, sign, band, "
+        "candidate equi-join, exact-Jaccard verify — on engine-portable "
+        "arithmetic, hash-matched against a full DuckDB CTE replica. This "
+        "is the correctness witness for the production xxhash64 variant "
+        "(dedup_minhash_lsh_pairs), which has the identical shape but "
+        "private 64-bit hashing. Band signature is the band's minhash "
+        "tuple itself, so no cross-engine hash is ever needed for "
+        "candidate generation."
+    ),
+)
+def dedup_minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_portable(
+        docs, n_hashes=_LSH_P_HASHES, band_size=_LSH_P_BAND, jaccard_threshold=0.3
+    )
