@@ -261,13 +261,59 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(queries_df, emb, k=10)
 
 
+def _lsh_topk_oracle(k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
+    """Full SQL replica of S.lsh_topk: the hyperplanes are deterministic
+    (LCG) and embedded as literal lists, bucket bits come from the same
+    sign tests, candidates from the same (table, bucket) self-join, and
+    the re-rank is the shared rounded-cosine + id tiebreak — so even the
+    APPROXIMATE ANN path is hash-matched, not just recall-tested."""
+    arms = []
+    for t in range(n_tables):
+        planes = S.random_hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(x) for x in plane)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        arms.append(f"SELECT vec_id, embedding, {t} AS t, {bits} AS b FROM v")
+    union = "\n        UNION ALL ".join(arms)
+    cos = S.sql_cosine("q.embedding", "n.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    bkt AS (
+        {union}
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+        FROM bkt l JOIN bkt r
+          ON l.t = r.t AND l.b = r.b AND l.vec_id <> r.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, round({cos}, 6) AS cos_sim
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
 @query(
     "similarity_lsh_topk",
-    oracle=None,  # approximate: bucket boundaries are implementation-
-    # defined; recall vs brute force asserted in tests/test_llm.py.
+    oracle=_lsh_topk_oracle(),
     doc=(
         "ANN top-k via random-hyperplane LSH buckets: within-bucket scoring "
-        "only — the 100 TB path replacing the O(n^2) cross join."
+        "only — the 100 TB path replacing the O(n^2) cross join. The "
+        "hyperplanes are deterministic, so the WHOLE approximate pipeline "
+        "(bucketing, candidate join, rounded-cosine re-rank) is "
+        "hash-matched against a full DuckDB replica, plus the recall-vs-"
+        "brute-force property test."
     ),
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
