@@ -26,6 +26,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm2,
     llm3,
     llm4,
+    llm5,
     sqlsurface,
     dq,
     timeseries,

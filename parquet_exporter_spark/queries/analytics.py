@@ -115,3 +115,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+    """,
+    doc=(
+        "Robust outlier detection via Median Absolute Deviation "
+        "(Iglewicz-Hoaglin modified z-score, |0.6745*(x-med)/MAD| > 3.5) "
+        "— unlike mean/stddev z-scores (outlier_zscore), the cutoff "
+        "itself is not dragged by the outliers it hunts. Both medians "
+        "are rounded before reuse so downstream arithmetic is "
+        "engine-exact. Shape: two tiny per-type aggregates (exact "
+        "percentile; at 100 TB swap approx_percentile) broadcast back "
+        "onto the stream — the fact table never shuffles."
+    ),
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    z = F.round(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", z.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+    )

@@ -188,3 +188,108 @@ def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
     rows = [(t, tables.table_rowcount(sf_dir, t)) for t in names]
     return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
+N_PSI_BINS = 10
+PSI_EPS = 0.5  # Laplace-style smoothing count per bin (avoids ln(0))
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(ts) AS lo_ts, max(ts) AS hi_ts,
+               min(value) AS lo_v, max(value) AS hi_v
+        FROM events
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(e.ts) * 2 < epoch_us(b.lo_ts) + epoch_us(b.hi_ts)
+                    THEN 'ref' ELSE 'cur' END AS period,
+               least({N_PSI_BINS} - 1, greatest(0, CAST(floor(
+                   (e.value - b.lo_v) / ((b.hi_v - b.lo_v) / {N_PSI_BINS})
+               ) AS INTEGER))) AS bin
+        FROM events e CROSS JOIN bounds b
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM binned GROUP BY event_type, bin
+    ),
+    totals AS (
+        SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(
+               (((c.n_cur + {PSI_EPS}) / (t.t_cur + {PSI_EPS} * {N_PSI_BINS}))
+                - ((c.n_ref + {PSI_EPS}) / (t.t_ref + {PSI_EPS} * {N_PSI_BINS})))
+               * ln(((c.n_cur + {PSI_EPS}) / (t.t_cur + {PSI_EPS} * {N_PSI_BINS}))
+                    / ((c.n_ref + {PSI_EPS}) / (t.t_ref + {PSI_EPS} * {N_PSI_BINS})))
+           ), 6) AS psi,
+           CAST(max(t.t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t.t_cur) AS BIGINT) AS n_cur
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type
+    """,
+    doc=(
+        "Distribution-drift detection via Population Stability Index: "
+        "events are split at the time-range midpoint into reference/"
+        "current halves, `value` is equal-width binned, and per "
+        "event_type PSI = sum (p_cur - p_ref) * ln(p_cur / p_ref) with "
+        "Laplace-smoothed bin shares. The monitoring pass a production "
+        "training-data pipeline runs between snapshots. Shape: one 4-"
+        "value global aggregate broadcast back, then counts keyed on "
+        "(event_type, bin) — cardinality ~types*bins, so at 100 TB the "
+        "only full-data cost is one scan with map-side partial counts."
+    ),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo_ts"),
+        F.max("ts").alias("hi_ts"),
+        F.min("value").alias("lo_v"),
+        F.max("value").alias("hi_v"),
+    )
+    epoch = F.unix_micros  # exact integer microseconds, matches epoch_us
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            epoch(F.col("ts")) * 2 < epoch(F.col("lo_ts")) + epoch(F.col("hi_ts")),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.lit(N_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    / ((F.col("hi_v") - F.col("lo_v")) / N_PSI_BINS)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    denom_r = F.col("t_ref") + PSI_EPS * N_PSI_BINS
+    denom_c = F.col("t_cur") + PSI_EPS * N_PSI_BINS
+    p_ref = (F.col("n_ref") + PSI_EPS) / denom_r
+    p_cur = (F.col("n_cur") + PSI_EPS) / denom_c
+    return (
+        counts.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+            F.max("t_ref").cast("long").alias("n_ref"),
+            F.max("t_cur").cast("long").alias("n_cur"),
+        )
+    )

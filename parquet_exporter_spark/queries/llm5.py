@@ -1,0 +1,137 @@
+"""Training-data pipeline operators, part 5: BPE-style token estimation
+and sliding-window document chunking.
+
+Completes the token-counting contract from the build spec ("whitespace +
+a BPE-ish regex"): `text_token_stats` (llm.py) covers the whitespace
+side; `text_bpe_token_estimate` here segments with a GPT-2-style
+pre-tokenizer regex (contractions, letter runs, digit runs, symbol runs)
+— the standard cheap proxy for subword token counts when budgeting a
+corpus without shipping a tokenizer model to executors.
+`text_chunk_sliding` is the RAG/pre-training chunker: fixed-size
+overlapping token windows with deterministic (doc_id, chunk_ix) identity.
+
+Both are pure Catalyst expressions (regexp_extract_all, sequence/slice
+higher-order functions) — per-row, zero shuffles, whole-stage codegen;
+the chunker's only data growth is the ~C/S duplication factor inherent
+to overlapping windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree: common English contraction suffixes, then letter runs,
+# digit runs, and non-space symbol runs. Both engines use leftmost-first
+# ordered alternation, so segmentation is identical.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+# SQL string literal: single quote doubled.
+_SQL_BPE = BPE_PATTERN.replace("'", "''")
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({T.sql_tokens('text')}) AS BIGINT) AS n_ws_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{_SQL_BPE}')), 1), 6)
+               AS chars_per_token,
+           round(CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS DOUBLE)
+                 / greatest(len({T.sql_tokens('text')}), 1), 6)
+               AS fertility
+    FROM documents
+    """,
+    doc=(
+        "BPE-ish token counting (spec item): GPT-2-style pre-tokenizer "
+        "segmentation via one regexp_extract_all per row — contraction "
+        "suffixes, letter runs, digit runs, symbol runs. n_bpe_tokens "
+        "approximates subword token counts for corpus budgeting; "
+        "fertility (bpe/whitespace ratio) and chars_per_token are the "
+        "standard tokenizer-health diagnostics. Per-row expression, no "
+        "shuffle, no Python."
+    ),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    n_bpe = F.size(bpe)
+    n_ws = F.size(T.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+        F.round(n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)), 6).alias(
+            "fertility"
+        ),
+    )
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {T.sql_tokens('text')} AS toks,
+               len({T.sql_tokens('text')}) AS n
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(list_filter(
+                   generate_series(1, greatest(n, 1), {CHUNK_STRIDE}),
+                   s -> s = 1 OR s + {CHUNK_TOKENS - CHUNK_STRIDE - 1} < n
+               )) AS start
+        FROM s
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS - 1}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS - 1}),
+                           ' ') AS chunk_text
+    FROM st
+    """,
+    doc=(
+        f"Sliding-window document chunking for RAG / pre-training: "
+        f"{CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens "
+        f"({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap), deterministic "
+        "(doc_id, chunk_ix) identity, trailing window kept only when it "
+        "adds uncovered tokens. sequence -> filter -> explode -> slice: "
+        "all higher-order Catalyst lambdas, per-row fan-out with no "
+        "shuffle; output size is input x ~stride ratio, the inherent "
+        "overlap cost."
+    ),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 1) | (s + F.lit(CHUNK_TOKENS - CHUNK_STRIDE - 1) < n),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return (
+        base.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / CHUNK_STRIDE).alias("chunk_ix"),
+            F.col("start").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

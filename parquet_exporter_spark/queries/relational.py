@@ -265,3 +265,67 @@ def ids_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-dependent.
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return global_row_number(o, ["o_orderkey"], id_col="row_id")
+
+
+PAGE_SIZE = 25
+PAGE_OFFSET = 50
+# Keyset cursor = last row of the OFFSET page recipe's second page at any
+# SF: a mid-1995 date that exists in every generation of the testdata.
+KEYSET_DATE = "1995-06-15 00:00:00"
+
+
+@query(
+    "page_limit_offset",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
+    """,
+    doc=(
+        "OFFSET pagination (ORDER BY ... LIMIT k OFFSET n): the API-"
+        "compatibility surface. Total order is (date, key) so the page "
+        "is deterministic. Scale note: OFFSET must still produce the "
+        "first n+k rows of the global order — cost grows with page "
+        "depth; page_keyset is the constant-cost form."
+    ),
+)
+def page_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(PAGE_OFFSET)
+        .limit(PAGE_SIZE)
+    )
+
+
+@query(
+    "page_keyset",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '{KEYSET_DATE}', 0)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {PAGE_SIZE}
+    """,
+    doc=(
+        "Keyset (cursor) pagination: WHERE (date, key) > cursor ORDER BY "
+        "(date, key) LIMIT k. The date bound pushes to the parquet scan "
+        "(min/max row-group skipping) and the limit runs as "
+        "TakeOrderedAndProject — constant cost per page regardless of "
+        "depth, the pagination pattern that survives 100 TB."
+    ),
+)
+def page_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.lit(KEYSET_DATE).cast("timestamp")
+    after_cursor = (F.col("o_orderdate") > d) | (
+        (F.col("o_orderdate") == d) & (F.col("o_orderkey") > 0)
+    )
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .filter(after_cursor)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )

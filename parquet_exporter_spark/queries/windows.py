@@ -228,3 +228,45 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .filter(F.abs(F.col("z")) >= 2.5)
     )
+
+
+@query(
+    "window_count_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_distinct_users
+    FROM events
+    """,
+    doc=(
+        "Running COUNT(DISTINCT) over a window — Spark forbids DISTINCT "
+        "aggregates in window frames, so the engine rewrites it as the "
+        "first-occurrence trick: row_number()=1 per (type, user) flags "
+        "each user's first event, and a running sum of flags over the "
+        "same total order IS the running distinct count. Two window "
+        "passes over one shuffle keyed on event_type (the second sort "
+        "on (ts, event_id) reuses the partitioning). Oracle uses "
+        "DuckDB's native DISTINCT window aggregate."
+    ),
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = (F.row_number().over(w_first) == 1).cast("long")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.col("ts"),
+        first_seen.alias("__first"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.sum("__first").over(w_run).cast("long").alias("running_distinct_users"),
+    )
