@@ -277,19 +277,22 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
     )
-    totals = counts.groupBy("event_type").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    # Per-type totals as a window over the tiny counts table (types x bins
+    # rows) rather than a groupBy + self-join: reusing `counts` on both
+    # sides of a join would duplicate the whole events-scan subtree in the
+    # physical plan — two scans of the fact table instead of one.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    enriched = counts.withColumn("t_ref", F.sum("n_ref").over(w)).withColumn(
+        "t_cur", F.sum("n_cur").over(w)
     )
     denom_r = F.col("t_ref") + PSI_EPS * N_PSI_BINS
     denom_c = F.col("t_cur") + PSI_EPS * N_PSI_BINS
     p_ref = (F.col("n_ref") + PSI_EPS) / denom_r
     p_cur = (F.col("n_cur") + PSI_EPS) / denom_c
-    return (
-        counts.join(totals, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
-            F.max("t_ref").cast("long").alias("n_ref"),
-            F.max("t_cur").cast("long").alias("n_cur"),
-        )
+    return enriched.groupBy("event_type").agg(
+        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
     )

@@ -55,6 +55,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row packed dimension-stats aggregate broadcast back to the "
         "corpus; cardinality = 1 regardless of data size",
     ),
+    "dq_drift_psi": (
+        {"bnlj"},
+        "1-row min/max bounds aggregate broadcast back onto the stream "
+        "for binning; cardinality = 1 regardless of data size",
+    ),
     "funnel_three_step": (
         {"bnlj", "single_partition_x3"},
         "three 1-row stage counts gathered then cross-joined into the "
