@@ -246,9 +246,10 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first-occurrence trick: row_number()=1 per (type, user) flags "
         "each user's first event, and a running sum of flags over the "
         "same total order IS the running distinct count. Two window "
-        "passes over one shuffle keyed on event_type (the second sort "
-        "on (ts, event_id) reuses the partitioning). Oracle uses "
-        "DuckDB's native DISTINCT window aggregate."
+        "passes, two exchanges: one keyed (type, user) for the flags, "
+        "one keyed type for the running sum — versus the naive "
+        "distinct-set-per-frame approach which is quadratic. Oracle "
+        "uses DuckDB's native DISTINCT window aggregate."
     ),
 )
 def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

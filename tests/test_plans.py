@@ -408,3 +408,33 @@ def test_standardize_dims_stats_shuffle_is_dimension_bounded(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 1  # groupBy(pos) only
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_keyset_page_pushes_cursor_and_takes_ordered(spark, sf_dir):
+    df = q("page_keyset", spark, sf_dir)
+    assert has_pushed_filters(df)  # (date, key) cursor reaches the scan
+    assert uses_take_ordered(df)  # heap top-k, no global sort
+    assert count_shuffles(df) == 0
+
+
+def test_chunking_is_narrow_zero_shuffle(spark, sf_dir):
+    df = q("text_chunk_sliding", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_psi_single_fact_scan_and_partial_counts(spark, sf_dir):
+    df = q("dq_drift_psi", spark, sf_dir)
+    plan = formatted_plan(df)
+    # two events scans: the 4-value bounds pass (inherent — bin edges
+    # must exist before binning) and the binned-counts pass. The totals
+    # window (not a groupBy self-join) keeps it from becoming three.
+    assert plan.count("Location: InMemoryFileIndex [file:") == 2, plan
+    assert has_partial_aggregation(df)
+
+
+def test_running_distinct_two_keyed_exchanges(spark, sf_dir):
+    df = q("window_count_distinct", spark, sf_dir)
+    # one (type, user) exchange for first-occurrence flags, one (type)
+    # exchange for the running sum — and nothing else (no global window)
+    assert count_shuffles(df) == 2
+    assert "SinglePartition" not in physical_plan(df)

@@ -24,6 +24,10 @@ EXTRA = [
     "emb_standardize_dims",
     "agg_bitmap_exact_distinct",
     "text_boilerplate_strip_rebuild",
+    "text_chunk_sliding",
+    "dq_drift_psi",
+    "page_keyset",
+    "window_count_distinct",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
