@@ -296,3 +296,47 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_ref").cast("long").alias("n_ref"),
         F.max("t_cur").cast("long").alias("n_cur"),
     )
+
+
+@query(
+    "profile_numeric_correlations",
+    oracle="""
+    SELECT col_a, col_b, corr_val FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               round(corr(l_quantity, l_discount), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               round(corr(l_extendedprice, l_discount), 6)
+        FROM lineitem
+    )
+    """,
+    doc=(
+        "Pairwise correlation matrix over the numeric columns, long "
+        "format (col_a, col_b, corr) — the multivariate profiling pass "
+        "that catches redundant or leaking features before training. "
+        "All three co-moment aggregates run in ONE scan of the fact "
+        "table (single agg node, map-side partials); the oracle's "
+        "three-scan UNION is the portable but slower equivalent."
+    ),
+)
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "'l_quantity', 'l_extendedprice', qty_price, "
+            "'l_quantity', 'l_discount', qty_disc, "
+            "'l_extendedprice', 'l_discount', price_disc) "
+            "AS (col_a, col_b, corr_val)"
+        )
+    )

@@ -479,3 +479,39 @@ def fn_try_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("try_div"),
         F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
     )
+
+
+@query(
+    "fn_mask_redact",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'), '[0-9]', '#', 'g')
+               AS segment_masked
+    FROM customer
+    """,
+    doc=(
+        "Data masking for governed exports: Spark's mask() maps upper/"
+        "lower/digit character classes to fixed replacements while "
+        "preserving string shape (length, punctuation) — the standard "
+        "de-identification transform for sharing datasets with "
+        "format-dependent consumers. Per-row expression, zero shuffles. "
+        "Oracle replays the class mapping as chained regexp_replace "
+        "(digits replaced last so replacement letters survive)."
+    ),
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        F.mask(
+            F.col("c_mktsegment"),
+            F.lit("Q"),
+            F.lit("q"),
+            F.lit("#"),
+        ).alias("segment_masked"),
+    )
