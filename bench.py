@@ -59,10 +59,12 @@ def main() -> None:
         # 100 TB design point, like session startup which is already
         # excluded). Timed runs then measure steady-state plan+execute.
         fn(spark, sf_dir).count()
-        # best of 3: this box shows multi-second background-load spikes —
-        # min of 3 keeps one noisy run from dominating the recorded number
+        # best of 5: this box shows multi-second background-load spikes —
+        # taking the min keeps a noisy minute from dominating the recorded
+        # number (warm runs are ~0.1-0.5 s each, so the extra repetitions
+        # cost ~10 s total wall)
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             # count() forces full execution of every operator in the plan
             # while keeping driver materialization O(1).
