@@ -369,3 +369,55 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8  # 5 + 3, batch1 not replayed on restart
     assert got.select("event_id").distinct().count() == 8
+
+
+def test_streaming_drift_monitor_flags_shifted_batches(spark, tmp_path):
+    """A micro-batch drawn from the reference distribution scores a low
+    PSI; a batch shifted out of the reference's bins scores high and
+    trips the alert. Scoring happens per micro-batch with only n_bins
+    histogram rows leaving the executors."""
+    from datetime import datetime, timedelta
+
+    from parquet_exporter_spark.streaming.drift import (
+        histogram_dict,
+        monitor_drift,
+    )
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    lo, hi, n_bins = 0.0, 100.0, 10
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(values, start_id):
+        return [
+            (start_id + i, t0 + timedelta(seconds=i), 1, "view", float(v), "{}")
+            for i, v in enumerate(values)
+        ]
+
+    # reference: uniform over [0, 100)
+    ref_vals = [(i * 7919) % 100 for i in range(500)]
+    ref_df = spark.createDataFrame(rows(ref_vals, 0), EVENTS_SCHEMA)
+    reference = histogram_dict(ref_df, "value", lo, hi, n_bins)
+
+    directory = str(tmp_path / "drift_stream")
+    os.makedirs(directory)
+    # batch 0: same distribution; batch 1: all mass in the top bin
+    _write_events(spark, rows(ref_vals, 10_000), directory, "b0.parquet")
+
+    results: list = []
+    stream = read_stream(spark, directory, max_files_per_trigger=1)
+    q = monitor_drift(stream, reference, "value", lo, hi, n_bins, results)
+    try:
+        q.processAllAvailable()
+        _write_events(
+            spark, rows([95.0] * 500, 20_000), directory, "b1.parquet"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(results) == 2
+    (b0, n0, psi0, alert0), (b1, n1, psi1, alert1) = sorted(results)
+    assert n0 == 500 and n1 == 500
+    assert psi0 < 0.01 and not alert0  # same distribution: no drift
+    assert psi1 > 1.0 and alert1  # mass collapsed into one bin: loud alarm
+    assert psi1 > psi0
