@@ -469,3 +469,34 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum(F.bitmap_count("bm")).alias("n_orders")
     )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty,
+           round(avg(l_quantity), 6) AS arith_mean_qty
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Geometric mean via the log identity exp(avg(ln(x))) — the "
+        "correct average for multiplicative quantities (growth rates, "
+        "ratios) where the arithmetic mean overstates. Positivity filter "
+        "pushed to the scan; one map-side partial aggregate; both "
+        "engines compute the identical composition so rounding to 6 "
+        "absorbs only summation-order noise."
+    ),
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.exp(F.avg(F.log("l_quantity"))), 6).alias("geo_mean_qty"),
+            F.round(F.avg("l_quantity"), 6).alias("arith_mean_qty"),
+        )
+    )

@@ -115,3 +115,17 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, urgent = _subsets(spark, sf_dir)
     return big.intersectAll(urgent)
+
+
+@query(
+    "setop_except_distinct",
+    oracle=f"WITH {_ORACLE_SUBSETS} SELECT * FROM big EXCEPT SELECT * FROM urgent",
+    doc=(
+        "EXCEPT DISTINCT (set difference: distinct left rows absent from "
+        "the right) — DataFrame `subtract`, planned as a dedup + left "
+        "anti join on all columns."
+    ),
+)
+def setop_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big, urgent = _subsets(spark, sf_dir)
+    return big.subtract(urgent)

@@ -315,3 +315,66 @@ def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@query(
+    "stream_session_window_dynamic",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+                    ELSE INTERVAL 5 MINUTE END AS gap
+        FROM events
+    ),
+    pe AS (
+        SELECT user_id, ts, ts + gap AS w_end,
+               max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_end
+        FROM base
+    ),
+    isl AS (
+        SELECT user_id, ts, w_end,
+               sum(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM pe
+    )
+    SELECT min(ts) AS session_start,
+           max(w_end) AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n
+    FROM isl
+    GROUP BY user_id, island
+    """,
+    doc=(
+        "Dynamic-gap session windows (Spark 3.2+/4): the session gap is "
+        "a per-EVENT expression — purchases hold a session open 10 "
+        "minutes, everything else 5 — so high-intent activity tolerates "
+        "longer pauses. Session end = max(ts + own gap) over the merged "
+        "events, and the merge rule is the closed-boundary running-max "
+        "form (an event at exactly the current session end still "
+        "extends it), matching the static-gap semantics pinned in "
+        "tests/test_streaming.py. The oracle replays the merge as "
+        "running-max gaps-and-islands; the result is invariant to "
+        "tie-order among equal timestamps because an equal-ts event "
+        "always lands inside its twin's window."
+    ),
+)
+def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
