@@ -128,3 +128,60 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(docs, ["__k", "doc_id"], id_col="shuffle_pos").select(
         "doc_id", "source", "shuffle_pos"
     )
+
+
+MIX_TEMPERATURE = 0.7  # the standard multilingual-mixing alpha
+
+
+@query(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(len({T.sql_tokens('text')})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    powered AS (
+        SELECT source, n_tokens,
+               pow(n_tokens, {MIX_TEMPERATURE}) AS p
+        FROM per_source
+    )
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM powered), 6)
+               AS raw_share,
+           round(p / (SELECT sum(p) FROM powered), 6) AS temp_share,
+           round((p / (SELECT sum(p) FROM powered))
+                 / (CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM powered)),
+                 6) AS upsample_factor
+    FROM powered
+    """,
+    doc=(
+        "Temperature-scaled mixture weights (alpha = 0.7): sampling "
+        "shares proportional to tokens^alpha instead of tokens — the "
+        "published recipe for up-weighting low-resource sources in a "
+        "multilingual/multi-domain corpus without letting any one "
+        "source dominate. upsample_factor > 1 marks the sources the "
+        "temperature boosts. Shape: one partial-agg scan to per-source "
+        "token counts (cardinality = |sources|), then window totals "
+        "over that tiny table — the corpus shuffles nothing bigger "
+        "than its source list."
+    ),
+)
+def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    powered = per_source.withColumn(
+        "p", F.pow(F.col("n_tokens"), F.lit(MIX_TEMPERATURE))
+    )
+    w = Window.partitionBy()
+    raw_share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    temp_share = F.col("p") / F.sum("p").over(w)
+    return powered.select(
+        "source",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("upsample_factor"),
+    )

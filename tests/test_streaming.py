@@ -421,3 +421,49 @@ def test_streaming_drift_monitor_flags_shifted_batches(spark, tmp_path):
     assert psi0 < 0.01 and not alert0  # same distribution: no drift
     assert psi1 > 1.0 and alert1  # mass collapsed into one bin: loud alarm
     assert psi1 > psi0
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir, events_dir):
+    """The per-event-gap session aggregation produces identical sessions
+    run as a stream replay (complete mode) and as the registered batch
+    query — pinning that dynamic-gap session merging is deterministic
+    under micro-batched arrival."""
+    from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+    from parquet_exporter_spark.streaming.windows import read_stream
+
+    _ensure_loaded()
+
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    stream = (
+        read_stream(spark, events_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dyn_session_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.session_start, r.session_end, r.user_id): r.n
+            for r in spark.sql("SELECT * FROM dyn_session_out").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.session_start, r.session_end, r.user_id): r.n
+        for r in REGISTRY["stream_session_window_dynamic"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
