@@ -247,3 +247,100 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index as a PARTITIONED PARQUET LAYOUT: the corpus
+    (unit-normalized) hive-partitioned by k-means cell under
+    ``<path>/vectors/cell=<i>/``, centroids under ``<path>/centroids``.
+
+    The index IS the directory structure — a probe is a parquet read with
+    a ``cell IN (...)`` predicate that Spark resolves by PARTITION
+    PRUNING, so serving touches only n_probes/n_centroids of the files.
+    This is the batch-engine equivalent of an ANN index file: build cost
+    amortizes across every later probe, and the layout co-locates each
+    cell's vectors for sequential scanning. At 100 TB: fit KMeans on a
+    sample, and size n_centroids so each cell is a few files.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v0"),
+        norm(F.col(vec)).alias("__n"),
+    ).select(
+        "id",
+        F.transform("v0", lambda x: x.cast("double") / F.col("__n")).alias("v"),
+    )
+    featurized = normed.withColumn("__fv", array_to_vector("v"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="cell"
+    ).fit(featurized)
+    (
+        model.transform(featurized)
+        .select("id", "v", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Serve one ANN query from a persisted IVF index.
+
+    Probe-cell selection runs driver-side over the BOUNDED centroid table
+    (n_centroids rows — catalog-sized, like reading an index header);
+    the corpus itself is touched only through the pruned parquet read.
+    Returns (neighbor_id, cos_sim, rnk) for the k nearest by cosine.
+    """
+    import math
+    import os
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    q = [x / qn for x in query_vec]
+    # nearest cells for a unit query: rank by |c|^2 - 2 q.c ascending
+    ranked = sorted(
+        (
+            sum(c * c for c in r.centroid) - 2.0 * sum(a * b for a, b in zip(q, r.centroid)),
+            r.cell,
+        )
+        for r in centroids
+    )
+    probe_cells = [cell for _, cell in ranked[:n_probes]]
+
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = vectors.select(
+        "neighbor_id" if "neighbor_id" in vectors.columns else F.col("id").alias("neighbor_id"),
+        F.round(dot(qcol, F.col("v")), 6).alias("cos_sim"),
+    )
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition heaps,
+    # no single-partition sort of the probed cells); ranks are then a
+    # window over only the k surviving rows.
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id")).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -509,3 +509,68 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_index_layout_prunes_partitions_and_matches_bruteforce(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF index is a hive layout partitioned by cell: a
+    probe's cell IN (...) predicate resolves by partition pruning (the
+    scan's PartitionFilters, not a data filter), and probing ALL cells
+    reproduces the exact brute-force ranking."""
+    import os
+
+    from parquet_exporter_spark.functions.similarity import (
+        dot,
+        norm,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    n_centroids = 8
+    write_ivf_index(emb, path, n_centroids=n_centroids)
+
+    # layout: one directory per cell
+    cells = [
+        d for d in os.listdir(os.path.join(path, "vectors")) if d.startswith("cell=")
+    ]
+    assert len(cells) == n_centroids
+
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow.embedding]
+
+    probed = probe_ivf_index(spark, path, qvec, k=5, n_probes=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # pruning happens at the partition level: the cell predicate appears
+    # as PartitionFilters on the scan
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    rows = probed.collect()
+    assert len(rows) == 5
+    assert all(rows[i].cos_sim >= rows[i + 1].cos_sim for i in range(len(rows) - 1))
+
+    # probing every cell = exact search: equals brute-force cosine top-5
+    all_probed = {
+        (r.neighbor_id, r.cos_sim)
+        for r in probe_ivf_index(
+            spark, path, qvec, k=5, n_probes=n_centroids
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    qn = F.sqrt(sum(F.lit(x) * F.lit(x) for x in qvec))
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    brute = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(qcol, F.col("embedding")) / (qn * norm(F.col("embedding"))), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        .limit(5)
+    )
+    expected = {(r.neighbor_id, r.cos_sim) for r in brute.collect()}
+    assert all_probed == expected
