@@ -135,3 +135,70 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+# --- exact set-similarity join (prefix filtering / AllPairs family) ----
+
+from parquet_exporter_spark.functions.dedup import (  # noqa: E402
+    prefix_filter_jaccard_pairs,
+    sql_char_shingles,
+)
+
+_SQL_SH = sql_char_shingles("text")
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SQL_SH} AS sh
+        FROM documents
+        WHERE len({_SQL_SH}) > 0
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    ordered AS (
+        SELECT doc_id, list(s ORDER BY df, s) AS lst
+        FROM ex JOIN dfreq USING (s) GROUP BY doc_id
+    ),
+    sized AS (
+        SELECT doc_id, lst, len(lst) AS n,
+               len(lst) - CAST(floor((4 * len(lst) + 4) / 5) AS INTEGER) + 1 AS p
+        FROM ordered
+    ),
+    pref AS (
+        SELECT doc_id, unnest(list_slice(lst, 1, p)) AS s FROM sized
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.lst, sb.lst)) AS inter,
+               sa.n AS na, sb.n AS nb
+        FROM cand
+        JOIN sized sa ON cand.doc_a = sa.doc_id
+        JOIN sized sb ON cand.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8
+    """,
+    doc=(
+        "EXACT near-duplicate pairs (shingle Jaccard >= 0.8) via prefix "
+        "filtering, the AllPairs/PPJoin algorithm: shingles globally "
+        "ordered rarest-first, candidates must share one of each doc's "
+        "first n - ceil(0.8n) + 1 shingles, exact verify on survivors. "
+        "No LSH false negatives, no all-pairs blowup — the quadratic "
+        "term is confined to docs sharing RARE shingles. The oracle "
+        "replays the identical algorithm in DuckDB (integer prefix "
+        "arithmetic, same ordering), so the whole pipeline hash-matches. "
+        "Complements dedup_minhash_lsh_pairs (approximate tier) and "
+        "dedup_ngram_jaccard (blocked-verify tier)."
+    ),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs)
