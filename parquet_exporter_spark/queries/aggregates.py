@@ -500,3 +500,81 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 6).alias("arith_mean_qty"),
         )
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+               AS rev_bulk,
+           round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+               AS avg_untaxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "ANSI FILTER (WHERE ...) aggregate clause: per-aggregate row "
+        "predicates in ONE pass — the idiomatic replacement for N "
+        "self-joined filtered subqueries. Spark SQL supports the clause "
+        "natively; all filtered aggregates still combine map-side in a "
+        "single partial-agg scan."
+    ),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.tables import register
+
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 30), 2)
+                   AS rev_bulk,
+               round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 2)
+                   AS avg_untaxed
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc=(
+        "ROLLUP with GROUPING() level indicators: distinguishes a real "
+        "NULL group from a subtotal row — the piece that makes "
+        "rollup/cube output machine-consumable. grouping() is computed "
+        "from the grouping-set id, no extra pass."
+    ),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )

@@ -515,3 +515,36 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("#"),
         ).alias("segment_masked"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH arr AS (
+        SELECT p_partkey,
+               CASE WHEN p_size >= 25
+                    THEN regexp_split_to_array(p_brand, '#')
+                    ELSE [] END AS pieces
+        FROM part
+    )
+    SELECT p_partkey,
+           unnest(CASE WHEN len(pieces) = 0 THEN [NULL] ELSE pieces END)
+               AS piece
+    FROM arr
+    """,
+    doc=(
+        "explode_outer: rows with an EMPTY array survive the explode "
+        "with a NULL element — plain explode silently drops them, the "
+        "classic inner-vs-outer lateral-view bug. Oracle emulates outer "
+        "semantics by substituting [NULL] for empty lists before "
+        "unnest."
+    ),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    pieces = F.when(
+        F.col("p_size") >= 25, F.split("p_brand", "#")
+    ).otherwise(F.array().cast("array<string>"))
+    return part.select(
+        "p_partkey", F.explode_outer(pieces).alias("piece")
+    )
