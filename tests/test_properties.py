@@ -163,3 +163,47 @@ def test_repetition_ratios_match_bruteforce(spark, toks):
     total = sum(bigrams.values())
     assert row.top_bigram_frac == round(max(bigrams.values()) / total, 6)
     assert row.dup_bigram_frac == round(1.0 - len(bigrams) / total, 6)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=6, max_size=40), min_size=2, max_size=14
+    ),
+    dup_of=st.integers(0, 13),
+)
+def test_prefix_filter_join_complete_vs_bruteforce(spark, texts, dup_of):
+    """Prefix filtering must find EVERY pair with shingle Jaccard >= 0.8
+    (the algorithm's no-false-negatives guarantee) and nothing below the
+    threshold — checked against a Python all-pairs brute force. A planted
+    near-duplicate keeps the >= t branch exercised."""
+    from parquet_exporter_spark.functions.dedup import prefix_filter_jaccard_pairs
+
+    # plant one exact duplicate so high-similarity pairs exist
+    if texts:
+        texts = texts + [texts[dup_of % len(texts)]]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def shingles(t: str) -> set[str]:
+        norm = " ".join(t.lower().split())
+        k = 5
+        return {norm[i : i + k] for i in range(max(len(norm) - k + 1, 1))}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts) if shingles(t)}
+    expected = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if round(j, 6) >= 0.8:
+                expected.add((a, b))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    assert got == expected
