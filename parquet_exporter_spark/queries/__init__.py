@@ -53,7 +53,13 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # join_interval_overlap, join_asof_tolerance, ids_global_rownum,
 # emb_standardize_dims, dedup_near_keep_canonical, geo_nearest_climbs,
 # timeseries_ewma, agg_bitmap_exact_distinct, setop_intersect_all,
-# text_boilerplate_strip_rebuild).
+# text_boilerplate_strip_rebuild), plus the late-round-3 batch:
+# text_bpe_token_estimate, text_chunk_sliding, dq_drift_psi, outlier_mad,
+# page_limit_offset, page_keyset, window_count_distinct, fn_mask_redact,
+# profile_numeric_correlations, setop_except_distinct, agg_geometric_mean,
+# stream_session_window_dynamic, sample_mixture_temperature,
+# timeseries_latency_percentiles, dedup_prefix_filter_jaccard,
+# agg_filter_clause, agg_rollup_grouping_id, fn_explode_outer.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---
