@@ -319,3 +319,88 @@ def dedup_near_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+_LPA_ITERS = 3
+
+# One synchronous LPA round as SQL: neighbor-label counts, then per-node
+# argmax with min-label tiebreak; isolated nodes keep their own label.
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+    i_{out} AS (
+        SELECT e.src AS node, l.label, count(*) AS c
+        FROM edges e JOIN {prev} l ON e.dst = l.node
+        GROUP BY e.src, l.label
+    ),
+    {out} AS (
+        SELECT n.doc_id AS node, coalesce(w.label, n.doc_id) AS label
+        FROM nodes n LEFT JOIN (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                           ORDER BY c DESC, label) AS rn
+                FROM i_{out}
+            ) WHERE rn = 1
+        ) w ON w.node = n.doc_id
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_CC_CTES.replace("WITH RECURSIVE", "WITH").split(",\n    reach")[0]
+    + """,
+    nodes AS (SELECT DISTINCT doc_id FROM documents),
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM nodes),"""
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))
+    + f"""
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l{_LPA_ITERS}
+    """,
+    doc=(
+        "Community detection via synchronous Label Propagation (LPA, "
+        f"{_LPA_ITERS} rounds): every node adopts the most frequent "
+        "label among its neighbors, ties to the smallest label, isolated "
+        "nodes keep their own — the GraphFrames labelPropagation "
+        "formulation made DETERMINISTIC (synchronous rounds + fixed "
+        "tiebreak) so the full run hash-matches an unrolled SQL replica. "
+        "Unlike connected components, LPA splits a weakly-bridged blob "
+        "into dense communities. One neighbor-join + one (node, label) "
+        "aggregate + one per-node window per round, lineage truncated "
+        "between rounds."
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id").distinct()
+    edges = _chunk_edges(docs).persist()
+    try:
+        labels = nodes.select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        for _ in range(_LPA_ITERS):
+            nb = edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            best = (
+                nb.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("label").alias("new_label"))
+            )
+            labels = (
+                nodes.select(F.col("doc_id").alias("node"))
+                .join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", F.col("node")).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").cast("long").alias("community")
+        )
+    finally:
+        edges.unpersist()
