@@ -28,6 +28,7 @@ EXTRA = [
     "dq_drift_psi",
     "page_keyset",
     "window_count_distinct",
+    "dedup_prefix_filter_jaccard",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
