@@ -55,6 +55,17 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row packed dimension-stats aggregate broadcast back to the "
         "corpus; cardinality = 1 regardless of data size",
     ),
+    "search_bm25": (
+        {"bnlj"},
+        "1-row average-document-length scalar broadcast into the "
+        "posting-score join; postings are filtered to |Q| literal terms",
+    ),
+    "search_hybrid_rrf": (
+        {"bnlj", "single_partition_x3"},
+        "the avgdl scalar gather plus two rank windows that run over "
+        "top-LEG_N lists already cut by TakeOrdered — each gather "
+        "carries at most 100 rows regardless of corpus size",
+    ),
     "dq_drift_psi": (
         {"bnlj"},
         "1-row min/max bounds aggregate broadcast back onto the stream "
