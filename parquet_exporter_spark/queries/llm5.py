@@ -202,3 +202,29 @@ _SQL_SH = sql_char_shingles("text")
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs)
+
+
+@query(
+    "emb_pq_codes",
+    oracle=None,
+    doc=(
+        "Product quantization: per-subspace codebooks (8 subspaces x 16 "
+        "centroids, deterministic Lloyd's with the emb_kmeans_cluster "
+        "contract) compress each 64-dim vector to 8 small integer codes "
+        "— the codebook half of FAISS-style IVF+PQ, with "
+        "write_ivf_index as the coarse half. Rows-only by design (an "
+        "unrolled SQL replica would be 8 k-means oracles); determinism, "
+        "code range, and compression-beats-global-centroid are "
+        "property-tested in tests/test_scale_ops.py."
+    ),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.pq import pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pq_encode(emb)
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes")).alias("codes_str"),
+        "recon_err",
+    )

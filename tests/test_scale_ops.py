@@ -574,3 +574,43 @@ def test_ivf_index_layout_prunes_partitions_and_matches_bruteforce(
     )
     expected = {(r.neighbor_id, r.cos_sim) for r in brute.collect()}
     assert all_probed == expected
+
+
+def test_pq_codes_deterministic_in_range_and_compressive(spark, sf_dir):
+    """PQ invariants: codes live in [0, K); two runs produce identical
+    codes (deterministic init + fixed iterations + snapping); and the
+    16-centroid-per-subspace reconstruction error beats quantizing every
+    vector to the single global mean (rank-0 codebook)."""
+    from parquet_exporter_spark.operators.pq import pq_encode
+    from parquet_exporter_spark.tables import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = pq_encode(emb).collect()
+    assert a
+    for r in a:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    b = {r.vec_id: (r.codes, r.recon_err) for r in pq_encode(emb).collect()}
+    assert {r.vec_id: (r.codes, r.recon_err) for r in a} == b
+
+    mean_pq_err = sum(r.recon_err for r in a) / len(a)
+    x = emb.select(F.transform("embedding", lambda v: v.cast("double")).alias("x"))
+    dim = x.select(F.size("x")).first()[0]
+    mu = (
+        x.select(F.posexplode("x").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    mu_arr = F.array(*[F.lit(r.m) for r in mu])
+    global_err = x.select(
+        F.aggregate(
+            F.zip_with("x", mu_arr, lambda a_, b_: (a_ - b_) * (a_ - b_)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("e")
+    ).agg(F.avg("e")).first()[0]
+    assert dim == 64
+    assert mean_pq_err < global_err
