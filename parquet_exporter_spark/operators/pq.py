@@ -54,11 +54,25 @@ def pq_encode(
     id_col: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
+    """Train per-subspace codebooks and encode every vector; see pq_model."""
+    return pq_model(emb, n_subspaces, n_centroids, n_iters, id_col, vec)[0]
+
+
+def pq_model(
+    emb: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
     """Train per-subspace codebooks and encode every vector.
 
-    Returns (vec_id, codes array<int> of length n_subspaces, recon_err)
-    where recon_err is the total squared reconstruction error across
-    subspaces, rounded to 9 — deterministic run to run.
+    Returns (encoded, codebooks): encoded is (vec_id, codes array<int> of
+    length n_subspaces, recon_err) with recon_err the total squared
+    reconstruction error across subspaces, rounded to 9 — deterministic
+    run to run. codebooks[m][c] is centroid c of subspace m, the model
+    state ADC search needs.
     """
     base = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -110,8 +124,48 @@ def pq_encode(
     total = code_dist[0][1]
     for cd in code_dist[1:]:
         total = total + cd[1]
-    return subs.select(
+    encoded = subs.select(
         "vec_id",
         F.array(*[cd[0].cast("int") for cd in code_dist]).alias("codes"),
         F.round(total, 9).alias("recon_err"),
+    )
+    return encoded, books
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    query: list[float],
+    k: int,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: the query is NOT
+    quantized — per subspace, a 1 x n_centroids lookup table of squared
+    distances from the query subvector to every centroid is computed
+    driver-side (O(M*K*D/M) work, model-sized), and each stored vector's
+    approximate distance is the sum of M table lookups by its codes.
+
+    ADC distance == exact squared distance from the query to the
+    vector's RECONSTRUCTION (sum over subspaces of ||q_m - c_{code_m}||²)
+    — an identity the tests pin. Per-row cost is M array lookups inside
+    codegen; top-k via orderBy+limit (per-partition heaps)."""
+    n_subspaces = len(books)
+    sub_dim = len(books[0][0])
+    luts = []
+    for m in range(n_subspaces):
+        q_m = query[m * sub_dim : (m + 1) * sub_dim]
+        luts.append(
+            [
+                round(sum((a - b) * (a - b) for a, b in zip(q_m, c)), 9)
+                for c in books[m]
+            ]
+        )
+    dist = None
+    for m in range(n_subspaces):
+        lut = F.array(*[F.lit(v) for v in luts[m]])
+        term = F.element_at(lut, F.element_at("codes", m + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select("vec_id", F.round(dist, 9).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
     )

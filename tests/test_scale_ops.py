@@ -614,3 +614,40 @@ def test_pq_codes_deterministic_in_range_and_compressive(spark, sf_dir):
     ).agg(F.avg("e")).first()[0]
     assert dim == 64
     assert mean_pq_err < global_err
+
+
+def test_pq_adc_equals_reconstruction_distance(spark, sf_dir):
+    """ADC via codebook lookup tables must equal the exact squared
+    distance from the query to each vector's PQ reconstruction — the
+    defining identity of asymmetric distance computation."""
+    from parquet_exporter_spark.operators.pq import pq_adc_topk, pq_model
+    from parquet_exporter_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    encoded, books = pq_model(emb)
+    qrow = emb.orderBy("vec_id").limit(3).collect()[-1]
+    query = [float(v) for v in qrow.embedding]
+
+    got = pq_adc_topk(encoded, books, query, k=10).collect()
+    assert len(got) == 10
+    assert all(
+        got[i].adc_dist <= got[i + 1].adc_dist for i in range(len(got) - 1)
+    )
+
+    # python reconstruction twin for the returned ids
+    codes = {
+        r.vec_id: r.codes
+        for r in encoded.filter(
+            encoded.vec_id.isin([r.vec_id for r in got])
+        ).collect()
+    }
+    sub_dim = len(books[0][0])
+    for r in got:
+        cs = codes[r.vec_id]
+        expect = 0.0
+        for m, c in enumerate(cs):
+            q_m = query[m * sub_dim : (m + 1) * sub_dim]
+            expect += round(
+                sum((a - b) * (a - b) for a, b in zip(q_m, books[m][c])), 9
+            )
+        assert abs(r.adc_dist - round(expect, 9)) < 1e-8
