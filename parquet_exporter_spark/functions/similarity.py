@@ -344,3 +344,100 @@ def probe_ivf_index(
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id")).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_subspaces: int = 8,
+    pq_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """FAISS-style IVF+PQ index as a parquet LAYOUT: vectors are
+    k-means-cell partitioned (coarse quantizer, like write_ivf_index)
+    but each row stores only its M PQ codes — the 256-byte float vector
+    never lands in the index. Layout: ``<path>/codes/cell=<i>/`` with
+    (id, codes), ``<path>/centroids`` for the coarse cells; the PQ
+    codebooks are returned (and also the residual-free simple variant:
+    codebooks trained on the raw vectors, not residuals — documented
+    simplification, same serving shape).
+
+    A probe = partition-pruned scan of n_probes cells + ADC lookup
+    scoring over codes — I/O is M bytes per candidate instead of 4·D.
+    """
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from parquet_exporter_spark.operators.pq import pq_model
+
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v0"),
+        norm(F.col(vec)).alias("__n"),
+    ).select(
+        "id",
+        F.transform("v0", lambda x: x.cast("double") / F.col("__n")).alias("v"),
+    )
+    featurized = normed.withColumn("__fv", array_to_vector("v"))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="cell"
+    ).fit(featurized)
+    assigned = model.transform(featurized).select("id", "v", "cell")
+
+    encoded, books = pq_model(
+        normed, n_subspaces, pq_centroids, id_col="id", vec="v"
+    )
+    (
+        assigned.select("id", "cell")
+        .join(encoded.select(F.col("vec_id").alias("id"), "codes"), "id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return books
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Serve one ANN query from the IVF+PQ index: prune to n_probes
+    cells via the centroid table (index-header read), then ADC-score
+    the candidates' CODES — the full vectors are never touched.
+    Returns (vec_id, adc_dist, in both the codes' id domain)."""
+    import math
+    import os
+
+    from parquet_exporter_spark.operators.pq import pq_adc_topk
+
+    centroids = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    q = [x / qn for x in query_vec]
+    ranked = sorted(
+        (
+            sum(c * c for c in r.centroid) - 2.0 * sum(a * b for a, b in zip(q, r.centroid)),
+            r.cell,
+        )
+        for r in centroids
+    )
+    probe_cells = [cell for _, cell in ranked[:n_probes]]
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col("id").alias("vec_id"), "codes")
+    )
+    return pq_adc_topk(codes, books, q, k)

@@ -651,3 +651,53 @@ def test_pq_adc_equals_reconstruction_distance(spark, sf_dir):
                 sum((a - b) * (a - b) for a, b in zip(q_m, books[m][c])), 9
             )
         assert abs(r.adc_dist - round(expect, 9)) < 1e-8
+
+
+def test_ivfpq_index_probe_prunes_and_approximates(spark, sf_dir, tmp_path):
+    """IVF+PQ: the persisted index stores only (id, codes) partitioned by
+    coarse cell; a probe partition-prunes to n_probes cells and
+    ADC-scores codes. All-cells probing must rank exactly like ADC over
+    the full encoded set (the PQ approximation is the only error
+    source), and the index must not contain the raw vectors."""
+    import os
+
+    from parquet_exporter_spark.functions.similarity import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    n_cells = 4
+    books = write_ivfpq_index(emb, path, n_centroids=n_cells)
+
+    # the layout holds codes only — no vector column on disk
+    codes_df = spark.read.parquet(os.path.join(path, "codes"))
+    assert sorted(codes_df.columns) == ["cell", "codes", "id"]
+
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow.embedding]
+
+    probed = probe_ivfpq_index(spark, path, books, qvec, k=5, n_probes=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = probed.collect()
+    assert len(rows) == 5
+    assert all(rows[i].adc_dist <= rows[i + 1].adc_dist for i in range(4))
+
+    # probing every cell == ADC over the whole corpus (no pruning error)
+    import math
+
+    from parquet_exporter_spark.operators.pq import pq_adc_topk
+
+    full = probe_ivfpq_index(spark, path, books, qvec, k=5, n_probes=n_cells)
+    qn = math.sqrt(sum(x * x for x in qvec))
+    q = [x / qn for x in qvec]
+    all_codes = codes_df.select(
+        codes_df.id.alias("vec_id"), "codes"
+    )
+    expected = pq_adc_topk(all_codes, books, q, k=5)
+    assert [(r.vec_id, r.adc_dist) for r in full.collect()] == [
+        (r.vec_id, r.adc_dist) for r in expected.collect()
+    ]
