@@ -376,3 +376,24 @@ def test_asof_nearest_ties_go_backward_and_one_sided_matches(spark):
     assert out["late"] == 280.0
     # key 2 has no right rows at all
     assert out["lonely"] is None
+
+
+def test_cached_table_serves_from_memory_and_stays_correct(spark, sf_dir):
+    """Engine cache surface: a cached hot table materializes once and
+    later scans read the InMemoryRelation (plan-visible), with values
+    identical to the uncached read."""
+    from parquet_exporter_spark.tables import read_table
+    from pyspark.sql import functions as F
+
+    nation = read_table(spark, sf_dir, "nation")
+    before = {(r.n_nationkey, r.n_name) for r in nation.collect()}
+    cached = nation.cache()
+    try:
+        cached.count()  # materialize
+        agg = cached.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        after = {(r.n_nationkey, r.n_name) for r in cached.collect()}
+        assert after == before
+    finally:
+        cached.unpersist()
