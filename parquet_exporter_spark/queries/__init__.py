@@ -27,6 +27,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm3,
     llm4,
     llm5,
+    llm6,
     search,
     sqlsurface,
     dq,

@@ -1,0 +1,422 @@
+"""Training-data pipeline operators, part 6: data selection (DSIR),
+semantic dedup (SemDeDup), perplexity quality buckets (CCNet), and
+fixed-radius similarity search.
+
+These cover the corpus-curation techniques published for LLM pre-training
+data that the earlier llm modules don't yet express:
+
+- DSIR (Xie et al., "Data Selection for Language Models via Importance
+  Resampling", 2023): rank raw documents by how much more likely their
+  hashed-n-gram features are under a target-domain distribution than
+  under the raw-corpus distribution.
+- SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+  web-scale through semantic deduplication", 2023): cluster embeddings,
+  then search for near-duplicate pairs ONLY within a cluster — the
+  clustering bounds the pairwise work that a naive O(n^2) cosine sweep
+  can't survive at 100 TB.
+- CCNet-style perplexity bucketing (Wenzek et al., 2020): split the
+  corpus into head/middle/tail quality tiers by language-model score.
+
+Everything is built-in Catalyst expressions — no Python UDFs — with the
+shuffle structure noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import similarity as S
+from parquet_exporter_spark.functions import text as T
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+_TOK = T.sql_tokens("text")
+
+# DSIR hashed-feature space: unigrams hashed into this many buckets. The
+# paper uses 10k buckets over uni+bigrams; 64 keeps the oracle's bucket
+# tables human-checkable while exercising the identical plan shape.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"  # the "target domain" the raw corpus is scored against
+
+# Engine-portable token -> bucket hash: first 7 hex digits of md5 as an
+# integer (same construction as functions/dedup.py minhash base hash).
+def _bucket(term):  # Spark side
+    return (F.conv(F.substring(F.md5(term), 1, 7), 16, 10).cast("long")
+            % DSIR_BUCKETS)
+
+
+def _sql_bucket(term_sql: str) -> str:  # DuckDB side, bit-identical
+    return f"(('0x' || substring(md5({term_sql}), 1, 7))::BIGINT % {DSIR_BUCKETS})"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_sql_bucket("u.t")} AS bucket
+        FROM (SELECT doc_id, lang, unnest({_TOK}) AS t FROM documents) u
+    ),
+    raw_counts AS (
+        SELECT bucket, count(*) AS cnt FROM toks GROUP BY bucket
+    ),
+    tgt_counts AS (
+        SELECT bucket, count(*) AS cnt FROM toks
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    totals AS (
+        SELECT (SELECT sum(cnt) FROM raw_counts) AS raw_total,
+               (SELECT COALESCE(sum(cnt), 0) FROM tgt_counts) AS tgt_total
+    ),
+    ratios AS (
+        SELECT r.bucket,
+               ln((COALESCE(t.cnt, 0) + 1.0) / (tt.tgt_total + {DSIR_BUCKETS}))
+             - ln((r.cnt + 1.0) / (tt.raw_total + {DSIR_BUCKETS})) AS logratio
+        FROM raw_counts r
+        LEFT JOIN tgt_counts t USING (bucket)
+        CROSS JOIN totals tt
+    ),
+    per_bucket AS (
+        SELECT doc_id, bucket, count(*) AS tf FROM toks GROUP BY doc_id, bucket
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.tf) AS BIGINT) AS n_tokens,
+           round(sum(p.tf * r.logratio) / sum(p.tf), 6) AS avg_logratio
+    FROM per_bucket p JOIN ratios r USING (bucket)
+    GROUP BY p.doc_id
+    """,
+    doc=(
+        "DSIR importance weights: every document's average per-token log "
+        "importance ratio ln(p_target(f)/p_raw(f)) over hashed unigram "
+        "features, with add-1 smoothing — the score DSIR resamples raw "
+        "web data by to match a target domain (here: the corpus's "
+        f"'{DSIR_TARGET_LANG}' slice). Shuffle structure: one explode -> "
+        f"(doc, bucket) partial-agg shuffle, and two {DSIR_BUCKETS}-row "
+        "bucket-distribution aggregates that broadcast back onto the "
+        "(doc, bucket) rows — the corpus is never self-joined and never "
+        "shuffled twice, so the plan is two map-side-combined exchanges "
+        "regardless of corpus size. At 100 TB the bucket tables stay "
+        "O(buckets) and the fitted distributions can be reused across "
+        "runs as literal model state (the DSIR paper's setup: fit once, "
+        "score everything)."
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "lang", _bucket(F.col("term")).alias("bucket"))
+    raw_counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt_counts = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    totals = F.broadcast(
+        raw_counts.agg(F.sum("raw_cnt").alias("raw_total")).crossJoin(
+            tgt_counts.agg(F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_total"))
+        )
+    )
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(totals)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tgt_total") + F.lit(float(DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("raw_cnt") + F.lit(1.0))
+                    / (F.col("raw_total") + F.lit(float(DSIR_BUCKETS)))
+                )
+            ).alias("logratio"),
+        )
+    )
+    per_bucket = toks.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("logratio")) / F.sum("tf"), 6
+            ).alias("avg_logratio"),
+        )
+    )
+
+
+# SemDeDup parameters: K cluster seeds (the K smallest vec_ids — same
+# deterministic init contract as emb_kmeans_cluster) and the cosine
+# threshold above which two same-cluster embeddings are duplicates.
+SEMDEDUP_K = 4
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    cos = S.sql_cosine("a.x", "b.x")
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x
+        FROM emb ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               round(sum(power(e.x[p.i] - c.x[p.i], 2)), 9) AS dist
+        FROM emb e CROSS JOIN cents c CROSS JOIN pos p
+        GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    dup_pairs AS (
+        SELECT bb.vec_id AS dup_id, min(aa.vec_id) AS keeper
+        FROM assigned ia JOIN assigned ib ON ia.cluster = ib.cluster
+        JOIN emb a ON a.vec_id = ia.vec_id
+        JOIN emb b ON b.vec_id = ib.vec_id
+        JOIN emb aa ON aa.vec_id = ia.vec_id
+        JOIN emb bb ON bb.vec_id = ib.vec_id
+        WHERE ia.vec_id < ib.vec_id
+          AND round({cos}, 6) >= {SEMDEDUP_TAU}
+        GROUP BY bb.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+           (d.dup_id IS NOT NULL) AS is_dup,
+           COALESCE(d.keeper, s.vec_id) AS keeper_id
+    FROM assigned s LEFT JOIN dup_pairs d ON s.vec_id = d.dup_id
+    """
+
+
+@query(
+    "dedup_semdedup_clustered",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup: semantic near-dup detection with the pairwise search "
+        f"scoped to embedding clusters. Assign every vector to its nearest "
+        f"of {SEMDEDUP_K} deterministic seed centroids (the {SEMDEDUP_K} "
+        "smallest vec_ids, squared-L2, round-9 snap, min-cid tiebreak — "
+        "the emb_kmeans_cluster init contract), then mark a vector as "
+        f"duplicate iff some smaller-id vector in the SAME cluster has "
+        f"cosine >= {SEMDEDUP_TAU}; the keeper is the smallest such "
+        "neighbor. Shuffle structure: one tiny centroid collect (O(k*d) "
+        "model state), a narrow zero-shuffle assignment expression, ONE "
+        "shuffle on cluster id for the self-join, one aggregate on the "
+        "dup side. The cluster scoping is the entire point at 100 TB: "
+        "pairwise work is sum over clusters of |c|^2 instead of n^2, and "
+        "k grows with corpus size to keep |c| bounded (the paper runs "
+        "k=50k over 5B embeddings). Cites SemDeDup, Abbas et al. 2023."
+    ),
+)
+def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    seeds = emb.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    cents = [list(r.x) for r in seeds]  # cid = position (vec_id ascending)
+
+    def dist_to(c: list[float]):
+        carr = F.array(*[F.lit(v) for v in c])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    dists = [dist_to(c) for c in cents]
+    m = F.least(*dists)
+    cluster = F.lit(SEMDEDUP_K - 1)
+    for cid in range(SEMDEDUP_K - 2, -1, -1):
+        cluster = F.when(dists[cid] == m, F.lit(cid)).otherwise(cluster)
+    assigned = emb.select("vec_id", "x", cluster.cast("int").alias("cluster"))
+
+    a = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("x").alias("xa"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("x").alias("xb"), "cluster"
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(S.cosine(F.col("xa"), F.col("xb")), 6) >= SEMDEDUP_TAU)
+        .groupBy(F.col("ib").alias("dup_id"))
+        .agg(F.min("ia").alias("keeper"))
+    )
+    return (
+        assigned.join(dup_pairs, assigned.vec_id == dup_pairs.dup_id, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_id").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("keeper"), F.col("vec_id")).alias("keeper_id"),
+        )
+    )
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    freq AS (
+        SELECT *, sum(tf) OVER (PARTITION BY term) AS term_freq,
+                  sum(tf) OVER () AS total_tokens
+        FROM tf
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               round(sum(f.tf * ln(CAST(f.term_freq AS DOUBLE) / f.total_tokens))
+                     / sum(f.tf), 6) AS score
+        FROM freq f GROUP BY f.doc_id
+    ),
+    cuts AS (
+        -- ANSI PERCENTILE_DISC terciles over the per-doc scores
+        SELECT min(CASE WHEN cd >= 1.0/3 THEN score END) AS c1,
+               min(CASE WHEN cd >= 2.0/3 THEN score END) AS c2
+        FROM (SELECT score, cume_dist() OVER (ORDER BY score) AS cd FROM scored)
+    )
+    SELECT CASE WHEN s.score > c.c2 THEN 'head'
+                WHEN s.score > c.c1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(s.score), 6) AS avg_score,
+           round(avg(d.n_chars), 2) AS avg_chars
+    FROM scored s CROSS JOIN cuts c JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+    doc=(
+        "CCNet-style perplexity bucketing: score every document with the "
+        "corpus unigram LM (the text_unigram_logprob proxy), cut the "
+        "score distribution at its terciles, and report the head / "
+        "middle / tail quality tiers CCNet shards a crawl into before "
+        "training-data selection. The cutpoints are computed as exact "
+        "discrete percentiles reduced to a 1-row aggregate and "
+        "broadcast back onto the doc scores — NOT a global sort or a "
+        "single-partition ntile window, so the bucketing step adds one "
+        "scalar broadcast to the LM-scoring plan. At 100 TB the exact "
+        "cume_dist cut over doc-level rows becomes approx_percentile on "
+        "the same 1-row aggregate shape. Cites CCNet, Wenzek et al. 2020."
+    ),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    term_freq = F.sum("tf").over(Window.partitionBy("term"))
+    total = F.broadcast(tf.agg(F.sum("tf").alias("total_tokens")))
+    scored = (
+        tf.withColumn("term_freq", term_freq)
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("term_freq").cast("double") / F.col("total_tokens"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("score")
+        )
+    )
+    # Exact discrete-percentile cutpoints as a 1-row AGGREGATE (ANSI
+    # PERCENTILE_DISC = smallest value whose cume_dist >= p), broadcast
+    # back — no global-order window anywhere in the plan.
+    cuts = F.broadcast(
+        scored.agg(
+            F.expr(
+                f"percentile_disc({1.0 / 3!r}) WITHIN GROUP (ORDER BY score)"
+            ).alias("c1"),
+            F.expr(
+                f"percentile_disc({2.0 / 3!r}) WITHIN GROUP (ORDER BY score)"
+            ).alias("c2"),
+        )
+    )
+    return (
+        scored.crossJoin(cuts)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            F.when(F.col("score") > F.col("c2"), F.lit("head"))
+            .when(F.col("score") > F.col("c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "score",
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+# Fixed-radius search: all corpus vectors within this cosine of a query.
+RANGE_RADIUS = 0.25
+RANGE_N_QUERIES = 3  # the RANGE_N_QUERIES smallest vec_ids act as queries
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings ORDER BY vec_id LIMIT {RANGE_N_QUERIES}
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({S.sql_cosine("q.qv", "e.embedding")}, 6) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    WHERE round({S.sql_cosine("q.qv", "e.embedding")}, 6) >= {RANGE_RADIUS}
+    """,
+    doc=(
+        "Fixed-radius similarity search: every corpus vector within "
+        f"cosine {RANGE_RADIUS} of each query vector (the "
+        f"{RANGE_N_QUERIES} smallest vec_ids) — the range-query "
+        "complement of similarity_topk_bruteforce, used for 'find all "
+        "near neighbors' retrieval and duplicate sweeps where k is "
+        "unknown a priori. Plan: queries broadcast against a single "
+        "linear corpus scan with the radius predicate applied inside "
+        "codegen — no window, no shuffle at all (unlike top-k, radius "
+        "search needs no per-query ranking). At 100 TB the same "
+        "predicate runs behind the IVF cell-pruned layout "
+        "(probe_ivf_index) instead of the full scan."
+    ),
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(RANGE_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    cos = F.round(S.cosine(F.col("qv"), F.col("embedding")), 6)
+    return (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_RADIUS)
+    )

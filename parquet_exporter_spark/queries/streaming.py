@@ -378,3 +378,83 @@ def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
             "n",
         )
     )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT user_id, round(value, 6) AS value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ) WHERE rn = 1
+    ),
+    source AS (
+        SELECT user_id, round(value, 6) AS value,
+               (event_type = 'error') AS tombstone
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+           COALESCE(s.value, t.value) AS value,
+           CASE WHEN t.user_id IS NULL THEN 'insert'
+                WHEN s.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+    WHERE NOT COALESCE(s.tombstone, FALSE)
+    """,
+    doc=(
+        "MERGE INTO semantics as a batch operator: the pre-cutoff latest "
+        "state per user is the target table, the post-cutoff latest "
+        "change per user is the source, and the full outer join "
+        "classifies every resulting row as insert / update / keep, with "
+        "source tombstones ('error' as delete marker) removing matched "
+        "AND unmatched keys (WHEN MATCHED AND cond THEN DELETE). Spark "
+        "has MERGE INTO SQL only for v2 row-level-operation tables, so "
+        "the engine spells the identical semantics from a full outer "
+        "join — the standard warehouse upsert shape. Both branch "
+        "snapshots are WindowGroupLimit per-key top-1 plans on the same "
+        "user_id key, so AQE can plan the outer join without a third "
+        "shuffle; at 100 TB the target side is the previous snapshot "
+        "(already compacted) and only the delta shuffles."
+    ),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.round("value", 6).alias("value"), "event_type")
+        )
+
+    target = latest(events.filter(F.col("ts") < cutoff)).select(
+        F.col("user_id").alias("t_user"), F.col("value").alias("t_value")
+    )
+    source = latest(events.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("s_user"),
+        F.col("value").alias("s_value"),
+        (F.col("event_type") == "error").alias("tombstone"),
+    )
+    return (
+        target.join(source, target.t_user == source.s_user, "full_outer")
+        .filter(~F.coalesce(F.col("tombstone"), F.lit(False)))
+        .select(
+            F.coalesce(F.col("t_user"), F.col("s_user")).alias("user_id"),
+            F.coalesce(F.col("s_value"), F.col("t_value")).alias("value"),
+            F.when(F.col("t_user").isNull(), F.lit("insert"))
+            .when(F.col("s_user").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )

@@ -271,3 +271,54 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("__first").over(w_run).cast("long").alias("running_distinct_users"),
     )
+
+
+@query(
+    "window_rolling_corr",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, event_type, value,
+               epoch_us(ts) / 86400000000.0 AS days,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type,
+           round(corr(value, days) OVER (
+               PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS rolling_corr
+    FROM t QUALIFY rn >= 20
+    """,
+    doc=(
+        "Rolling correlation: per event type, the Pearson correlation of "
+        "value against event time over a trailing 20-row frame — the "
+        "moving trend-strength signal monitoring dashboards window over "
+        "metric streams. Only complete frames are emitted (rows 20+ per "
+        "partition), so the statistic is always over exactly 20 points "
+        "and never hits the degenerate n<2 NULL/NaN divergence between "
+        "engines. Time enters as days-since-epoch (integer microsecond "
+        "arithmetic divided on both engines) to keep the co-moment "
+        "magnitudes small and the round-6 cross-engine compare stable. "
+        "One shuffle on event_type; the frame is a bounded ROWS frame, "
+        "so state per partition is O(frame), not O(partition)."
+    ),
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_micros("ts") / F.lit(86400000000.0)).alias("days"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    frame = (
+        Window.partitionBy("event_type").orderBy("rn").rowsBetween(-19, Window.currentRow)
+    )
+    return (
+        base.withColumn("rolling_corr", F.round(F.corr("value", "days").over(frame), 6))
+        .filter(F.col("rn") >= 20)
+        .select("event_id", "event_type", "rolling_corr")
+    )
