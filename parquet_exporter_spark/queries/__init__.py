@@ -27,7 +27,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm3,
     llm4,
     llm5,
-    llm6,
+    llm6,  # round-3 additions: DSIR, SemDeDup, perplexity buckets, radius search
     search,
     sqlsurface,
     dq,
@@ -61,7 +61,10 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # profile_numeric_correlations, setop_except_distinct, agg_geometric_mean,
 # stream_session_window_dynamic, sample_mixture_temperature,
 # timeseries_latency_percentiles, dedup_prefix_filter_jaccard,
-# agg_filter_clause, agg_rollup_grouping_id, fn_explode_outer.
+# agg_filter_clause, agg_rollup_grouping_id, fn_explode_outer, and the
+# round-3 llm6/cdc/window batch: dsir_importance_weights,
+# dedup_semdedup_clustered, text_perplexity_buckets,
+# similarity_range_search, cdc_merge_upsert, window_rolling_corr.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -338,6 +338,11 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+    # The scored branch feeds BOTH the cutpoint aggregate and the final
+    # bucketing join; persist it so the token-explode LM pass runs once
+    # per execution instead of twice (same pattern as the LSH pipeline's
+    # persisted shingles).
+    scored = scored.persist()
     # Exact discrete-percentile cutpoints as a 1-row AGGREGATE (ANSI
     # PERCENTILE_DISC = smallest value whose cume_dist >= p), broadcast
     # back — no global-order window anywhere in the plan.

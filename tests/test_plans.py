@@ -438,3 +438,67 @@ def test_running_distinct_two_keyed_exchanges(spark, sf_dir):
     # exchange for the running sum — and nothing else (no global window)
     assert count_shuffles(df) == 2
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_dsir_corpus_never_self_joined(spark, sf_dir):
+    """DSIR scoring: the bucket-distribution model comes back to the
+    (doc, bucket) rows as broadcasts; the corpus is never on both sides
+    of a shuffled join and aggregation combines map-side."""
+    df = q("dsir_importance_weights", spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_partial_aggregation(df)
+    assert count_broadcast_joins(df) >= 1  # ratios join onto (doc, bucket)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no corpus-sized shuffled join
+
+
+def test_semdedup_pairwise_is_cluster_scoped(spark, sf_dir):
+    """SemDeDup: the only joins are the cluster-keyed self-join and the
+    broadcast dup-flag join — no cartesian pair generation."""
+    df = q("dedup_semdedup_clustered", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(df) <= 2  # cluster self-join + dup aggregate
+
+
+def test_perplexity_buckets_no_global_order_window(spark, sf_dir):
+    """CCNet bucketing: tercile cuts are a 1-row aggregate broadcast
+    back, not an ntile/cume_dist window over a single partition; the
+    only Window is the term-partitioned corpus-frequency pass."""
+    df = q("text_perplexity_buckets", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "percentile_disc" in plan
+    # every Window operator keys on the term column, none are global
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "term" in m.group(1), m.group(0)
+
+
+def test_range_search_zero_shuffle_broadcast_scan(spark, sf_dir):
+    """Radius search is one linear corpus scan against broadcast
+    queries — no shuffle, no window (unlike top-k, no ranking)."""
+    df = q("similarity_range_search", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert "Broadcast" in physical_plan(df)
+
+
+def test_merge_upsert_windowgrouplimit_two_exchanges(spark, sf_dir):
+    """MERGE upsert: both snapshot branches compact via WindowGroupLimit
+    on the same user_id key, and the outer join reuses that partitioning
+    — two exchanges total, no third for the join."""
+    df = q("cdc_merge_upsert", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert count_shuffles(df) == 2
+    assert has_pushed_filters(df)  # the ts cutoff reaches both scans
+
+
+def test_rolling_corr_single_keyed_exchange(spark, sf_dir):
+    """Rolling correlation: the row_number pass and the bounded-frame
+    corr pass share the event_type partitioning — one exchange, never a
+    global-order window."""
+    df = q("window_rolling_corr", spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert "SinglePartition" not in physical_plan(df)

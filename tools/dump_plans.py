@@ -29,6 +29,12 @@ EXTRA = [
     "page_keyset",
     "window_count_distinct",
     "dedup_prefix_filter_jaccard",
+    "dsir_importance_weights",
+    "dedup_semdedup_clustered",
+    "text_perplexity_buckets",
+    "similarity_range_search",
+    "cdc_merge_upsert",
+    "window_rolling_corr",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
