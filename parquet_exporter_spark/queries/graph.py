@@ -95,9 +95,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
-# Shared oracle CTEs: chunk-share edges + recursive min-label reachability.
-_CC_CTES = f"""
-    WITH RECURSIVE toks AS (
+# Shared oracle CTEs: chunk-share edges (base), plus recursive min-label
+# reachability (_CC_CTES) layered on top for the component queries.
+_EDGE_CTES = f"""
+    toks AS (
         SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
     ),
     chunks AS (
@@ -111,7 +112,10 @@ _CC_CTES = f"""
         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
         FROM chunks a JOIN chunks b
           ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
-    ),
+    )
+"""
+
+_CC_CTES = "WITH RECURSIVE" + _EDGE_CTES + """,
     reach(node, label) AS (
         SELECT src, src FROM edges
         UNION
@@ -144,23 +148,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
 
 
-_EDGE_CTES = f"""
-    toks AS (
-        SELECT doc_id, {T.sql_tokens('text')} AS t FROM documents
-    ),
-    chunks AS (
-        SELECT doc_id,
-               unnest([array_to_string(list_slice(t, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}), ' ')
-                       for i in generate_series(0, CAST(floor(len(t) / {_CHUNK}) AS INT) - 1)])
-                   AS chunk
-        FROM toks
-    ),
-    edges AS (
-        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        FROM chunks a JOIN chunks b
-          ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
-    )
-"""
 
 _PR_DAMPING = 0.85
 _PR_ITERS = 5
@@ -347,7 +334,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 
 @query(
     "graph_label_propagation",
-    oracle=_CC_CTES.replace("WITH RECURSIVE", "WITH").split(",\n    reach")[0]
+    oracle="WITH" + _EDGE_CTES
     + """,
     nodes AS (SELECT DISTINCT doc_id FROM documents),
     l0 AS (SELECT doc_id AS node, doc_id AS label FROM nodes),"""
@@ -404,3 +391,63 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+_BFS_DEPTH = 4  # recursion bound: chunk-share graphs have tiny diameter
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="WITH RECURSIVE" + _EDGE_CTES
+    + f""",
+    seeds AS (
+        SELECT src AS node FROM edges GROUP BY src HAVING min(dst) > src
+    ),
+    bfs(node, dist) AS (
+        SELECT node, 0 FROM seeds
+        UNION ALL
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.dist < {_BFS_DEPTH}
+    )
+    SELECT node AS doc_id, CAST(min(dist) AS INT) AS hops
+    FROM bfs GROUP BY node
+    """,
+    doc=(
+        "Bounded-depth BFS over the duplicate-candidate graph via Spark "
+        "4's native WITH RECURSIVE: hop distance from every 'keeper' "
+        "node (a node with no smaller-id neighbor — the canonical "
+        "representative in keep-smallest dedup) to the duplicates it "
+        "covers. Both engines run the SAME recursive SQL: UNION ALL "
+        f"recursion with an explicit dist < {_BFS_DEPTH} guard, then "
+        "min-dist per node — the guard, not engine magic, bounds the "
+        "path fan-out, so the query is portable and terminates on "
+        "cyclic edge sets. The depth bound is the scale contract too: "
+        "each recursion level is one join shuffle on the frontier, and "
+        "for UNBOUNDED diameters the iterative frontier loop with "
+        "per-level dedup (connected_components above) is the production "
+        "path — this operator is the SQL-surface variant for the "
+        "near-clique graphs dedup actually produces, where diameter is "
+        "tiny. Edges come from the same persisted chunk-share builder "
+        "as the other graph queries."
+    ),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    _chunk_edges(docs).createOrReplaceTempView("__bfs_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE seeds AS (
+            SELECT src AS node FROM __bfs_edges GROUP BY src HAVING min(dst) > src
+        ),
+        bfs(node, dist) AS (
+            SELECT node, 0 AS dist FROM seeds
+            UNION ALL
+            SELECT e.dst AS node, b.dist + 1 AS dist
+            FROM bfs b JOIN __bfs_edges e ON e.src = b.node
+            WHERE b.dist < {_BFS_DEPTH}
+        )
+        SELECT node AS doc_id, CAST(min(dist) AS INT) AS hops
+        FROM bfs GROUP BY node
+        """
+    )

@@ -465,7 +465,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = tables.table_rowcount(sf_dir, "documents")
     # tf already has one row per (doc, term), so document frequency is a
     # count over tf's term partitions: one shuffle of the small tf table
-    # instead of a second tokenize+explode pass over the corpus
+    # instead of a second tokenize+explode pass over the corpus. A
+    # broadcast-df variant was measured slower here (per-execution
+    # vocabulary collect + broadcast) and is a size risk at corpus scale
+    # (the vocabulary is unbounded); the co-shuffled window IS the
+    # shuffled-hash-join shape you'd run at 100 TB.
     df_w = Window.partitionBy("term")
     scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
         "doc_id",

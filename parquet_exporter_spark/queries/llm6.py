@@ -425,3 +425,46 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RANGE_RADIUS)
     )
+
+
+MRL_DIM = 16  # serving prefix length (full vectors are 64-d)
+
+
+@query(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({S.sql_dot("embedding", "embedding")}), 6) AS norm_full,
+           round(sqrt({S.sql_dot("list_slice(embedding, 1, {d})".format(d=MRL_DIM),
+                                 "list_slice(embedding, 1, {d})".format(d=MRL_DIM))}), 6)
+               AS norm_prefix,
+           round(sqrt({S.sql_dot("list_slice(embedding, 1, {d})".format(d=MRL_DIM),
+                                 "list_slice(embedding, 1, {d})".format(d=MRL_DIM))})
+                 / sqrt({S.sql_dot("embedding", "embedding")}), 6) AS retained_frac
+    FROM embeddings
+    """,
+    doc=(
+        f"Matryoshka (MRL) truncation audit: the norm retained when each "
+        f"embedding is cut to its first {MRL_DIM} of 64 dimensions — the "
+        "serving trick (Kusupati et al. 2022) where a prefix of an "
+        "MRL-trained vector is a valid lower-cost embedding, so ANN "
+        "shortlists run on the prefix and full vectors only re-rank the "
+        "shortlist. retained_frac is the per-vector energy check a "
+        "pipeline runs before committing to a truncation length. Pure "
+        "per-row lambdas (slice + dot), zero shuffles; the truncated "
+        "serving copy would be written through write_ivf_index with "
+        f"{MRL_DIM}-d vectors for a 4x index-size cut."
+    ),
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    full = F.col("embedding")
+    prefix = F.slice(full, 1, MRL_DIM)
+    norm_full = S.norm(full)
+    norm_prefix = S.norm(prefix)
+    return emb.select(
+        "vec_id",
+        F.round(norm_full, 6).alias("norm_full"),
+        F.round(norm_prefix, 6).alias("norm_prefix"),
+        F.round(norm_prefix / norm_full, 6).alias("retained_frac"),
+    )

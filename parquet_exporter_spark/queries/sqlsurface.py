@@ -563,3 +563,34 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return joined.select("event_id", "user_id", "next_orderkey", "day_total")
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                 CAST(o_custkey AS DOUBLE) AS custkey_d
+          FROM orders)
+    UNPIVOT (val FOR metric IN (price AS 'total_price', custkey_d AS 'cust_key'))
+    """,
+    doc=(
+        "SQL UNPIVOT syntax (the native `UNPIVOT (val FOR name IN (...))` "
+        "clause both engines parse, vs the stack() expression form in "
+        "unpivot_stack). Catalyst rewrites UNPIVOT to the same Expand "
+        "node as stack — a narrow 1->k row expansion inside codegen, no "
+        "shuffle; rows with NULL values are dropped per the clause's "
+        "default on BOTH engines, which is part of the contract."
+    ),
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, metric, val
+        FROM (SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                     CAST(o_custkey AS DOUBLE) AS custkey_d
+              FROM orders)
+        UNPIVOT (val FOR metric IN (price AS total_price, custkey_d AS cust_key))
+        """
+    )

@@ -77,6 +77,23 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "single summary row; the per-user stage joins underneath shuffle "
         "on user_id normally",
     ),
+    "dsir_importance_weights": (
+        {"bnlj", "single_partition_x2"},
+        "the fitted model is two 1-row totals gathers plus a 64-row "
+        "bucket-distribution broadcast — all O(buckets), never corpus-"
+        "sized; the corpus itself contributes one partial-agg'd shuffle",
+    ),
+    "text_perplexity_buckets": (
+        {"bnlj", "single_partition_x3"},
+        "three 1-row scalar gathers (corpus token total, the persisted "
+        "scored branch's reuse of it, and the percentile_disc cutpoint "
+        "aggregate), each broadcast back; no global-order window",
+    ),
+    "similarity_range_search": (
+        {"bnlj"},
+        "the bounded query set broadcast against a linear corpus scan — "
+        "the radius-search analogue of similarity_topk_bruteforce",
+    ),
 }
 
 
@@ -92,13 +109,34 @@ def _flags(plan: str) -> set[str]:
     return out
 
 
+def _is_allowed(flag: str, allowed: set[str]) -> bool:
+    if flag in allowed:
+        return True
+    # single_partition_xK is allowed by any single_partition_xN with N >= K:
+    # the allowlisted count is an upper bound. Plans can legitimately show
+    # FEWER gathers than allowlisted (e.g. when a persisted branch is
+    # served from InMemoryRelation after another test executed the query).
+    if flag.startswith("single_partition_x"):
+        k = int(flag.rsplit("x", 1)[1])
+        for a in allowed:
+            if a.startswith("single_partition_x") and int(a.rsplit("x", 1)[1]) >= k:
+                return True
+    return False
+
+
 def test_no_unapproved_scale_red_flags(spark, sf_dir):
+    # Audit COLD plans: once another test has executed a query that
+    # persists an intermediate (e.g. text_perplexity_buckets' scored
+    # branch), CacheManager substitutes InMemoryRelation into fresh
+    # plans, and the relation's toString re-prints its cached plan —
+    # inflating exchange counts with duplicates of already-counted nodes.
+    spark.catalog.clearCache()
     offenders = {}
     for name, qd in REGISTRY.items():
         df = qd.raw_fn(spark, sf_dir)
         flags = _flags(df._jdf.queryExecution().executedPlan().toString())
         allowed = ALLOWED.get(name, (set(), ""))[0]
-        extra = flags - allowed
+        extra = {f for f in flags if not _is_allowed(f, allowed)}
         if extra:
             offenders[name] = sorted(extra)
     assert not offenders, (
