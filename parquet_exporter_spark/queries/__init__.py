@@ -65,7 +65,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # round-3 llm6/cdc/window batch: dsir_importance_weights,
 # dedup_semdedup_clustered, text_perplexity_buckets,
 # similarity_range_search, cdc_merge_upsert, window_rolling_corr,
-# graph_bfs_hops, sql_unpivot_clause, emb_matryoshka_truncate.
+# graph_bfs_hops, sql_unpivot_clause, emb_matryoshka_truncate,
+# sql_execute_immediate, cdc_incremental_agg, timeseries_hierarchical_rollup.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

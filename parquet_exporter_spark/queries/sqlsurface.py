@@ -594,3 +594,37 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (price AS total_price, custkey_d AS cust_key))
         """
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_balance
+    FROM customer
+    WHERE c_nationkey < 10
+    GROUP BY c_mktsegment
+    """,
+    doc=(
+        "EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query assembled as a "
+        "string and executed with USING-bound parameters — the migration "
+        "surface for warehouse scripts that build SQL at runtime. The "
+        "parameter binds as a literal foldable at analysis time, so the "
+        "c_nationkey bound reaches the parquet scan as a pushed filter "
+        "exactly like the static form the oracle runs; dynamic SQL costs "
+        "nothing at execution."
+    ),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment,
+                count(*) AS n_customers,
+                round(avg(c_acctbal), 2) AS avg_balance
+         FROM customer WHERE c_nationkey < ? GROUP BY c_mktsegment'
+        USING 10
+        """
+    )

@@ -458,3 +458,49 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Incremental aggregate maintenance: the materialized per-type "
+        "(count, sum) state computed over the pre-cutoff log is MERGED "
+        "with the delta's partial aggregates (count adds, sum adds) "
+        "instead of rescanning history — the incremental-view shape every "
+        "warehouse pipeline runs at 100 TB, where the base table is too "
+        "big to re-aggregate per batch. The oracle recomputes over the "
+        "full log; equality IS the correctness statement for mergeable "
+        "state (count/sum/min/max merge losslessly; non-mergeable "
+        "aggregates need sketches — see agg_hll_rollup). Plan: two "
+        "partial-agg'd scans (state + delta, each pre-filtered at the "
+        "parquet scan) and one union re-aggregate on the tiny per-type "
+        "rows; at scale the state side is a stored table, not a scan."
+    ),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+
+    state = partial(events.filter(F.col("ts") < cutoff))     # materialized
+    delta = partial(events.filter(F.col("ts") >= cutoff))    # new batch
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )

@@ -473,3 +473,76 @@ def timeseries_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
         )
     )
+
+
+@query(
+    "timeseries_hierarchical_rollup",
+    oracle="""
+    SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts),
+           CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM events GROUP BY 2
+    """,
+    doc=(
+        "Hypertable-style hierarchical rollup (the continuous-aggregate "
+        "pattern): minute-level partial aggregates are computed from raw "
+        "events ONCE, then the hour level is derived by merging minute "
+        "partials and the day level by merging hour partials — raw data "
+        "is never rescanned per resolution. The oracle recomputes every "
+        "level from raw; equality is the losslessness proof for "
+        "mergeable (count, sum) state, same contract as "
+        "cdc_incremental_agg. The minute level is persisted (AQE does "
+        "not unify the three identical union-branch exchanges), so raw "
+        "events is scanned and shuffled exactly once per execution; at "
+        "100 TB each level materializes as its own table and refreshes "
+        "incrementally from the level below."
+    ),
+)
+def timeseries_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    # The minute level feeds its own output branch AND the hour/day
+    # derivations; persist it so raw events is scanned and shuffled once
+    # (AQE does not unify the three identical union-branch exchanges).
+    # This is the materialized-continuous-aggregate shape: at 100 TB the
+    # persist becomes a stored minute-level table.
+    minute = minute.persist()
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+
+    def leveled(df, name):
+        return df.select(
+            F.lit(name).alias("level"),
+            "bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("total_value", 2).alias("total_value"),
+        )
+
+    return (
+        leveled(minute, "minute")
+        .unionByName(leveled(hour, "hour"))
+        .unionByName(leveled(day, "day"))
+    )

@@ -502,3 +502,29 @@ def test_rolling_corr_single_keyed_exchange(spark, sf_dir):
     df = q("window_rolling_corr", spark, sf_dir)
     assert count_shuffles(df) == 1
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_execute_immediate_binds_pushable_literal(spark, sf_dir):
+    """EXECUTE IMMEDIATE's USING parameter folds to a literal at analysis
+    time, so the bound predicate reaches the parquet scan."""
+    df = q("sql_execute_immediate", spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert has_partial_aggregation(df)
+
+
+def test_incremental_agg_merges_partials(spark, sf_dir):
+    """State + delta merge: both branches pre-filter at the scan and
+    partially aggregate; the merge re-aggregates per-type rows only."""
+    df = q("cdc_incremental_agg", spark, sf_dir)
+    assert has_pushed_filters(df)  # the ts cutoff reaches both scans
+    assert has_partial_aggregation(df)
+    assert "SortMergeJoin" not in physical_plan(df)  # union-merge, no join
+
+
+def test_hierarchical_rollup_single_raw_scan(spark, sf_dir):
+    """The hour/day levels derive from minute partials; the shared minute
+    aggregate is computed once (ReusedExchange), so raw events is
+    scanned exactly once across the three union branches."""
+    df = q("timeseries_hierarchical_rollup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex [file:") == 1, plan

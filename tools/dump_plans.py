@@ -35,6 +35,8 @@ EXTRA = [
     "similarity_range_search",
     "cdc_merge_upsert",
     "window_rolling_corr",
+    "cdc_incremental_agg",
+    "timeseries_hierarchical_rollup",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
