@@ -66,7 +66,9 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # dedup_semdedup_clustered, text_perplexity_buckets,
 # similarity_range_search, cdc_merge_upsert, window_rolling_corr,
 # graph_bfs_hops, sql_unpivot_clause, emb_matryoshka_truncate,
-# sql_execute_immediate, cdc_incremental_agg, timeseries_hierarchical_rollup.
+# sql_execute_immediate, cdc_incremental_agg, timeseries_hierarchical_rollup,
+# ab_test_proportions, split_kfold_assign, agg_skew_kurtosis,
+# sql_select_star_except.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -578,3 +578,42 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    -- population moments spelled explicitly: Spark's skewness/kurtosis
+    -- are population-form (m3/m2^1.5, m4/m2^2 - 3) while DuckDB's
+    -- built-ins are sample-bias-corrected, so the oracle computes the
+    -- same population definition from centered moments.
+    WITH mu AS (
+        SELECT l_returnflag, avg(l_quantity) AS mu
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(avg(power(l.l_quantity - m.mu, 3))
+                 / power(avg(power(l.l_quantity - m.mu, 2)), 1.5), 6) AS skew,
+           round(avg(power(l.l_quantity - m.mu, 4))
+                 / power(avg(power(l.l_quantity - m.mu, 2)), 2) - 3, 6) AS kurt
+    FROM lineitem l JOIN mu m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "Higher-moment aggregates: per-group population skewness and "
+        "excess kurtosis via Spark's single-pass streaming moment "
+        "aggregates (skewness(), kurtosis() — the numerically-stable "
+        "co-moment update, one partial-agg'd shuffle like any sum). The "
+        "oracle recomputes the identical population definitions from "
+        "explicitly centered moments because DuckDB's built-ins apply "
+        "sample bias correction — the operator contract pins WHICH "
+        "definition the engine serves. Shape-of-distribution signals "
+        "feed the outlier/drift family (outlier_mad, dq_drift_psi)."
+    ),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+    )

@@ -170,3 +170,76 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 3.5)
     )
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+               CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS conv_a,
+               CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+               CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM arms
+    """,
+    doc=(
+        "A/B test analysis: deterministic hash-bucket variant assignment "
+        "(user_id parity), per-arm user counts and conversion rates "
+        "(converted = more purchases than errors), and the pooled "
+        "two-proportion z statistic — the "
+        "experimentation readout every event pipeline serves. Two "
+        "aggregation levels: a per-user conversion flag (one shuffle on "
+        "user_id, map-side partial max) collapsed into a single "
+        "FILTER-clause aggregate row; the z arithmetic is a scalar "
+        "projection over that 1-row result, so the fact table is "
+        "scanned once and shuffled once regardless of scale."
+    ),
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    # conversion = strictly more purchase than error events for the user
+    # (a has-any-purchase flag saturates at 100% on this event density)
+    assigned = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        ).cast("int").alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assigned.agg(
+        F.count(F.when(F.col("variant") == 0, F.lit(1))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("conv_a"),
+        F.count(F.when(F.col("variant") == 1, F.lit(1))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.round(rate_a, 6).alias("rate_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -573,3 +573,43 @@ def text_boilerplate_strip_rebuild(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept_chunks"),
         F.coalesce("n_dropped", F.lit(0)).cast("int").alias("n_dropped_chunks"),
     )
+
+
+@query(
+    "split_kfold_assign",
+    oracle="""
+    WITH folded AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM folded GROUP BY fold
+    """,
+    doc=(
+        "K-fold cross-validation assignment (k=5): fold = content-hash "
+        "mod k, same leak-proofing as split_train_holdout — exact "
+        "duplicate documents land in the same fold, so no fold's "
+        "validation set can leak into another's training set via copies. "
+        "Emitted as per-fold balance stats (sizes, source coverage); a "
+        "training loop filters `fold <> i` per run. One partial-agg'd "
+        "shuffle on the 5-value fold key; assignment itself is a "
+        "per-row expression, zero extra cost at 100 TB."
+    ),
+)
+def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 5
+    ).cast("int")
+    return (
+        docs.select("doc_id", "source", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -628,3 +628,35 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 10
         """
     )
+
+
+@query(
+    "sql_select_star_except",
+    oracle="""
+    SELECT * EXCLUDE (n_comment_missing) FROM (
+        SELECT n_nationkey, n_name, n_regionkey,
+               NULL AS n_comment_missing
+        FROM nation
+    ) ORDER BY n_nationkey
+    """,
+    doc=(
+        "SELECT * EXCEPT (...) — Spark 4's column-exclusion projection "
+        "(DuckDB spells it EXCLUDE; the oracle uses its dialect, the "
+        "result contract is identical). Resolves at analysis time to a "
+        "plain column-pruned projection, so the dropped column never "
+        "leaves the scan — the ergonomic form of wide-table hygiene "
+        "('everything but the blob column') that matters at 100 TB "
+        "where accidental full-width scans dominate I/O."
+    ),
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """
+        SELECT * EXCEPT (n_comment_missing) FROM (
+            SELECT n_nationkey, n_name, n_regionkey,
+                   NULL AS n_comment_missing
+            FROM nation
+        ) ORDER BY n_nationkey
+        """
+    )
