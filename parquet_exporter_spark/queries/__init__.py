@@ -68,7 +68,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # graph_bfs_hops, sql_unpivot_clause, emb_matryoshka_truncate,
 # sql_execute_immediate, cdc_incremental_agg, timeseries_hierarchical_rollup,
 # ab_test_proportions, split_kfold_assign, agg_skew_kurtosis,
-# sql_select_star_except.
+# sql_select_star_except, similarity_binary_quantized, dq_rule_engine,
+# dedup_containment_pairs.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

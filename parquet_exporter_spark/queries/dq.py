@@ -340,3 +340,81 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col_a, col_b, corr_val)"
         )
     )
+
+
+# Declarative expectation suite: rule name -> (SQL predicate over orders,
+# severity). Evaluated in ONE scan via FILTER-clause aggregates.
+DQ_RULES = (
+    ("totalprice_positive", "o_totalprice > 0", "error"),
+    ("orderdate_in_range",
+     "o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'",
+     "error"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')", "error"),
+    ("priority_not_null", "o_orderpriority IS NOT NULL", "warn"),
+    ("totalprice_under_cap", "o_totalprice < 500000", "warn"),
+)
+
+
+@query(
+    "dq_rule_engine",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n,
+       sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v1,
+       sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                 AND o_orderdate < TIMESTAMP '2000-01-01' THEN 0 ELSE 1 END) AS v2,
+       sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS v3,
+       sum(CASE WHEN o_orderpriority IS NOT NULL THEN 0 ELSE 1 END) AS v4,
+       sum(CASE WHEN o_totalprice < 500000 THEN 0 ELSE 1 END) AS v5
+    FROM orders)
+    SELECT rule, severity, CAST(violations AS BIGINT) AS violations,
+           round(1.0 - violations / CAST(n AS DOUBLE), 6) AS pass_rate,
+           (violations = 0) AS passed
+    FROM t UNPIVOT (violations FOR rule IN (
+        v1 AS 'totalprice_positive', v2 AS 'orderdate_in_range',
+        v3 AS 'status_in_domain', v4 AS 'priority_not_null',
+        v5 AS 'totalprice_under_cap'))
+    JOIN (VALUES ('totalprice_positive', 'error'),
+                 ('orderdate_in_range', 'error'),
+                 ('status_in_domain', 'error'),
+                 ('priority_not_null', 'warn'),
+                 ('totalprice_under_cap', 'warn')) sev(rule2, severity)
+      ON rule = rule2
+    """,
+    doc=(
+        "Declarative data-quality rule engine (expectation-suite shape): "
+        "a literal rule table of (name, predicate, severity) compiles to "
+        "ONE FILTER-clause aggregate pass over the table — violations "
+        "for every rule are counted in a single scan with map-side "
+        "partial aggregation, then unpivoted to the long verdict format "
+        "dashboards ingest (rule, severity, violations, pass_rate, "
+        "passed). Adding a rule adds an aggregate expression, never a "
+        "scan; at 100 TB this is the only affordable shape for a "
+        "50-rule suite. Complements dq_constraint_checks (cross-table "
+        "FK/PK checks) with per-row domain expectations."
+    ),
+)
+def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))).alias(f"v{i}")
+        for i, (_, pred, _) in enumerate(DQ_RULES)
+    ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _, _) in enumerate(DQ_RULES)
+    )
+    long = wide.selectExpr(
+        "n", f"stack({len(DQ_RULES)}, {stack_args}) AS (rule, violations)"
+    )
+    sev = F.create_map(
+        *[x for name, _, s in DQ_RULES for x in (F.lit(name), F.lit(s))]
+    )
+    return long.select(
+        "rule",
+        sev[F.col("rule")].alias("severity"),
+        F.col("violations").cast("long").alias("violations"),
+        F.round(1.0 - F.col("violations") / F.col("n").cast("double"), 6).alias(
+            "pass_rate"
+        ),
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -251,3 +251,49 @@ def test_image_ahash_deterministic_and_discriminative(spark, sf_dir):
     dup = docs.limit(1).unionByName(docs.limit(1))
     h = [r.ahash for r in image_average_hash(attach_payload(dup)).collect()]
     assert h[0] == h[1]
+
+
+def test_binary_quantized_shortlist_recall(spark, sf_dir):
+    """Sign-bit Hamming shortlists are the cheap first stage before exact
+    reranking: a 50-candidate shortlist must recover well over half of
+    the exact cosine top-10 (data is deterministic, so the measured
+    recall is stable; 0.667 at sf0.001)."""
+    from pyspark.sql import Window
+
+    from parquet_exporter_spark.queries.llm6 import _bq_word
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    exact = S.brute_force_topk(queries, emb, k=10)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    sig = emb.select(
+        "vec_id",
+        _bq_word(F.col("embedding"), 0).alias("w0"),
+        _bq_word(F.col("embedding"), 32).alias("w1"),
+    )
+    q = F.broadcast(
+        sig.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("q0"),
+            F.col("w1").alias("q1"),
+        )
+    )
+    scored = (
+        q.crossJoin(sig)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neighbor_id")
+    shortlist = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
+    got = {(r.query_id, r.neighbor_id) for r in shortlist.collect()}
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.5, f"hamming shortlist recall too low: {recall}"

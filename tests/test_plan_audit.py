@@ -94,6 +94,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "the bounded query set broadcast against a linear corpus scan — "
         "the radius-search analogue of similarity_topk_bruteforce",
     ),
+    "similarity_binary_quantized": (
+        {"bnlj"},
+        "the bounded query-signature set (3 rows of two packed words) "
+        "broadcast against the linear signature scan — same shape as "
+        "the other exact-baseline searches, but over 8-byte signatures",
+    ),
 }
 
 
@@ -125,15 +131,17 @@ def _is_allowed(flag: str, allowed: set[str]) -> bool:
 
 
 def test_no_unapproved_scale_red_flags(spark, sf_dir):
-    # Audit COLD plans: once another test has executed a query that
-    # persists an intermediate (e.g. text_perplexity_buckets' scored
-    # branch), CacheManager substitutes InMemoryRelation into fresh
-    # plans, and the relation's toString re-prints its cached plan —
-    # inflating exchange counts with duplicates of already-counted nodes.
-    spark.catalog.clearCache()
     offenders = {}
     for name, qd in REGISTRY.items():
         df = qd.raw_fn(spark, sf_dir)
+        # Audit COLD plans: when a query (this one or an earlier test's)
+        # persists an intermediate, CacheManager substitutes
+        # InMemoryRelation into the plan, and the relation's toString
+        # re-prints its cached subplan — inflating exchange counts with
+        # duplicates of already-counted nodes. Clearing AFTER the build
+        # but BEFORE reading the plan un-registers any persist the build
+        # itself made (executedPlan resolves lazily on access).
+        spark.catalog.clearCache()
         flags = _flags(df._jdf.queryExecution().executedPlan().toString())
         allowed = ALLOWED.get(name, (set(), ""))[0]
         extra = {f for f in flags if not _is_allowed(f, allowed)}

@@ -528,3 +528,21 @@ def test_hierarchical_rollup_single_raw_scan(spark, sf_dir):
     df = q("timeseries_hierarchical_rollup", spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("Location: InMemoryFileIndex [file:") == 1, plan
+
+
+def test_rule_engine_single_scan_partial_agg(spark, sf_dir):
+    """The whole expectation suite is ONE scan: every rule is a
+    FILTER-style aggregate expression in a single partial-agg'd pass."""
+    df = q("dq_rule_engine", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex [file:") == 1, plan
+    assert has_partial_aggregation(df)
+
+
+def test_containment_join_is_shingle_keyed(spark, sf_dir):
+    """Containment pair generation is an equi-join on the shingle key —
+    never a cartesian — and sizes join back on the doc id."""
+    df = q("dedup_containment_pairs", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
