@@ -504,3 +504,50 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total_value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, total_value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY total_value DESC, event_type) AS rn
+        FROM agg
+    ) WHERE rn <= 2
+    """,
+    doc=(
+        "Continuous leaderboard: top-2 event types by total value per "
+        "6-hour tumbling window — the batch twin of the foreachBatch "
+        "ranking a streaming dashboard maintains (windowed aggregation "
+        "runs incrementally under a watermark; the rank-and-cut runs "
+        "per micro-batch on the window's closed aggregates). Plan: one "
+        "(window, type) partial-agg shuffle, then a window-keyed "
+        "WindowGroupLimit over aggregate-sized rows — the top-k input "
+        "is |windows|x|types|, never the event stream."
+    ),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(
+            F.window("ts", "6 hours").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("window_start", "event_type", "total_value")
+    )

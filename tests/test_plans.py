@@ -546,3 +546,23 @@ def test_containment_join_is_shingle_keyed(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
+    """Spatial radius pairs come from an EQUI join on grid-cell ids (the
+    2-D grid analogue of the interval-overlap binning) — never a
+    cartesian or nested-loop pair generator."""
+    df = q("geo_radius_join", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_stream_topk_window_input_is_aggregated(spark, sf_dir):
+    """The leaderboard's rank window runs over (window, type) aggregate
+    rows — partial aggregation first, WindowGroupLimit cut after."""
+    df = q("stream_topk_per_window", spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert "WindowGroupLimit" in physical_plan(df)

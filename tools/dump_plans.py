@@ -37,6 +37,11 @@ EXTRA = [
     "window_rolling_corr",
     "cdc_incremental_agg",
     "timeseries_hierarchical_rollup",
+    "similarity_binary_quantized",
+    "dq_rule_engine",
+    "dedup_containment_pairs",
+    "geo_radius_join",
+    "stream_topk_per_window",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
