@@ -655,3 +655,88 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAIN_TAU)
     )
+
+
+@query(
+    "sample_semantic_order",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x
+        FROM emb ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cid,
+               round(sum(power(e.x[p.i] - c.x[p.i], 2)), 9) AS dist
+        FROM emb e CROSS JOIN cents c CROSS JOIN pos p
+        GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT vec_id AS doc_id, CAST(cluster AS INT) AS cluster,
+           CAST(row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+               AS pos_in_cluster
+    FROM assigned
+    """,
+    doc=(
+        "In-context-pretraining corpus layout (Shi et al. 2023, ICLM): "
+        "order training examples so semantically-related documents are "
+        "adjacent — cluster by embedding (the deterministic seed-"
+        "centroid assignment shared with dedup_semdedup_clustered), "
+        "then give every document a deterministic position inside its "
+        "cluster (md5-hash order, the sample_global_shuffle convention, "
+        "so within-cluster order is reproducible but not id-sorted). "
+        "Packing sequences in (cluster, pos_in_cluster) order puts "
+        "related context in the same training window, which is the "
+        "technique's entire effect. One narrow assignment expression, "
+        "one window per cluster partition (bounded by cluster size — "
+        "no global-order window); the final global ordering at write "
+        "time is (cluster, pos) via the range-partitioned row-id "
+        "operator (ids_global_rownum)."
+    ),
+)
+def sample_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    seeds = emb.orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    cents = [list(r.x) for r in seeds]
+
+    def dist_to(c: list[float]):
+        carr = F.array(*[F.lit(v) for v in c])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    dists = [dist_to(c) for c in cents]
+    m = F.least(*dists)
+    cluster = F.lit(SEMDEDUP_K - 1)
+    for cid in range(SEMDEDUP_K - 2, -1, -1):
+        cluster = F.when(dists[cid] == m, F.lit(cid)).otherwise(cluster)
+    assigned = emb.select("vec_id", cluster.cast("int").alias("cluster"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        "cluster",
+        F.row_number().over(w).cast("long").alias("pos_in_cluster"),
+    )

@@ -546,3 +546,81 @@ def timeseries_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(leveled(hour, "hour"))
         .unionByName(leveled(day, "day"))
     )
+
+
+@query(
+    "scd2_temporal_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, event_id, ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, event_id, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state, valid_from,
+               coalesce(lead(valid_from) OVER w2,
+                        TIMESTAMP '2099-12-31 00:00:00') AS valid_to
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.state AS state_at_purchase
+    FROM events f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    WHERE f.event_type = 'purchase'
+    """,
+    doc=(
+        "Temporal dimension lookup: every purchase fact joins the SCD2 "
+        "history (scd2_history_from_events) on its OWN point in time — "
+        "equi key user_id, interval residual valid_from <= ts < "
+        "valid_to — answering 'what state was the user in when they "
+        "purchased'. Exactly one interval matches per fact (the "
+        "intervals partition each user's timeline), which the row count "
+        "pins. Plan: the dim build and the fact side share the user_id "
+        "hash partitioning, so the lookup is one co-shuffled equi join "
+        "with the range condition evaluated as a join residual — never "
+        "an interval explosion; at 100 TB the dim is a stored table "
+        "bucketed on the same key and the fact shuffle is the only "
+        "data-sized movement."
+    ),
+)
+def scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"), "event_id",
+                F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w2),
+            F.lit("2099-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase")
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.d_user)
+            & (facts.ts >= dim.valid_from)
+            & (facts.ts < dim.valid_to),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("state").alias("state_at_purchase"),
+        )
+    )

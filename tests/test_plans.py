@@ -566,3 +566,20 @@ def test_stream_topk_window_input_is_aggregated(spark, sf_dir):
     df = q("stream_topk_per_window", spark, sf_dir)
     assert has_partial_aggregation(df)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_scd2_lookup_shares_user_partitioning(spark, sf_dir):
+    """The SCD2 interval lookup is an equi join on user_id with the
+    range condition as a residual — no nested loop, and the dim build's
+    window exchanges reuse the same key."""
+    df = q("scd2_temporal_lookup", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_semantic_order_window_is_cluster_scoped(spark, sf_dir):
+    """Positions come from per-cluster windows, never a global order."""
+    df = q("sample_semantic_order", spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df)
