@@ -42,6 +42,8 @@ EXTRA = [
     "dedup_containment_pairs",
     "geo_radius_join",
     "stream_topk_per_window",
+    "scd2_temporal_lookup",
+    "sample_semantic_order",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
