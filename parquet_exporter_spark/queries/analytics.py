@@ -243,3 +243,57 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY from_type)
+                 AS DOUBLE), 6) AS p_transition
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    doc=(
+        "Clickstream transition matrix: counts and row-normalized "
+        "probabilities of ADJACENT event-type transitions per user "
+        "stream — the first-order Markov model behind 'what do users do "
+        "right after X' product analytics and the strict-adjacency "
+        "complement of funnel_three_step's loose ordering. One user-"
+        "keyed exchange for the lead() sequencing, then a partial-agg'd "
+        "(from, to) aggregate whose cardinality is |types|^2; the "
+        "normalizing window runs over those aggregate rows, never the "
+        "event stream. The same shape at 100 TB feeds session-path "
+        "mining (N-gram transitions = longer lead chains)."
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_norm).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
