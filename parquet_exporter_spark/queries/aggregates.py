@@ -617,3 +617,71 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    -- weighted median spelled as the cumulative-weight crossing point
+    -- (smallest value whose running weight share reaches 0.5) — both
+    -- engines run the same definition, so no interpolation ambiguity
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cum_w,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cum_w >= 0.5 * total_w
+                          THEN l_extendedprice END), 2) AS weighted_median_price,
+           round(min(CASE WHEN cum_w >= 0.9 * total_w
+                          THEN l_extendedprice END), 2) AS weighted_p90_price
+    FROM ranked GROUP BY l_returnflag
+    """,
+    doc=(
+        "Weighted percentiles (median and P90 of price, weighted by "
+        "quantity): the order-statistics answer to 'the price at which "
+        "half the VOLUME has shipped', which the unweighted median "
+        "cannot express. Spelled as the cumulative-weight crossing "
+        "point with a deterministic (price, orderkey, linenumber) "
+        "order, identical on both engines. One keyed exchange serves "
+        "both windows and the final aggregate (same partitioning); at "
+        "100 TB the exact in-partition sort becomes the same "
+        "approx-percentile-over-weights rewrite as the other exact "
+        "order statistics."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cum_w"),
+        F.sum("l_quantity").over(w_all).alias("total_w"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w") >= 0.5 * F.col("total_w"), F.col("l_extendedprice")
+                )
+            ),
+            2,
+        ).alias("weighted_median_price"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w") >= 0.9 * F.col("total_w"), F.col("l_extendedprice")
+                )
+            ),
+            2,
+        ).alias("weighted_p90_price"),
+    )

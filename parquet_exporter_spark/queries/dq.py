@@ -418,3 +418,52 @@ def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, max(ts) AS latest_ts, count(*) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    ref AS (SELECT max(latest_ts) AS corpus_latest FROM per_type)
+    SELECT p.event_type, p.latest_ts,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           CAST(floor(date_diff('second', p.latest_ts, r.corpus_latest) / 60)
+               AS BIGINT) AS staleness_minutes,
+           (floor(date_diff('second', p.latest_ts, r.corpus_latest) / 60) > 360)
+               AS is_stale
+    FROM per_type p CROSS JOIN ref r
+    """,
+    doc=(
+        "Data-freshness audit (the DQ dimension the constraint/drift/"
+        "profiling family lacked): per event type, the latest event "
+        "time, its staleness in minutes behind the freshest partition, "
+        "and a >6h stale flag — the check every ingestion pipeline "
+        "pages on (staleness = floor of elapsed whole seconds / 60: both "
+        "engines count second boundaries identically, unlike their "
+        "divergent minute-boundary date_diff conventions). One "
+        "partial-agg'd scan to |types| rows; the corpus "
+        "watermark is a 1-row aggregate OVER THOSE ROWS (not a second "
+        "scan) broadcast back. At 100 TB the per-type maxima come from "
+        "partition-level footer stats (catalog_row_counts' metadata "
+        "path), making the whole check metadata-only."
+    ),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    ref = F.broadcast(per_type.agg(F.max("latest_ts").alias("corpus_latest")))
+    lag_min = (
+        (F.unix_timestamp("corpus_latest") - F.unix_timestamp("latest_ts")) / 60
+    ).cast("long")
+    return per_type.crossJoin(ref).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        lag_min.alias("staleness_minutes"),
+        (lag_min > 360).alias("is_stale"),
+    )

@@ -94,6 +94,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "the bounded query set broadcast against a linear corpus scan — "
         "the radius-search analogue of similarity_topk_bruteforce",
     ),
+    "dq_freshness_lag": (
+        {"bnlj"},
+        "the corpus watermark is a 1-row aggregate over the |types|-row "
+        "per-type maxima, broadcast back onto those same rows — nothing "
+        "data-sized on either side of the nested loop",
+    ),
     "similarity_binary_quantized": (
         {"bnlj"},
         "the bounded query-signature set (3 rows of two packed words) "
