@@ -44,6 +44,9 @@ EXTRA = [
     "stream_topk_per_window",
     "scd2_temporal_lookup",
     "sample_semantic_order",
+    "event_transition_matrix",
+    "agg_weighted_median",
+    "dq_freshness_lag",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
