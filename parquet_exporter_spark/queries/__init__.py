@@ -71,7 +71,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # sql_select_star_except, similarity_binary_quantized, dq_rule_engine,
 # dedup_containment_pairs, geo_radius_join, stream_topk_per_window,
 # scd2_temporal_lookup, sample_semantic_order, event_transition_matrix,
-# agg_weighted_median, dq_freshness_lag.
+# agg_weighted_median, dq_freshness_lag, timeseries_cusum_shift,
+# event_longest_streak.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -297,3 +297,65 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_transition"),
     )
+
+
+@query(
+    "event_longest_streak",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island, count(*) AS run_len
+        FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type AS streak_type,
+           CAST(run_len AS BIGINT) AS longest_streak
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY run_len DESC, event_type, island) AS rn
+        FROM runs
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Longest same-type streak per user: the VALUE-streak variant of "
+        "gaps-and-islands (sessionize_gaps_islands islands by time gap; "
+        "this islands by consecutive equal values via the classic "
+        "rn - rn_per_value difference). Deterministic winner: longest "
+        "run, then type, then island position. One user-keyed exchange "
+        "serves both row_number passes, the run aggregate, and the "
+        "final per-user WindowGroupLimit cut — island ids are "
+        "partition-local arithmetic, so nothing reshuffles."
+    ),
+)
+def event_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), "event_type", "island"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("run_len").cast("long").alias("longest_streak"),
+        )
+    )

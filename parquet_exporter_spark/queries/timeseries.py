@@ -624,3 +624,74 @@ def scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("state").alias("state_at_purchase"),
         )
     )
+
+
+@query(
+    "timeseries_cusum_shift",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    ),
+    cums AS (
+        SELECT e.event_type, e.ts, e.event_id, s.sigma,
+               sum(e.value - s.mu - 0.5 * s.sigma) OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY e.ts, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM events e JOIN stats s USING (event_type)
+    ),
+    c AS (
+        SELECT event_type, sigma, cum,
+               min(cum) OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        FROM cums
+    )
+    SELECT event_type,
+           round(max(cum - least(0, runmin)), 6) AS cusum_max,
+           (max(cum - least(0, runmin)) > 4 * any_value(sigma)) AS shift_detected
+    FROM c GROUP BY event_type
+    """,
+    doc=(
+        "One-sided CUSUM mean-shift detection per series (slack k = "
+        "sigma/2, threshold h = 4*sigma — the standard control-chart "
+        "parameterization): completes the monitoring family's time "
+        "dimension (dq_drift_psi = distribution shift between halves, "
+        "streaming/drift.py = per-batch shift, this = WHEN the mean "
+        "moved). The recurrence S_t = max(0, S_{t-1} + y_t) is rewritten "
+        "with the prefix identity S_t = C_t - min(0, running_min(C)) — "
+        "pure cumulative windows instead of an order-dependent fold, so "
+        "the plan is one keyed exchange serving three same-ordered "
+        "window passes and a final aggregate, with none of the "
+        "collected-array state the EWMA fold needs."
+    ),
+)
+def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.col("value") - F.col("mu") - 0.5 * F.col("sigma")
+    ).over(w)
+    c = joined.select(
+        "event_type",
+        "sigma",
+        cum.alias("cum"),
+        F.min(cum).over(w).alias("runmin"),
+    )
+    s_t = F.col("cum") - F.least(F.lit(0.0), F.col("runmin"))
+    return c.groupBy("event_type").agg(
+        F.round(F.max(s_t), 6).alias("cusum_max"),
+        (F.max(s_t) > 4 * F.first("sigma")).alias("shift_detected"),
+    )

@@ -47,6 +47,8 @@ EXTRA = [
     "event_transition_matrix",
     "agg_weighted_median",
     "dq_freshness_lag",
+    "timeseries_cusum_shift",
+    "event_longest_streak",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
