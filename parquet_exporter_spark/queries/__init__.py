@@ -72,7 +72,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # dedup_containment_pairs, geo_radius_join, stream_topk_per_window,
 # scd2_temporal_lookup, sample_semantic_order, event_transition_matrix,
 # agg_weighted_median, dq_freshness_lag, timeseries_cusum_shift,
-# event_longest_streak.
+# event_longest_streak, dq_sequence_gaps, sample_interleave_sources.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

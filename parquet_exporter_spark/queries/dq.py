@@ -467,3 +467,46 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_min.alias("staleness_minutes"),
         (lag_min > 360).alias("is_stale"),
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id,
+               lead(event_id) OVER (ORDER BY event_id) AS next_id
+        FROM (SELECT DISTINCT event_id FROM events)
+    )
+    SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+           CAST(next_id - event_id - 1 AS BIGINT) AS missing
+    FROM seq
+    WHERE next_id - event_id > 1
+    """,
+    doc=(
+        "Sequence-gap detection: ranges of missing ids in what should be "
+        "a dense surrogate-key sequence — the completeness check that "
+        "catches dropped ingestion batches (a gap of exactly one batch "
+        "size is the classic symptom). Spelled as lead() over the "
+        "distinct ordered ids, emitting one row per gap range rather "
+        "than one per missing id, so output is bounded by the number of "
+        "DISCONTINUITIES, not the hole sizes. The global window is over "
+        "distinct ids; at 100 TB the same check runs per partition-range "
+        "with per-range min/max from footer stats stitched by one tiny "
+        "boundary pass (the ids_global_rownum decomposition in reverse)."
+    ),
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    ids = events.select("event_id").distinct()
+    w = Window.orderBy("event_id")
+    return (
+        ids.withColumn("next_id", F.lead("event_id").over(w))
+        .filter(F.col("next_id") - F.col("event_id") > 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("event_id") - 1).cast("long").alias("missing"),
+        )
+    )

@@ -185,3 +185,39 @@ def sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp_share, 6).alias("temp_share"),
         F.round(temp_share / raw_share, 6).alias("upsample_factor"),
     )
+
+
+@query(
+    "sample_interleave_sources",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS round_ix
+    FROM documents
+    """,
+    doc=(
+        "Source-balanced interleave layout: every document gets a round "
+        "index = its deterministic md5-order position WITHIN its source, "
+        "so reading in (round_ix, source) order round-robins across "
+        "sources — the anti-clumping training layout that keeps any "
+        "window of examples mixed across domains (the opposite goal of "
+        "sample_semantic_order's adjacency, and the other standard "
+        "choice). Per-source windows only — cardinality-bounded, no "
+        "global order; the final global id at write time composes with "
+        "ids_global_rownum exactly like the semantic layout."
+    ),
+)
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("round_ix"),
+    )
