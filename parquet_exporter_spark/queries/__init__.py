@@ -72,7 +72,12 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # dedup_containment_pairs, geo_radius_join, stream_topk_per_window,
 # scd2_temporal_lookup, sample_semantic_order, event_transition_matrix,
 # agg_weighted_median, dq_freshness_lag, timeseries_cusum_shift,
-# event_longest_streak, dq_sequence_gaps, sample_interleave_sources.
+# event_longest_streak, dq_sequence_gaps, sample_interleave_sources,
+# analytics_rfm_segmentation, analytics_pareto_share,
+# analytics_market_basket, analytics_event_paths, dq_benford_first_digit,
+# timeseries_autocorr, timeseries_seasonal_baseline,
+# join_bucketed_no_shuffle, sql_values_inline, text_vocab_coverage,
+# fn_regexp_suite.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -359,3 +359,222 @@ def event_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_len").cast("long").alias("longest_streak"),
         )
     )
+
+
+@query(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS INTEGER) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_score
+    FROM base
+    """,
+    doc=(
+        "RFM customer segmentation: per-customer recency (days since last "
+        "order vs the corpus max date), frequency (order count), monetary "
+        "(total spend), each scored into quintiles by ntile(5) with a "
+        "custkey tie-break so the quintile boundaries are deterministic. "
+        "The fact table reduces to |customers| rows in one keyed shuffle "
+        "before any window runs; the three global ntile windows sort the "
+        "customer summary, not the orders — at 100 TB the single-partition "
+        "window is over the bounded dimension, and the standard scale-out "
+        "is percentile-bucket scores (width_bucket over approx quantiles) "
+        "which drops the global sort entirely."
+    ),
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    corpus_max = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    base = base.join(F.broadcast(corpus_max)).withColumn(
+        "recency_days", F.datediff("corpus_max", "last_order").cast("long")
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey")).alias("m_score"),
+    )
+
+
+@query(
+    "analytics_pareto_share",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ), tot AS (SELECT sum(revenue) AS total FROM rev)
+    SELECT custkey, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, custkey) AS BIGINT) AS rnk,
+           round(sum(revenue) OVER (ORDER BY revenue DESC, custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total, 6) AS cum_share,
+           (sum(revenue) OVER (ORDER BY revenue DESC, custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - revenue)
+                < 0.8 * total AS in_top80
+    FROM rev, tot
+    """,
+    doc=(
+        "Pareto (80/20) revenue concentration: customers ranked by "
+        "revenue, running cumulative share, and an in_top80 flag marking "
+        "the smallest prefix of customers covering 80% of revenue (a "
+        "customer is in the head while the share BEFORE it is under 0.8, "
+        "so the flag flips exactly once). The cumulative window runs in "
+        "identical (revenue DESC, custkey) frame order on both engines, "
+        "so the float partial sums add in the same sequence. Input to the "
+        "window is the per-customer aggregate (one keyed shuffle); the "
+        "global ordered window is over the bounded customer dimension."
+    ),
+)
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(F.broadcast(tot))
+        .withColumn("cum_rev", F.sum("revenue").over(w))
+        .select(
+            "custkey",
+            "revenue",
+            F.row_number()
+            .over(Window.orderBy(F.col("revenue").desc(), "custkey"))
+            .cast("long")
+            .alias("rnk"),
+            F.round(F.col("cum_rev") / F.col("total"), 6).alias("cum_share"),
+            ((F.col("cum_rev") - F.col("revenue")) < 0.8 * F.col("total")).alias("in_top80"),
+        )
+    )
+
+
+@query(
+    "analytics_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ), n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+    cnt AS (SELECT part, count(*) AS part_n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.part AS part_a, b.part AS part_b, count(*) AS pair_n
+        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
+           round(pair_n * n_orders / (ca.part_n * CAST(cb.part_n AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.part = part_a
+    JOIN cnt cb ON cb.part = part_b, n
+    WHERE pair_n >= 2
+    """,
+    doc=(
+        "Market-basket pair mining: support count and lift for part pairs "
+        "co-occurring in an order (support >= 2). The self-join is keyed "
+        "on the order id, so the blow-up is bounded per basket (k items "
+        "-> k(k-1)/2 pairs within one partition's rows), never a global "
+        "cross product; at 100 TB the standard guard is capping basket "
+        "size (huge baskets are degenerate for lift anyway) and the "
+        "item-count side joins broadcast. Lift = P(ab)/(P(a)P(b)) on the "
+        "distinct-basket event space."
+    ),
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(F.countDistinct("okey").alias("n_orders"))
+    cnt = items.groupBy("part").agg(F.count(F.lit(1)).alias("part_n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(cnt).withColumnRenamed("part", "part_a").withColumnRenamed("part_n", "n_a"),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt).withColumnRenamed("part", "part_b").withColumnRenamed("part_n", "n_b"),
+            "part_b",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.round(
+                F.col("pair_n") * F.col("n_orders") / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "analytics_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt1,
+               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt2
+        FROM events
+    )
+    SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE nxt2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    doc=(
+        "Top event-type trigram paths (path mining): per-user ordered "
+        "lead(1)/lead(2) windows build every 3-step path, then a global "
+        "count + top-10. Both leads share one user-keyed sort-window "
+        "partitioning (single exchange); path cardinality is bounded by "
+        "|event_type|^3, so the final aggregate is tiny and the top-10 "
+        "is TakeOrdered, not a global sort."
+    ),
+)
+def analytics_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt2").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -510,3 +510,48 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_id") - F.col("event_id") - 1).cast("long").alias("missing"),
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), n AS (SELECT count(*) AS total FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS observed_p,
+           round(log10(1 + 1.0 / digit), 6) AS expected_p
+    FROM d, n GROUP BY digit, total ORDER BY digit
+    """,
+    doc=(
+        "Benford first-digit audit: the leading significant digit of "
+        "every order amount vs Benford's law expectation log10(1+1/d) — "
+        "the classic fabricated-data / unit-mixup screen for financial "
+        "columns. The digit is extracted integer-exactly (floor -> bigint "
+        "-> first character of its decimal string), avoiding any "
+        "float-formatting or log10-at-power-of-ten edge between engines. "
+        "One partial-agg scan to 9 rows plus a 1-row total broadcast."
+    ),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("observed_p"),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("expected_p"),
+        )
+        .orderBy("digit")
+    )

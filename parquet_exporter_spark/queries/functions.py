@@ -548,3 +548,33 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey", F.explode_outer(pieces).alias("piece")
     )
+
+
+@query(
+    "fn_regexp_suite",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_number_runs,
+           nullif(regexp_extract(text, '[0-9]+'), '') AS first_number,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_ws_tokens,
+           regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%the%' AS has_the_after
+    FROM documents WHERE doc_id < 200
+    """,
+    doc=(
+        "Regexp function suite: regexp_extract_all (count of digit runs), "
+        "regexp_extract first match (nullif-normalized — Spark returns "
+        "'' on no-match at group 0, DuckDB's semantics differ only there), "
+        "regexp split token count, and regexp_replace composed under a "
+        "LIKE. All per-row JVM expressions inside one codegen stage; "
+        "filter pushed to the scan."
+    ),
+)
+def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_number_runs"),
+        F.nullif(F.regexp_extract("text", "[0-9]+", 0), F.lit("")).alias("first_number"),
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        F.regexp_replace("text", "[aeiou]", "_").like("%the%").alias("has_the_after"),
+    )

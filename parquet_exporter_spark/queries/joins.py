@@ -651,3 +651,66 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("last_orderkey")).alias("last_orderkey"),
         F.when(within, F.col("day_total")).alias("day_total"),
     )
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 8) -> str:
+    """Materialize a testdata table as a bucketed catalog table (once per
+    (session, sf)) at an external scratch path, returning its name.
+
+    bucketBy requires saveAsTable; the explicit path keeps the location
+    independent of the caller session's warehouse directory. The catalog
+    existence check makes repeat invocations free within a session."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tbl = f"pes_bkt_{name}_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        path = os.path.join(tempfile.gettempdir(), tbl)
+        (
+            read_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    return tbl
+
+
+@query(
+    "join_bucketed_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Bucketed co-located join: orders and lineitem are written once "
+        "as catalog tables bucketed (and sorted) on the order key with "
+        "matching bucket counts, so the fact-fact join needs NO exchange "
+        "on the join key — each task joins its bucket pair locally "
+        "(plan-asserted in tests/test_plans.py with broadcast disabled). "
+        "This is THE 100 TB pattern for repeated big-big joins: pay the "
+        "layout shuffle once at write time, then every subsequent join "
+        "of the co-bucketed tables skips its shuffle entirely. Values "
+        "are layout-independent, so the oracle is the plain join over "
+        "the original parquet."
+    ),
+)
+def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table(_bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    li = spark.table(_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -228,3 +228,62 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.col("codes")).alias("codes_str"),
         "recon_err",
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS f FROM tok WHERE term <> '' GROUP BY 1
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rnk,
+               sum(f) OVER () AS total
+        FROM freq
+    )
+    SELECT k, round(sum(f) FILTER (WHERE rnk <= k) / CAST(max(total) AS DOUBLE), 6)
+              AS coverage
+    FROM ranked CROSS JOIN (VALUES (100), (1000), (10000)) AS ks(k)
+    GROUP BY k ORDER BY k
+    """,
+    doc=(
+        "Vocabulary coverage curve: fraction of all token OCCURRENCES "
+        "covered by the top-k most frequent types, at k in {100, 1000, "
+        "10000} — the tokenizer-design readout (how big a vocab before "
+        "OOV rate is acceptable). The corpus reduces to the type-frequency "
+        "table in one shuffle; the global rank window runs over the "
+        "bounded vocabulary, and the three k cut-points come from a "
+        "broadcast literal table so the curve is one aggregate, not "
+        "three passes."
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), "term")).alias("rnk"),
+        F.sum("f").over(Window.partitionBy()).alias("total"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("f")))
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage")
+        )
+        .orderBy("k")
+    )

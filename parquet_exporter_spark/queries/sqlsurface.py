@@ -660,3 +660,40 @@ def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) ORDER BY n_nationkey
         """
     )
+
+
+@query(
+    "sql_values_inline",
+    oracle="""
+    WITH pri(code, label) AS (
+        VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'), ('3-MEDIUM', 'medium'),
+               ('4-NOT SPECIFIED', 'unspecified'), ('5-LOW', 'low')
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN pri ON o_orderpriority = code
+    GROUP BY 1
+    """,
+    doc=(
+        "Inline VALUES dimension: a literal lookup table declared in the "
+        "query text (the code->label decode every report has) joined to "
+        "the fact scan. The VALUES relation is a LocalRelation — no scan, "
+        "no file — and the BROADCAST hint pins the replicated join, so "
+        "the fact table never shuffles; the aggregate's partial phase "
+        "runs map-side behind it."
+    ),
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH pri(code, label) AS (
+            VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'), ('3-MEDIUM', 'medium'),
+                   ('4-NOT SPECIFIED', 'unspecified'), ('5-LOW', 'low')
+        )
+        SELECT /*+ BROADCAST(pri) */ label, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN pri ON o_orderpriority = code
+        GROUP BY label
+        """
+    )

@@ -695,3 +695,94 @@ def timeseries_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(s_t), 6).alias("cusum_max"),
         (F.max(s_t) > 4 * F.first("sigma")).alias("shift_detected"),
     )
+
+
+@query(
+    "timeseries_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, cnt,
+               lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+        FROM daily
+    )
+    SELECT event_type, round(corr(cnt, prev_cnt), 6) AS lag1_autocorr,
+           CAST(count(prev_cnt) AS BIGINT) AS n_pairs
+    FROM lagged GROUP BY 1
+    """,
+    doc=(
+        "Lag-1 autocorrelation of the daily event-count series per type: "
+        "daily rollup (one keyed partial-agg shuffle), lag() over the "
+        "per-type day order, then corr(cnt, prev_cnt) — the standard "
+        "seasonality/trend screen before forecasting. The window and the "
+        "final aggregate share the event_type partitioning, and the "
+        "series length (days) is bounded, so the windowed stage is tiny "
+        "regardless of raw event volume."
+    ),
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev_cnt", F.lag("cnt").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("cnt", "prev_cnt"), 6).alias("lag1_autocorr"),
+        F.count("prev_cnt").cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "timeseries_seasonal_baseline",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+               avg(value) AS mu, stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hr, round(s.mu, 6) AS baseline_mean,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE abs(e.value - s.mu) > 2 * s.sigma) AS BIGINT)
+               AS n_anomalies
+    FROM events e
+    JOIN stats s ON s.event_type = e.event_type AND s.hr = hour(e.ts)
+    GROUP BY s.event_type, s.hr, s.mu, s.n
+    """,
+    doc=(
+        "Hour-of-day seasonal baseline + anomaly count: per (type, hour) "
+        "mean/stddev profile, then a second pass flags events more than "
+        "2 sigma from their slot's baseline. The profile is bounded "
+        "(|types| x 24 rows) and broadcast back onto the fact scan, so "
+        "the raw events shuffle once for the profile and never for the "
+        "flagging join — the two-pass shape that survives 100 TB (the "
+        "profile stays dimension-sized however large the stream)."
+    ),
+)
+def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = ev.withColumn("hr", F.hour("ts")).join(F.broadcast(stats), ["event_type", "hr"])
+    return (
+        joined.groupBy("event_type", "hr", "mu", "n")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"), 1)
+            ).alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.round("mu", 6).alias("baseline_mean"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_anomalies").cast("long").alias("n_anomalies"),
+        )
+    )

@@ -14,6 +14,33 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "analytics_rfm_segmentation": (
+        {"bnlj", "single_partition_x2"},
+        "1-row corpus-max-date scalar broadcast, plus global ntile "
+        "windows over the BOUNDED per-customer aggregate (the scale-out "
+        "swap is width_bucket over approx quantiles, see docstring)",
+    ),
+    "analytics_pareto_share": (
+        {"bnlj", "single_partition_x2"},
+        "1-row revenue-total scalar broadcast; the cumulative-share "
+        "window is inherently a global order over the bounded customer "
+        "aggregate, never the orders fact",
+    ),
+    "analytics_market_basket": (
+        {"bnlj"},
+        "1-row n_orders scalar broadcast into the lift projection; pair "
+        "generation itself is the okey equi join (plan-asserted)",
+    ),
+    "dq_benford_first_digit": (
+        {"bnlj"},
+        "1-row total-count scalar broadcast against the 9-row digit "
+        "aggregate",
+    ),
+    "text_vocab_coverage": (
+        {"bnlj", "single_partition_x2"},
+        "3-row k-cutpoint literal table broadcast, and rank/total windows "
+        "over the bounded vocabulary aggregate, not the token stream",
+    ),
     "join_theta": ({"bnlj", "cartesian"}, "non-equi theta join over bounded inputs"),
     "join_range": ({"bnlj"}, "3-row band table broadcast; O(n*k) per-row nested loop, no shuffle"),
     "q11_important_stock": ({"bnlj"}, "1-row fraction-of-total scalar broadcast"),
