@@ -77,7 +77,12 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # analytics_market_basket, analytics_event_paths, dq_benford_first_digit,
 # timeseries_autocorr, timeseries_seasonal_baseline,
 # join_bucketed_no_shuffle, sql_values_inline, text_vocab_coverage,
-# fn_regexp_suite.
+# fn_regexp_suite, fn_bit_ops, fn_codec_roundtrip, fn_date_arithmetic,
+# sample_balanced_classes, cdc_snapshot_diff, window_time_range_frame,
+# window_ignore_nulls, emb_centroid_drift, similarity_hard_negatives,
+# emb_knn_outlier_score, agg_user_entropy, text_js_divergence_sources,
+# text_code_detection, text_sentence_stats, timeseries_rate_of_change,
+# graph_degree_distribution, analytics_repeat_purchase_interval.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

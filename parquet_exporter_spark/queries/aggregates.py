@@ -685,3 +685,40 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("weighted_p90_price"),
     )
+
+
+@query(
+    "agg_user_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT user_id, sum(n) AS total FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(max(total) AS BIGINT) AS n_events,
+           round(-sum((n / CAST(total AS DOUBLE)) * log2(n / CAST(total AS DOUBLE))), 6)
+               AS type_entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+    doc=(
+        "Behavioral entropy: Shannon entropy of each user's event-type "
+        "distribution — 0 for single-behavior users, log2(|types|) for "
+        "uniform ones; the standard engagement-diversity feature. The "
+        "raw stream reduces to (user, type) counts in one shuffle; the "
+        "per-user total comes from a window over that aggregate (same "
+        "key, no second fact shuffle) and the entropy sum is another "
+        "same-key aggregate."
+    ),
+)
+def agg_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    withtot = c.withColumn("total", F.sum("n").over(w))
+    p = F.col("n") / F.col("total").cast("double")
+    return withtot.groupBy("user_id").agg(
+        F.max("total").cast("long").alias("n_events"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
+    )

@@ -578,3 +578,43 @@ def analytics_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "analytics_repeat_purchase_interval",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(avg(epoch_us(ts) - epoch_us(prev_ts)) / 3600e6, 6) AS avg_gap_hours
+    FROM p GROUP BY 1 HAVING count(*) >= 2
+    """,
+    doc=(
+        "Repeat-purchase cadence: mean hours between consecutive "
+        "purchases per returning user (lag over the per-user purchase "
+        "sequence, averaged in exact integer microseconds before the "
+        "single float division). The event_type filter is pushed to the "
+        "scan, and the window + aggregate share the user key — one "
+        "exchange over purchases only, not the full stream."
+    ),
+)
+def analytics_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(
+                F.avg(F.unix_micros("ts") - F.unix_micros("prev_ts")) / 3600e6, 6
+            ).alias("avg_gap_hours"),
+        )
+        .filter(F.col("n_purchases") >= 2)
+    )

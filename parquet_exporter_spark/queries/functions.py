@@ -578,3 +578,101 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
         F.regexp_replace("text", "[aeiou]", "_").like("%the%").alias("has_the_after"),
     )
+
+
+@query(
+    "fn_bit_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(xor(event_id, 2863311530) AS BIGINT) AS xored,
+           CAST(event_id << 3 AS BIGINT) AS shl3,
+           CAST(event_id >> 2 AS BIGINT) AS shr2,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events WHERE event_id < 500
+    """,
+    doc=(
+        "Bit-manipulation suite: AND/XOR masks, shifts, popcount — the "
+        "primitives under bitmap indexes, bloom filters, and packed-flag "
+        "columns. All per-row JVM expressions in one codegen stage."
+    ),
+)
+def fn_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.lit(2863311530)).alias("xored"),
+        F.shiftleft("event_id", 3).alias("shl3"),
+        F.shiftright("event_id", 2).alias("shr2"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@query(
+    "fn_codec_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substring(text, 1, 24))) AS b64,
+           to_hex(encode(substring(text, 1, 8))) AS hex8,
+           md5(text) AS md5_hex,
+           CAST(octet_length(from_base64(base64(encode(substring(text, 1, 24)))))
+                AS INTEGER) AS b64_roundtrip_len
+    FROM documents WHERE doc_id < 200
+    """,
+    doc=(
+        "Binary codec round-trips: base64/unbase64, hex, md5 over utf-8 "
+        "bytes — the encode/decode surface for payload columns. The "
+        "base64 output and the round-tripped byte length are both "
+        "checked, so encode AND decode must be byte-exact."
+    ),
+)
+def fn_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    head24 = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.base64(head24.cast("binary")).alias("b64"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex8"),
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.length(F.unbase64(F.base64(head24.cast("binary")))).alias("b64_roundtrip_len"),
+    )
+
+
+@query(
+    "fn_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS INTEGER) AS whole_months_to_cutoff,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc=(
+        "Date arithmetic suite: interval add, month truncation, "
+        "last_day, calendar-month difference, day-of-week, quarter. "
+        "Cross-engine pinning: Spark dayofweek is 1-based Sunday, DuckDB "
+        "0-based (+1 in the oracle); the month difference is computed as "
+        "the calendar-boundary count (year*12+month delta), which is "
+        "DuckDB's date_diff('month') semantics exactly."
+    ),
+)
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    cutoff = F.lit("1998-12-01").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        ((F.year(cutoff) - F.year(d)) * 12 + (F.month(cutoff) - F.month(d)))
+        .cast("int")
+        .alias("whole_months_to_cutoff"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+    )

@@ -451,3 +451,36 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bfs GROUP BY node
         """
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pe AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), deg AS (
+        SELECT user_id, count(*) AS degree FROM pe GROUP BY 1
+    )
+    SELECT CAST(degree AS INTEGER) AS degree,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM deg GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Degree distribution of the user/event-type bipartite graph: "
+        "per-node distinct-neighbour degree, then the degree histogram — "
+        "the first diagnostic over any graph (power-law check, skew "
+        "detection before joins). Two partial-agg shuffles, the second "
+        "over at most |distinct degrees| keys; the distinct and the "
+        "degree count share the user partitioning."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pe = ev.select("user_id", "event_type").distinct()
+    deg = pe.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("degree").cast("int").alias("degree"), "n_users")
+        .orderBy("degree")
+    )

@@ -287,3 +287,162 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), tc AS (
+        SELECT source, term, count(*) AS n FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), st AS (
+        SELECT source, sum(n) AS s_total FROM tc GROUP BY 1
+    ), corpus AS (
+        SELECT term, sum(n) AS cn FROM tc GROUP BY 1
+    ), ct AS (SELECT sum(cn) AS c_total FROM corpus),
+    joined AS (
+        SELECT tc.source,
+               tc.n / CAST(st.s_total AS DOUBLE) AS p,
+               corpus.cn / CAST(ct.c_total AS DOUBLE) AS q
+        FROM tc
+        JOIN st ON st.source = tc.source
+        JOIN corpus ON corpus.term = tc.term
+        CROSS JOIN ct
+    )
+    SELECT source,
+           round(0.5 * sum(p * log2(2 * p / (p + q)) + q * log2(2 * q / (p + q)))
+                 + 0.5 * (1 - sum(q)), 6) AS js_divergence
+    FROM joined GROUP BY 1
+    """,
+    doc=(
+        "Jensen-Shannon divergence of each source's unigram distribution "
+        "from the corpus distribution — the drift metric for monitoring "
+        "mixture composition (a source whose language shifts moves its "
+        "JSD). Terms absent from a source contribute exactly "
+        "0.5*q*log2(2q/q)=0.5*q to the divergence, so the sum over the "
+        "source's PRESENT terms plus 0.5*(1-sum q) is the complete JSD "
+        "without materializing the |sources| x |vocab| dense matrix: "
+        "only (source, term) observed pairs flow through the join, "
+        "keyed on term."
+    ),
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    st = tc.groupBy("source").agg(F.sum("n").alias("s_total"))
+    corpus = tc.groupBy("term").agg(F.sum("n").alias("cn"))
+    ct = corpus.agg(F.sum("cn").alias("c_total"))
+    joined = (
+        tc.join(F.broadcast(st), "source")
+        .join(corpus, "term")
+        .join(F.broadcast(ct))
+        .select(
+            "source",
+            (F.col("n") / F.col("s_total").cast("double")).alias("p"),
+            (F.col("cn") / F.col("c_total").cast("double")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    return joined.groupBy("source").agg(
+        F.round(
+            0.5 * F.sum(p * F.log2(2 * p / (p + q)) + q * F.log2(2 * q / (p + q)))
+            + 0.5 * (1 - F.sum(q)),
+            6,
+        ).alias("js_divergence")
+    )
+
+
+@query(
+    "text_code_detection",
+    oracle=r"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[{}();=\[\]<>]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS symbol_density,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(def|class|return|import|function|var|const|if|else|for|while)\b'))
+                   AS INTEGER) AS n_keywords,
+               CAST(len(regexp_extract_all(text, '\n(    |\t)')) AS INTEGER)
+                   AS n_indented_lines
+        FROM documents
+    )
+    SELECT doc_id, round(symbol_density, 6) AS symbol_density, n_keywords,
+           n_indented_lines,
+           (symbol_density > 0.02 AND n_keywords >= 3) OR n_indented_lines >= 5
+               AS looks_like_code
+    FROM feat
+    """,
+    doc=(
+        "Code-vs-prose heuristic: symbol density, programming-keyword "
+        "hits, and indented-line count combined into a looks_like_code "
+        "flag — the cheap router that decides whether a document goes "
+        "through the code pipeline or the prose pipeline (the regex "
+        "analogue of a fasttext code classifier). Pure per-row "
+        "expressions, one scan, no shuffle."
+    ),
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sym = F.size(F.regexp_extract_all("text", F.lit(r"[{}();=\[\]<>]")))
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(def|class|return|import|function|var|const|if|else|for|while)\b"),
+        )
+    )
+    ind = F.size(F.regexp_extract_all("text", F.lit("\n(    |\t)")))
+    density = sym.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.round(density, 6).alias("symbol_density"),
+        kw.alias("n_keywords"),
+        ind.alias("n_indented_lines"),
+        (((density > 0.02) & (kw >= 3)) | (ind >= 5)).alias("looks_like_code"),
+    )
+
+
+@query(
+    "text_sentence_stats",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter([trim(x) for x in regexp_split_to_array(text, '[.!?]+')],
+                           x -> x <> '') AS sents
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences,
+           round(list_sum([CAST(length(x) AS DOUBLE) for x in sents])
+                 / greatest(len(sents), 1), 6) AS avg_sentence_chars,
+           CAST(list_max([length(x) for x in sents]) AS INTEGER) AS max_sentence_chars
+    FROM s
+    """,
+    doc=(
+        "Sentence segmentation stats: count, mean and max sentence "
+        "length from a punctuation split — the readability features in "
+        "quality-filter stacks (very long 'sentences' flag boilerplate "
+        "and tables). All array higher-order functions (transform/"
+        "filter/aggregate) per row; no explode, no shuffle."
+    ),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    d = docs.withColumn("sents", sents)
+    return d.select(
+        "doc_id",
+        F.size("sents").alias("n_sentences"),
+        F.round(
+            F.aggregate("sents", F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+            / F.greatest(F.size("sents"), F.lit(1)),
+            6,
+        ).alias("avg_sentence_chars"),
+        F.array_max(F.transform("sents", lambda x: F.length(x))).alias("max_sentence_chars"),
+    )

@@ -740,3 +740,156 @@ def sample_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.row_number().over(w).cast("long").alias("pos_in_cluster"),
     )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT label, u.dim - 1 AS dim, u.x
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                             unnest(embedding) AS x) u
+    ), lab AS (
+        SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2
+    ), gl AS (
+        SELECT dim, avg(x) AS g FROM dims GROUP BY 1
+    )
+    SELECT l.label,
+           round(sum(l.c * g.g) / (sqrt(sum(l.c * l.c)) * sqrt(sum(g.g * g.g))), 6)
+               AS centroid_cos_to_global
+    FROM lab l JOIN gl g ON l.dim = g.dim
+    GROUP BY 1
+    """,
+    doc=(
+        "Embedding centroid drift: cosine of each label's centroid "
+        "against the global corpus centroid — the embedding-space health "
+        "check that catches a shifted or collapsed subpopulation after a "
+        "re-embedding run. posexplode to (label, dim, x), two partial-agg "
+        "rollups, then a broadcast join on the bounded dim axis; the "
+        "heavy explode aggregates map-side, and nothing downstream "
+        "exceeds |labels| x |dims| rows."
+    ),
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    lab = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    glob = dims.groupBy("dim").agg(F.avg("x").alias("g"))
+    joined = lab.join(F.broadcast(glob), "dim")
+    return joined.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("c") * F.col("g"))
+            / (F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("g") * F.col("g")))),
+            6,
+        ).alias("centroid_cos_to_global")
+    )
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neg_id,
+               round({S.sql_cosine("q.embedding", "n.embedding")}, 6) AS cos_sim
+        FROM q JOIN embeddings n ON n.label <> q.label
+    ), ranked AS (
+        SELECT query_id, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neg_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neg_id, cos_sim FROM ranked WHERE rn <= 3
+    """,
+    doc=(
+        "Hard-negative mining: for each query vector, the top-3 most "
+        "similar vectors with a DIFFERENT label — the contrastive-"
+        "training examples that sit closest to the decision boundary. "
+        "The bounded query set broadcasts against the corpus scan "
+        "(same exact-scoring shape as similarity_topk_bruteforce); at "
+        "full scale the corpus side is pre-cut by ANN buckets "
+        "(similarity_lsh_topk) before the exact re-rank."
+    ),
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neg_id", "cos_sim")
+    )
+
+
+@query(
+    "emb_knn_outlier_score",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 30),
+    scored AS (
+        SELECT q.vec_id, n.vec_id AS nbr,
+               round({S.sql_cosine("q.embedding", "n.embedding")}, 6) AS cos_sim
+        FROM q JOIN embeddings n
+          ON n.label = q.label AND n.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT vec_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr) AS rn
+        FROM scored
+    )
+    SELECT vec_id, round(1 - avg(cos_sim), 6) AS knn_outlier_score,
+           CAST(count(*) AS BIGINT) AS k_used
+    FROM ranked WHERE rn <= 5 GROUP BY vec_id
+    """,
+    doc=(
+        "kNN-distance outlier score: 1 minus the mean cosine to the 5 "
+        "nearest same-label neighbours — high scores flag mislabeled or "
+        "out-of-distribution vectors (embedding QA before training). "
+        "Blocked by label (the candidate space is the block, as in "
+        "dedup_embedding_cosine); the scale path swaps the block for "
+        "an ANN bucket."
+    ),
+)
+def emb_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("nbr"),
+            F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("vec_id")
+        .agg(
+            F.round(1 - F.avg("cos_sim"), 6).alias("knn_outlier_score"),
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+        )
+    )

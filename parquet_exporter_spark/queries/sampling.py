@@ -221,3 +221,39 @@ def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("long").alias("round_ix"),
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1
+    ), m AS (SELECT min(n) AS min_n FROM counts),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, m WHERE rn <= min_n
+    """,
+    doc=(
+        "Class-balanced downsample: every language keeps exactly the "
+        "minority class's count, selected in deterministic md5 order "
+        "within each class — the standard rebalancing step before "
+        "training a classifier on skewed labels. One per-class window "
+        "(keyed exchange) plus a 1-row min-count broadcast; nothing "
+        "global. The same shape serves any per-group quota."
+    ),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .select("doc_id", "lang")
+    )

@@ -551,3 +551,78 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("window_start", "event_type", "total_value")
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH bounds AS (
+        SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS mid
+        FROM events
+    ),
+    old AS (
+        SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS v
+        FROM events, bounds WHERE ts < mid GROUP BY 1, 2
+    ),
+    new AS (
+        SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS v
+        FROM events, bounds WHERE ts >= mid GROUP BY 1, 2
+    )
+    SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.n <> n.n OR o.v <> n.v THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM old o FULL OUTER JOIN new n
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    GROUP BY 1
+    """,
+    doc=(
+        "Snapshot diff (reconciliation report): the two time-halves of "
+        "the event log are aggregated per key and full-outer joined to "
+        "classify every key as added / removed / changed / unchanged — "
+        "the audit you run between a table and its reloaded copy. The "
+        "midpoint is computed in integer microseconds (floor-div) so "
+        "both engines split identically; both snapshot aggregates and "
+        "the diff join share the same key, so at scale this is two "
+        "partial-agg passes + one co-partitioned join, with the "
+        "output bounded by key cardinality."
+    ),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.timestamp_micros(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        ).alias("mid")
+    )
+    withmid = ev.join(F.broadcast(bounds))
+    old = (
+        withmid.filter(F.col("ts") < F.col("mid"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_o"), F.round(F.sum("value"), 2).alias("v_o"))
+    )
+    new = (
+        withmid.filter(F.col("ts") >= F.col("mid"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_n"), F.round(F.sum("value"), 2).alias("v_n"))
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(
+        n,
+        (F.col("o.user_id").eqNullSafe(F.col("n.user_id")))
+        & (F.col("o.event_type").eqNullSafe(F.col("n.event_type"))),
+        "full_outer",
+    )
+    kind = (
+        F.when(F.col("o.user_id").isNull(), "added")
+        .when(F.col("n.user_id").isNull(), "removed")
+        .when((F.col("n_o") != F.col("n_n")) | (F.col("v_o") != F.col("v_n")), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(kind.alias("change_kind"))
+        .groupBy("change_kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )

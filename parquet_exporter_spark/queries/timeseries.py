@@ -786,3 +786,41 @@ def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_anomalies").cast("long").alias("n_anomalies"),
         )
     )
+
+
+@query(
+    "timeseries_rate_of_change",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, v,
+           round(v - lag(v) OVER w, 2) AS delta,
+           round((v - lag(v) OVER w) / nullif(lag(v) OVER w, 0), 6) AS pct_change
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    doc=(
+        "Day-over-day rate of change per series: absolute delta and "
+        "percent change (nullif-guarded against zero baselines) off one "
+        "lag window — the first derivative every metrics dashboard "
+        "plots. Daily rollup first, so the window runs over bounded "
+        "series lengths; rollup, window, and output share the "
+        "event_type key."
+    ),
+)
+def timeseries_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("v").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round(F.col("v") - prev, 2).alias("delta"),
+        F.round((F.col("v") - prev) / F.nullif(prev, F.lit(0)), 6).alias("pct_change"),
+    )

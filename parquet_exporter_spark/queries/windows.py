@@ -322,3 +322,82 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") >= 20)
         .select("event_id", "event_type", "rolling_corr")
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 2) AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Time-based RANGE frame: per-user rolling 1-hour count and sum — "
+        "the value-based frame (RANGE over microseconds) rather than a "
+        "row-count frame, so ties and gaps behave like the SQL standard "
+        "RANGE INTERVAL window. Spark's rangeBetween needs a numeric "
+        "order key: unix_micros(ts) with a -3.6e9 lower bound is exactly "
+        "INTERVAL 1 HOUR in integer microseconds. One user-keyed "
+        "exchange serves both frames."
+    ),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("v_last_hour"),
+    )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(purchase_value IGNORE NULLS) OVER w AS last_purchase_value,
+           first_value(purchase_value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_purchase_value
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "IGNORE NULLS window semantics: carry the last seen purchase "
+        "value forward over non-purchase events (the LOCF idiom) and "
+        "pin each user's first purchase — last/first with "
+        "ignorenulls=True over a running frame. One user-keyed exchange "
+        "serves both; this is the general forward-fill primitive "
+        "(timeseries_gapfill_locf applies it to gap-filled spines)."
+    ),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return v.select(
+        "event_id",
+        "user_id",
+        F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.first("purchase_value", ignorenulls=True).over(wf).alias("first_purchase_value"),
+    )

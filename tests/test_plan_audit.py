@@ -14,6 +14,26 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "text_js_divergence_sources": (
+        {"bnlj"},
+        "1-row corpus-total scalar broadcast; the probability join itself "
+        "is keyed on term",
+    ),
+    "similarity_hard_negatives": (
+        {"bnlj"},
+        "bounded query set broadcast with a label-inequality residual — "
+        "the exact-baseline shape shared with similarity_topk_bruteforce",
+    ),
+    "sample_balanced_classes": (
+        {"bnlj"},
+        "1-row minority-count scalar broadcast against the ranked corpus",
+    ),
+    "cdc_snapshot_diff": (
+        {"bnlj", "single_partition_x2"},
+        "1-row midpoint-timestamp scalar broadcast onto the fact scan; "
+        "the single-partition gathers carry one partially-aggregated "
+        "min/max row and the final O(4)-row change-kind rollup",
+    ),
     "analytics_rfm_segmentation": (
         {"bnlj", "single_partition_x2"},
         "1-row corpus-max-date scalar broadcast, plus global ntile "
