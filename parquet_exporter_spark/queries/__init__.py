@@ -82,7 +82,13 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # window_ignore_nulls, emb_centroid_drift, similarity_hard_negatives,
 # emb_knn_outlier_score, agg_user_entropy, text_js_divergence_sources,
 # text_code_detection, text_sentence_stats, timeseries_rate_of_change,
-# graph_degree_distribution, analytics_repeat_purchase_interval.
+# graph_degree_distribution, analytics_repeat_purchase_interval,
+# sample_proportional_quota, analytics_gini_revenue, sql_qualify_emulation,
+# dq_outlier_iqr, analytics_new_vs_returning, emb_label_separation,
+# stream_lateness_profile, dedup_minhash_estimate_error, fn_uuid5_like,
+# timeseries_weekday_weekend_lift, text_collocations_pmi,
+# dq_null_fractions, analytics_cohort_ltv, text_nonascii_ratio,
+# text_negative_sampling_dist, dq_duplicate_full_rows.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -618,3 +618,142 @@ def analytics_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> Data
         )
         .filter(F.col("n_purchases") >= 2)
     )
+
+
+@query(
+    "analytics_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS x
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, custkey) AS i,
+               count(*) OVER () AS n, sum(x) OVER () AS sx
+        FROM rev
+    )
+    SELECT round(2.0 * sum(i * x) / (max(n) * max(sx)) - (max(n) + 1.0) / max(n), 6)
+               AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+    doc=(
+        "Gini coefficient of revenue concentration via the rank identity "
+        "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over ascending-sorted "
+        "spend (custkey tie-break makes the rank deterministic). The "
+        "global rank window runs over the bounded per-customer "
+        "aggregate; the identity needs one ordered pass, not pairwise "
+        "differences."
+    ),
+)
+def analytics_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("x")
+    )
+    w = Window.orderBy("x", "custkey")
+    ranked = rev.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("sx"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("sx"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+        FROM events GROUP BY 1
+    ), daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT d.day,
+           CAST(count(*) FILTER (WHERE d.day = f.first_day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE d.day > f.first_day) AS BIGINT) AS returning_users
+    FROM daily d JOIN first_seen f ON f.user_id = d.user_id
+    GROUP BY 1
+    """,
+    doc=(
+        "New-vs-returning daily actives: each (user, day) active pair is "
+        "classified against the user's first-seen day — the growth "
+        "dashboard's headline split. Both the first-seen aggregate and "
+        "the distinct actives shuffle once on user_id (shared key, "
+        "co-partitioned join); the final rollup is bounded by days."
+    ),
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = ev.select("user_id", day.alias("day")).distinct()
+    j = daily.join(first_seen, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).cast("long").alias("new_users"),
+        F.count(F.when(F.col("day") > F.col("first_day"), 1))
+        .cast("long")
+        .alias("returning_users"),
+    )
+
+
+@query(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH first_p AS (
+        SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS cohort_month
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), monthly AS (
+        SELECT f.cohort_month,
+               date_diff('month', f.cohort_month, CAST(date_trunc('month', e.ts) AS DATE))
+                   AS age_months,
+               sum(e.value) AS rev
+        FROM events e JOIN first_p f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT cohort_month, CAST(age_months AS INTEGER) AS age_months,
+           round(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age_months), 2)
+               AS cum_revenue
+    FROM monthly
+    """,
+    doc=(
+        "Cohort LTV curves: cumulative purchase revenue by (first-"
+        "purchase-month cohort, months-since-first) — the lifetime-value "
+        "readout stacked on top of cohort_retention's shape. The "
+        "purchase filter is pushed to the scan, the cohort join is "
+        "user-keyed, and the cumulative window runs over the bounded "
+        "(cohort x age) aggregate."
+    ),
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    month = F.date_trunc("month", "ts").cast("date")
+    first_p = ev.groupBy("user_id").agg(F.min(month).alias("cohort_month"))
+    joined = ev.join(first_p, "user_id").select(
+        "cohort_month",
+        (
+            (F.year(month) - F.year("cohort_month")) * 12
+            + (F.month(month) - F.month("cohort_month"))
+        ).alias("age_months"),
+        "value",
+    )
+    monthly = joined.groupBy("cohort_month", "age_months").agg(F.sum("value").alias("rev"))
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return monthly.select(
+        "cohort_month",
+        F.col("age_months").cast("int").alias("age_months"),
+        F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
+    )

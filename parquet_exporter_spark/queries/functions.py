@@ -573,7 +573,7 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_number_runs"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_number_runs"),
         F.nullif(F.regexp_extract("text", "[0-9]+", 0), F.lit("")).alias("first_number"),
         F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
         F.regexp_replace("text", "[aeiou]", "_").like("%the%").alias("has_the_after"),
@@ -675,4 +675,43 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("whole_months_to_cutoff"),
         F.dayofweek(d).alias("dow"),
         F.quarter(d).alias("qtr"),
+    )
+
+
+@query(
+    "fn_uuid5_like",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('pes:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+        WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-5' ||
+           substring(hx, 14, 3) || '-' || substring(hx, 17, 4) || '-' ||
+           substring(hx, 21, 12) AS doc_uuid
+    FROM h
+    """,
+    doc=(
+        "Deterministic name-based UUID (v5-style layout over md5 of a "
+        "namespaced key): the stable surrogate-key generator for "
+        "idempotent pipelines — re-running an ingest produces the SAME "
+        "ids, unlike uuid()/rand(). Pure per-row string slicing of the "
+        "hex digest into the 8-4-4-4-12 grouping with the version "
+        "nibble pinned."
+    ),
+)
+def fn_uuid5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hx = F.md5(F.concat(F.lit("pes:"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id", hx.alias("hx"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.substring("hx", 1, 8),
+            F.substring("hx", 9, 4),
+            F.concat(F.lit("5"), F.substring("hx", 14, 3)),
+            F.substring("hx", 17, 4),
+            F.substring("hx", 21, 12),
+        ).alias("doc_uuid"),
     )

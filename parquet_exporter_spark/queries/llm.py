@@ -746,3 +746,106 @@ def dedup_minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFr
     return D.minhash_lsh_pairs_portable(
         docs, n_hashes=_LSH_P_HASHES, band_size=_LSH_P_BAND, jaccard_threshold=0.3
     )
+
+
+def _minhash_est_oracle(n_hashes: int = 16) -> str:
+    """Full-SQL replica of the minhash estimator: same shingles, same
+    md5-derived base hash, same (a,b) universal family as literals."""
+    coeffs = D.hash_coefficients(n_hashes)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    sh = D.sql_char_shingles("text")
+    bh = D.sql_base_hash_31("x")
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 30
+    ),
+    hashed AS (
+        SELECT doc_id, [{bh} for x in sh] AS hs
+        FROM (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               list_min([(a * h + b) % {D.MERSENNE_31} for h in hs]) AS mh
+        FROM hashed CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)
+    ),
+    est AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                   / CAST({n_hashes} AS DOUBLE) AS est_jaccard
+        FROM sig a JOIN sig b ON a.seed = b.seed AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))
+                   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS true_jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(t.true_jaccard, 6) AS true_jaccard,
+           round(abs(e.est_jaccard - t.true_jaccard), 6) AS abs_error
+    FROM est e JOIN truth t ON t.id_a = e.id_a AND t.id_b = e.id_b
+    WHERE e.est_jaccard > 0 OR t.true_jaccard > 0
+    """
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=_minhash_est_oracle(),
+    doc=(
+        "MinHash estimator calibration: for a bounded pair sample, the "
+        "16-hash signature-agreement estimate of Jaccard next to the "
+        "TRUE shingle Jaccard and the absolute error — the measurement "
+        "that justifies the LSH pipeline's hash count (expected error "
+        "~= sqrt(j(1-j)/k)). Both the estimate and the truth are "
+        "hash-matched against the DuckDB replica, so the portable "
+        "universal-hash family is verified end-to-end, estimator "
+        "included."
+    ),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_hashes = 16
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = docs.select("doc_id", D.char_shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    coeffs = D.hash_coefficients(n_hashes)
+    hashed = sh.withColumn("hs", F.transform("sh", D.base_hash_31))
+
+    def seed_min(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % D.MERSENNE_31
+
+    wide = hashed.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform("hs", seed_min(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    a = wide.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    est = matches / F.lit(float(n_hashes))
+    true_j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(true_j, 6).alias("true_jaccard"),
+        F.round(F.abs(est - true_j), 6).alias("abs_error"),
+    )
+    return pairs.filter((F.col("est_jaccard") > 0) | (F.col("true_jaccard") > 0))

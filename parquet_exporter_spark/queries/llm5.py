@@ -388,7 +388,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sym = F.size(F.regexp_extract_all("text", F.lit(r"[{}();=\[\]<>]")))
+    sym = F.size(F.regexp_extract_all("text", F.lit(r"[{}();=\[\]<>]"), 0))
     kw = F.size(
         F.regexp_extract_all(
             F.lower("text"),
@@ -446,3 +446,158 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_sentence_chars"),
         F.array_max(F.transform("sents", lambda x: F.length(x))).alias("max_sentence_chars"),
     )
+
+
+@query(
+    "text_nonascii_ratio",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS INTEGER) AS n_nonascii,
+           round(len(regexp_extract_all(text, '[^\x00-\x7F]'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS nonascii_ratio,
+           len(regexp_extract_all(text, '[^\x00-\x7F]'))
+               > 0.3 * length(text) AS looks_mojibake
+    FROM documents WHERE doc_id < 400
+    """,
+    doc=(
+        "Non-ASCII character ratio: count and fraction of code points "
+        "outside 0x00-0x7F plus a mojibake flag — the encoding-damage "
+        "screen that catches double-encoded UTF-8 and binary spill into "
+        "text columns (both engines count CODE POINTS, not bytes). Pure "
+        "per-row regexp, pushed filter."
+    ),
+)
+def text_nonascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    n_na = F.size(F.regexp_extract_all("text", F.lit(r"[^\x00-\x7F]"), 0))
+    return docs.select(
+        "doc_id",
+        n_na.alias("n_nonascii"),
+        F.round(n_na / F.greatest(F.length("text"), F.lit(1)).cast("double"), 6).alias(
+            "nonascii_ratio"
+        ),
+        (n_na > 0.3 * F.length("text")).alias("looks_mojibake"),
+    )
+
+
+@query(
+    "text_negative_sampling_dist",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS tn FROM tok WHERE term <> '' GROUP BY 1
+    ), pow AS (
+        SELECT term, tn, pow(tn, 0.75) AS w, sum(pow(tn, 0.75)) OVER () AS z
+        FROM freq
+    )
+    SELECT term, CAST(tn AS BIGINT) AS tn, round(w / z, 6) AS p_negative
+    FROM pow ORDER BY tn DESC, term LIMIT 100
+    """,
+    doc=(
+        "Negative-sampling distribution (word2vec's unigram^0.75): "
+        "per-term probability proportional to count^0.75 — the "
+        "frequency-dampened table contrastive training samples "
+        "negatives from. The corpus collapses to term counts in one "
+        "shuffle; the normalizer is a window over the bounded "
+        "vocabulary and the top-100 is TakeOrdered."
+    ),
+)
+def text_negative_sampling_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tn"))
+    w = F.pow("tn", 0.75)
+    powed = freq.select("term", "tn", w.alias("w")).withColumn(
+        "z", F.sum("w").over(Window.partitionBy())
+    )
+    return (
+        powed.select(
+            "term",
+            F.col("tn").cast("long").alias("tn"),
+            F.round(F.col("w") / F.col("z"), 6).alias("p_negative"),
+        )
+        .orderBy(F.col("tn").desc(), "term")
+        .limit(100)
+    )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.pos, u.term
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS terms
+            FROM documents
+        ), LATERAL (SELECT generate_subscripts(terms, 1) AS pos, unnest(terms) AS term) u
+    ), n AS (SELECT count(*) AS total FROM tok),
+    uni AS (SELECT term, count(*) AS tn FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT a.term AS w1, b.term AS w2, count(*) AS pn
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, CAST(pn AS BIGINT) AS pair_n,
+           round(log2((pn * CAST(total AS DOUBLE)) / (u1.tn * CAST(u2.tn AS DOUBLE))), 6)
+               AS pmi
+    FROM pairs
+    JOIN uni u1 ON u1.term = w1
+    JOIN uni u2 ON u2.term = w2
+    CROSS JOIN n
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc=(
+        "Collocation mining by pointwise mutual information: adjacent-"
+        "token bigram counts (positional self-join keyed on doc_id — "
+        "per-document bounded, never global) scored PMI = log2(P(ab)/"
+        "(P(a)P(b))) with a min-support floor, top-20. The bigram "
+        "aggregate and unigram joins are term-keyed; the support floor "
+        "keeps the PMI table from being dominated by singletons."
+    ),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    terms = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.posexplode(terms).alias("pos", "term"))
+    n = tok.agg(F.count(F.lit(1)).alias("total"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tn"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= 5)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("tn").alias("tn1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("tn").alias("tn2"))
+    scored = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("pn").cast("long").alias("pair_n"),
+            F.round(
+                F.log2(
+                    (F.col("pn") * F.col("total").cast("double"))
+                    / (F.col("tn1") * F.col("tn2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)

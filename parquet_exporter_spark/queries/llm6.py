@@ -893,3 +893,54 @@ def emb_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("k_used"),
         )
     )
+
+
+@query(
+    "emb_label_separation",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 40),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               {S.sql_cosine("a.embedding", "b.embedding")} AS cs
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT label_a AS label,
+           round(avg(cs) FILTER (WHERE label_a = label_b), 6) AS intra_cos,
+           round(avg(cs) FILTER (WHERE label_a <> label_b), 6) AS inter_cos,
+           round(avg(cs) FILTER (WHERE label_a = label_b)
+                 - avg(cs) FILTER (WHERE label_a <> label_b), 6) AS separation
+    FROM pairs GROUP BY 1
+    """,
+    doc=(
+        "Label separation (silhouette-lite): mean intra-label vs inter-"
+        "label cosine per label over a bounded sample of vectors — a "
+        "one-number answer to 'do these embeddings separate my "
+        "classes?'. Pairwise only over the broadcast sample; the "
+        "full-corpus version estimates the same quantity from "
+        "per-label centroids + second moments (emb_centroid_drift's "
+        "aggregates), never all pairs."
+    ),
+)
+def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        "label_a", "label_b", S.cosine(F.col("ea"), F.col("eb")).alias("cs")
+    )
+    same = F.col("label_a") == F.col("label_b")
+    return pairs.groupBy(F.col("label_a").alias("label")).agg(
+        F.round(F.avg(F.when(same, F.col("cs"))), 6).alias("intra_cos"),
+        F.round(F.avg(F.when(~same, F.col("cs"))), 6).alias("inter_cos"),
+        F.round(
+            F.avg(F.when(same, F.col("cs"))) - F.avg(F.when(~same, F.col("cs"))), 6
+        ).alias("separation"),
+    )

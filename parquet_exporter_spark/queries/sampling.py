@@ -257,3 +257,56 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("min_n"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "sample_proportional_quota",
+    oracle="""
+    WITH c AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM c),
+    alloc AS (
+        SELECT source, n,
+               floor(1000.0 * n / total) AS base_quota,
+               1000.0 * n / total - floor(1000.0 * n / total) AS frac,
+               1000 - sum(floor(1000.0 * n / total)) OVER () AS leftover
+        FROM c, t
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(base_quota
+                + CASE WHEN row_number() OVER (ORDER BY frac DESC, source) <= leftover
+                       THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM alloc
+    """,
+    doc=(
+        "Proportional quota allocation with largest-remainder rounding: "
+        "a fixed budget of 1000 samples split across sources in "
+        "proportion to size, floors first, then the leftover units go "
+        "to the largest fractional parts (deterministic source "
+        "tie-break) so quotas sum to the budget EXACTLY — the allocation "
+        "step in front of sample_stratified/sample_per_group_cap. All "
+        "windows run over the |sources|-row aggregate."
+    ),
+)
+def sample_proportional_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    share = 1000.0 * F.col("n") / F.col("total")
+    alloc = c.join(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.floor(share).alias("base_quota"),
+        (share - F.floor(share)).alias("frac"),
+    )
+    alloc = alloc.withColumn(
+        "leftover", 1000 - F.sum("base_quota").over(Window.partitionBy())
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("frac").desc(), "source"))
+    return alloc.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        (F.col("base_quota") + F.when(rn <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

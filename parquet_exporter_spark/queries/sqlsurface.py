@@ -697,3 +697,38 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY label
         """
     )
+
+
+@query(
+    "sql_qualify_emulation",
+    oracle="""
+    SELECT custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+    doc=(
+        "QUALIFY emulation: Spark has no QUALIFY clause, so the window-"
+        "filter idiom is the ranked subquery — top-2 orders per customer "
+        "here. Catalyst turns the rn <= 2 filter into WindowGroupLimit "
+        "BELOW the shuffle (per-partition heaps), so the pattern is not "
+        "just equivalent syntax, it gets the optimized top-k-per-group "
+        "physical plan."
+    ),
+)
+def sql_qualify_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 2
+        """
+    )

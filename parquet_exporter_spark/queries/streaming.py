@@ -626,3 +626,43 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_kind")
         .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     )
+
+
+@query(
+    "stream_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type,
+               epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY event_id))
+                   - epoch_us(ts) AS late_us
+        FROM events
+    )
+    SELECT event_type,
+           round(quantile_cont(late_us, 0.5) / 1e6, 6) AS p50_lateness_sec,
+           round(quantile_cont(late_us, 0.95) / 1e6, 6) AS p95_lateness_sec,
+           round(max(late_us) / 1e6, 6) AS max_lateness_sec
+    FROM arr GROUP BY 1
+    """,
+    doc=(
+        "Event-time lateness profile: treating event_id as arrival "
+        "order, each event's lateness is the running max event-time "
+        "minus its own — the disorder measurement that tells you what "
+        "withWatermark delay the streaming jobs need (p95 lateness = "
+        "the delay that drops <5% of events). One keyed window + one "
+        "keyed aggregate, shared partitioning."
+    ),
+)
+def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    arr = ev.select(
+        "event_type",
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")).alias("late_us"),
+    )
+    return arr.groupBy("event_type").agg(
+        F.round(F.percentile("late_us", F.lit(0.5)) / 1e6, 6).alias("p50_lateness_sec"),
+        F.round(F.percentile("late_us", F.lit(0.95)) / 1e6, 6).alias("p95_lateness_sec"),
+        F.round(F.max("late_us") / 1e6, 6).alias("max_lateness_sec"),
+    )

@@ -824,3 +824,52 @@ def timeseries_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v") - prev, 2).alias("delta"),
         F.round((F.col("v") - prev) / F.nullif(prev, F.lit(0)), 6).alias("pct_change"),
     )
+
+
+@query(
+    "timeseries_weekday_weekend_lift",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_kind,
+               value
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               avg(CASE WHEN day_kind = 'weekday' THEN value END) AS wd,
+               avg(CASE WHEN day_kind = 'weekend' THEN value END) AS we,
+               count(CASE WHEN day_kind = 'weekday' THEN 1 END) AS n_weekday,
+               count(CASE WHEN day_kind = 'weekend' THEN 1 END) AS n_weekend
+        FROM base GROUP BY 1
+    )
+    SELECT event_type, round(wd, 6) AS weekday_avg, round(we, 6) AS weekend_avg,
+           round(we / wd, 6) AS weekend_lift,
+           CAST(n_weekday AS BIGINT) AS n_weekday, CAST(n_weekend AS BIGINT) AS n_weekend
+    FROM agg
+    """,
+    doc=(
+        "Weekday/weekend lift per series: conditional averages split by "
+        "calendar day class and their ratio — the day-mix control every "
+        "weekly metric needs. Day-of-week numbering is pinned cross-"
+        "engine (Spark Sunday=1/Saturday=7 vs DuckDB 0/6). One "
+        "conditional-aggregate scan, no second pass."
+    ),
+)
+def timeseries_weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    kind = F.when(F.dayofweek("ts").isin(1, 7), "weekend").otherwise("weekday")
+    base = ev.select("event_type", kind.alias("day_kind"), "value")
+    agg = base.groupBy("event_type").agg(
+        F.avg(F.when(F.col("day_kind") == "weekday", F.col("value"))).alias("wd"),
+        F.avg(F.when(F.col("day_kind") == "weekend", F.col("value"))).alias("we"),
+        F.count(F.when(F.col("day_kind") == "weekday", 1)).cast("long").alias("n_weekday"),
+        F.count(F.when(F.col("day_kind") == "weekend", 1)).cast("long").alias("n_weekend"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("wd", 6).alias("weekday_avg"),
+        F.round("we", 6).alias("weekend_avg"),
+        F.round(F.col("we") / F.col("wd"), 6).alias("weekend_lift"),
+        "n_weekday",
+        "n_weekend",
+    )

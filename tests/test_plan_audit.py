@@ -14,6 +14,28 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "dedup_minhash_estimate_error": (
+        {"bnlj"},
+        "bounded 30-doc calibration sample broadcast for all-pairs "
+        "estimate-vs-truth comparison; the production path is the LSH "
+        "banded join, this query MEASURES its estimator",
+    ),
+    "text_collocations_pmi": (
+        {"bnlj"},
+        "1-row corpus-token-total scalar broadcast into the PMI "
+        "projection; bigram generation is the doc_id-keyed positional "
+        "join",
+    ),
+    "emb_label_separation": (
+        {"bnlj"},
+        "bounded 40-vector sample broadcast for pairwise separation; "
+        "corpus-scale swaps to centroid+moment aggregates per docstring",
+    ),
+    "sample_proportional_quota": (
+        {"bnlj", "single_partition_x2"},
+        "1-row grand-total broadcast plus leftover/rank windows over the "
+        "|sources|-row allocation table",
+    ),
     "text_js_divergence_sources": (
         {"bnlj"},
         "1-row corpus-total scalar broadcast; the probability join itself "

@@ -637,3 +637,26 @@ def test_event_paths_single_user_window_and_topk(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]
     assert uses_take_ordered(df)
+
+
+def test_qualify_emulation_gets_window_group_limit(spark, sf_dir):
+    """The rn <= 2 filter must become WindowGroupLimit below the
+    shuffle — the optimized top-k-per-group plan, not filter-after-sort."""
+    df = q("sql_qualify_emulation", spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_iqr_profile_broadcasts(spark, sf_dir):
+    """The per-type quantile profile is bounded and broadcast back onto
+    the fact scan."""
+    df = q("dq_outlier_iqr", spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_collocations_bigram_join_is_doc_keyed(spark, sf_dir):
+    """Positional bigram self-join must be keyed on doc_id (bounded per
+    document), and the top-20 is TakeOrdered."""
+    df = q("text_collocations_pmi", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_take_ordered(df)
