@@ -88,7 +88,13 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # stream_lateness_profile, dedup_minhash_estimate_error, fn_uuid5_like,
 # timeseries_weekday_weekend_lift, text_collocations_pmi,
 # dq_null_fractions, analytics_cohort_ltv, text_nonascii_ratio,
-# text_negative_sampling_dist, dq_duplicate_full_rows.
+# text_negative_sampling_dist, dq_duplicate_full_rows,
+# timeseries_decompose_additive, timeseries_peak_detection,
+# sql_lateral_column_alias, analytics_monthly_churn,
+# analytics_order_value_deciles, analytics_cumulative_users,
+# dq_row_count_anomaly, dq_fk_coverage, join_time_bucketed_range,
+# emb_quantization_error, text_readability_score, text_hapax_ratio,
+# text_zipf_slope, text_langid_confusion.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

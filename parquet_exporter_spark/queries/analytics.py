@@ -757,3 +757,138 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("age_months").cast("int").alias("age_months"),
         F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
     )
+
+
+@query(
+    "analytics_monthly_churn",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS month
+        FROM events
+    ), months AS (SELECT max(month) AS last_month FROM act)
+    SELECT a.month,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(*) FILTER (WHERE b.user_id IS NULL) AS BIGINT) AS churned_next_month,
+           round(count(*) FILTER (WHERE b.user_id IS NULL) / CAST(count(*) AS DOUBLE), 6)
+               AS churn_rate
+    FROM act a
+    LEFT JOIN act b
+      ON b.user_id = a.user_id
+     AND b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)
+    CROSS JOIN months
+    WHERE a.month < last_month
+    GROUP BY a.month
+    """,
+    doc=(
+        "Month-over-month churn: a user active in month m churns if "
+        "absent in m+1 (the final month has no verdict and is excluded). "
+        "Spelled as a self left-join of the distinct (user, month) "
+        "activity table against itself shifted one month (add_months on "
+        "the build side, so the join stays equi on (user, month)); both "
+        "sides share the user-keyed distinct aggregate."
+    ),
+)
+def analytics_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("month", "ts").cast("date").alias("month")
+    ).distinct()
+    last = act.agg(F.max("month").alias("last_month"))
+    a = act.alias("a")
+    b = act.select(
+        F.col("user_id").alias("b_user"), F.add_months(F.col("month"), -1).alias("b_prev_month")
+    ).alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b_user")) & (F.col("a.month") == F.col("b_prev_month")),
+        "left",
+    )
+    return (
+        j.join(F.broadcast(last))
+        .filter(F.col("a.month") < F.col("last_month"))
+        .groupBy(F.col("a.month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.count(F.when(F.col("b_user").isNull(), 1)).cast("long").alias("churned_next_month"),
+            F.round(
+                F.count(F.when(F.col("b_user").isNull(), 1)) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@query(
+    "analytics_order_value_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 6) AS mean
+    FROM d GROUP BY 1
+    """,
+    doc=(
+        "Order-value decile table: ntile(10) bands with per-band "
+        "count/min/max/mean — the distribution summary behind pricing "
+        "reports. Deterministic tie-break on the key; the global ntile "
+        "runs over orders (bounded relative to lineitem) and at 100 TB "
+        "the same table comes from approx_percentile cut points + "
+        "width_bucket with no global sort, as with the RFM scores."
+    ),
+)
+def analytics_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean"),
+    )
+
+
+@query(
+    "analytics_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+        FROM events GROUP BY 1
+    ), daily_new AS (
+        SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+    doc=(
+        "Cumulative unique users (the growth curve): per-user first-seen "
+        "day, daily new-user counts, running total. The cumulative "
+        "distinct-count trap is avoided by construction — counting "
+        "first-seen days IS the incremental form, so no day recounts "
+        "any user; the only global window runs over the bounded "
+        "day-count series."
+    ),
+)
+def analytics_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -693,3 +693,94 @@ def dq_duplicate_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "dq_row_count_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM daily
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           round((n - mu) / sigma, 6) AS z,
+           abs(n - mu) > 3 * sigma AS is_anomaly
+    FROM daily, s
+    """,
+    doc=(
+        "Ingest-volume anomaly screen: daily row counts z-scored against "
+        "the corpus mean/stddev, 3-sigma flag — the pipeline-health "
+        "check that catches dropped or doubled loads before any "
+        "content-level audit. One partial-agg rollup to days, one 1-row "
+        "stats broadcast."
+    ),
+)
+def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = daily.agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
+    return daily.join(F.broadcast(s)).select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        (F.abs(F.col("n") - F.col("mu")) > 3 * F.col("sigma")).alias("is_anomaly"),
+    )
+
+
+@query(
+    "dq_fk_coverage",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+        FROM orders r LEFT JOIN customer c ON c.c_custkey = r.o_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+        FROM customer cu LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    )
+    """,
+    doc=(
+        "Referential-coverage matrix: one row per FK edge of the schema "
+        "with child cardinality and orphan count — the relationship-"
+        "level rollup of dq_constraint_checks' single-FK verdict. Each "
+        "edge is a left join against the DISTINCT parent keys (parent "
+        "side dedupes before the join; dims broadcast), so the report "
+        "costs one pass per edge over the child keys only."
+    ),
+)
+def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        p = parent.select(F.col(pkey).alias("__pk")).distinct()
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count(F.when(F.col("__pk").isNull(), 1)).cast("long").alias("n_orphans"),
+        )
+
+    return (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(
+            edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
+        )
+    )

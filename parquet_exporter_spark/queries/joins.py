@@ -714,3 +714,59 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_time_bucketed_range",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc=(
+        "Range join via time bucketing: the scalable rewrite of the "
+        "interval join (same semantics and oracle as "
+        "stream_interval_join). Each side is assigned a 30-minute "
+        "bucket (integer-microsecond floor division on BOTH engines); "
+        "clicks probe their own bucket and the next, so every purchase "
+        "within (ts, ts+30min] collides on an EQUI key (user, bucket) "
+        "and the exact residual runs only on collided pairs. At 100 TB "
+        "this replaces the range-condition join (which degrades to "
+        "per-user nested loops) with a plain hash-partitioned equi "
+        "join whose duplication factor is exactly 2."
+    ),
+)
+def join_time_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bucket_us = 30 * 60 * 1000000  # bucket width == the join range
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("bucket"),
+    )
+    probes = clicks.withColumn(
+        "probe", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("probe"),
+    )
+    joined = probes.join(purchases, ["user_id", "probe"])
+    return joined.filter(
+        (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.unix_micros("purchase_ts") <= F.unix_micros("click_ts") + F.lit(bucket_us))
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.expr("unix_micros(purchase_ts) div 1000000")
+            - F.expr("unix_micros(click_ts) div 1000000")
+        ).alias("lag_seconds"),
+    )

@@ -601,3 +601,170 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+
+
+@query(
+    "text_readability_score",
+    oracle=r"""
+    WITH feat AS (
+        SELECT doc_id,
+               greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')), 1) AS n_words,
+               greatest(len(list_filter([trim(x) for x in regexp_split_to_array(text, '[.!?]+')],
+                        x -> x <> '')), 1) AS n_sents,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syll
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sentences,
+           round(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 6) AS flesch_score
+    FROM feat
+    """,
+    doc=(
+        "Flesch reading-ease proxy: words per sentence and "
+        "vowel-group-per-word syllable estimate plugged into the "
+        "standard 206.835 formula — the readability feature in "
+        "quality-filter stacks (too-easy AND too-hard both correlate "
+        "with boilerplate). Pure per-row expressions; clamps guard "
+        "empty documents."
+    ),
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.greatest(
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")),
+        F.lit(1),
+    )
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.transform(F.split("text", "[.!?]+"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ),
+        F.lit(1),
+    )
+    syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        F.round(
+            206.835
+            - 1.015 * (words / sents.cast("double"))
+            - 84.6 * (syll / words.cast("double")),
+            6,
+        ).alias("flesch_score"),
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS tn FROM tok WHERE term <> '' GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(count(*) FILTER (WHERE tn = 1) AS BIGINT) AS hapax_count,
+           round(count(*) FILTER (WHERE tn = 1) / CAST(count(*) AS DOUBLE), 6)
+               AS hapax_ratio
+    FROM freq
+    """,
+    doc=(
+        "Hapax legomena ratio: fraction of vocabulary types occurring "
+        "exactly once — high hapax share signals OCR noise, "
+        "concatenated junk, or a vocabulary the tokenizer will waste "
+        "merges on. One shuffle to the frequency table, then a 1-row "
+        "conditional aggregate."
+    ),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tn"))
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("tn") == 1, 1)).cast("long").alias("hapax_count"),
+        F.round(
+            F.count(F.when(F.col("tn") == 1, 1)) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS tn FROM tok WHERE term <> '' GROUP BY 1
+    ), ranked AS (
+        SELECT tn, row_number() OVER (ORDER BY tn DESC, term) AS rnk
+        FROM freq
+    )
+    SELECT round(regr_slope(log(tn), log(rnk)), 6) AS zipf_slope,
+           round(regr_r2(log(tn), log(rnk)), 6) AS r2,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM ranked WHERE rnk <= 1000
+    """,
+    doc=(
+        "Zipf's-law fit: OLS slope and R^2 of log(frequency) against "
+        "log(rank) over the top-1000 types — natural language sits near "
+        "slope -1, and a corpus that drifts far off is template spam or "
+        "mixed-content junk. The regression aggregates the bounded "
+        "ranked vocabulary in one pass (regr_slope/regr_r2 on both "
+        "engines)."
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tn"))
+    ranked = freq.select(
+        "tn", F.row_number().over(Window.orderBy(F.col("tn").desc(), "term")).alias("rnk")
+    ).filter(F.col("rnk") <= 1000)
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("tn"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("tn"), F.log("rnk")), 6).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang, {T.sql_predicted_lang('text')} AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc=(
+        "Language-ID confusion matrix: the stopword-coverage classifier "
+        "(text_lang_id) evaluated against the labeled lang column — the "
+        "eval step that belongs next to any heuristic classifier. "
+        "Per-row prediction + one bounded (|langs|^2) aggregate; the "
+        "prediction arithmetic is identical on both engines."
+    ),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.predicted_lang(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -944,3 +944,47 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(same, F.col("cs"))) - F.avg(F.when(~same, F.col("cs"))), 6
         ).alias("separation"),
     )
+
+
+@query(
+    "emb_quantization_error",
+    oracle="""
+    WITH stats AS (
+        SELECT vec_id, label, embedding,
+               greatest(list_max([abs(x) for x in embedding]), 1e-12) AS amax
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, label,
+               [x - (round(127.0 * x / amax) * amax / 127.0) for x in embedding] AS err
+        FROM stats
+    )
+    SELECT label,
+           round(avg(list_sum([e * e for e in err]) / len(err)), 6) AS mse,
+           round(max(list_max([abs(e) for e in err])), 6) AS max_abs_err
+    FROM q GROUP BY 1
+    """,
+    doc=(
+        "Int8 quantization error report: per-label MSE and worst-case "
+        "absolute error of the symmetric absmax int8 round-trip (the "
+        "same arithmetic as emb_quantize_int8) — the calibration "
+        "readout that decides whether int8 storage is acceptable "
+        "before committing the corpus to it. Per-row higher-order "
+        "array expressions + one label-keyed aggregate."
+    ),
+)
+def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    amax = F.greatest(F.array_max(F.transform("embedding", lambda x: F.abs(x))), F.lit(1e-12))
+    stats = emb.select("vec_id", "label", "embedding", amax.alias("amax"))
+
+    def err_fn(x):
+        scale = F.col("amax")
+        return x - (F.round(127.0 * x / scale, 0) * scale / 127.0)
+
+    q = stats.select("label", F.transform("embedding", err_fn).alias("err"))
+    mse = F.aggregate("err", F.lit(0.0), lambda acc, e: acc + e * e) / F.size("err")
+    mabs = F.array_max(F.transform("err", lambda e: F.abs(e)))
+    return q.groupBy("label").agg(
+        F.round(F.avg(mse), 6).alias("mse"),
+        F.round(F.max(mabs), 6).alias("max_abs_err"),
+    )

@@ -732,3 +732,34 @@ def sql_qualify_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn <= 2
         """
     )
+
+
+@query(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) * 2 AS BIGINT) AS doubled_cents,
+           CAST(CAST(floor(o_totalprice) * 2 AS BIGINT) // 10 AS BIGINT) AS tithe,
+           CAST(CAST(floor(o_totalprice) * 2 AS BIGINT)
+                + CAST(floor(o_totalprice) * 2 AS BIGINT) // 10 AS BIGINT) AS total_due
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc=(
+        "Lateral column aliases: later SELECT items reference earlier "
+        "aliases in the same list (doubled_cents -> tithe -> total_due) "
+        "— Spark resolves the chain in one projection, no subquery "
+        "nesting; the oracle spells out the expansion DuckDB-side. "
+        "Integer-exact arithmetic so the parity check is bit-for-bit."
+    ),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice) * 2 AS BIGINT) AS doubled_cents,
+               doubled_cents div 10 AS tithe,
+               doubled_cents + tithe AS total_due
+        FROM orders WHERE o_orderkey < 1000
+        """
+    )

@@ -873,3 +873,105 @@ def timeseries_weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFra
         "n_weekday",
         "n_weekend",
     )
+
+
+@query(
+    "timeseries_decompose_additive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), trended AS (
+        SELECT event_type, day, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily
+    ), seasonal AS (
+        SELECT event_type, day, v, trend,
+               avg(v - trend) OVER (PARTITION BY event_type, dayofweek(day)) AS seas
+        FROM trended
+    )
+    SELECT event_type, day,
+           round(trend, 6) AS trend,
+           round(seas, 6) AS seasonal,
+           round(v - trend - seas, 6) AS remainder
+    FROM seasonal
+    """,
+    doc=(
+        "Classical additive decomposition: centered 7-day moving-average "
+        "trend, day-of-week seasonal means of the detrended series, and "
+        "the remainder — trend + seasonal + remainder == the series "
+        "identically. All three components come from windows that share "
+        "the event_type partitioning over the BOUNDED daily rollup "
+        "(dayofweek numbering differs by engine but partitions "
+        "identically). The per-type series length is days, so this "
+        "costs the same at 100 TB of raw events."
+    ),
+)
+def timeseries_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w_trend = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn("trend", F.avg("v").over(w_trend))
+    w_seas = Window.partitionBy("event_type", F.dayofweek("day"))
+    seasonal = trended.withColumn("seas", F.avg(F.col("v") - F.col("trend")).over(w_seas))
+    return seasonal.select(
+        "event_type",
+        "day",
+        F.round("trend", 6).alias("trend"),
+        F.round("seas", 6).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seas"), 6).alias("remainder"),
+    )
+
+
+@query(
+    "timeseries_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), nbr AS (
+        SELECT event_type, day, v,
+               lag(v) OVER w AS prev_v, lead(v) OVER w AS next_v,
+               avg(v) OVER (PARTITION BY event_type) AS mu
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, v
+    FROM nbr
+    WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      AND v > prev_v AND v > next_v AND v > 1.2 * mu
+    """,
+    doc=(
+        "Peak detection: strict local maxima of the daily series that "
+        "also clear 1.2x the series mean — neighbor comparison via "
+        "lag/lead plus a same-key mean window, all sharing one "
+        "event_type exchange over the bounded rollup. The spike-finding "
+        "primitive under alerting and campaign attribution."
+    ),
+)
+def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wm = Window.partitionBy("event_type")
+    nbr = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v").over(w).alias("prev_v"),
+        F.lead("v").over(w).alias("next_v"),
+        F.avg("v").over(wm).alias("mu"),
+    )
+    return nbr.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("v") > F.col("prev_v"))
+        & (F.col("v") > F.col("next_v"))
+        & (F.col("v") > 1.2 * F.col("mu"))
+    ).select("event_type", "day", "v")

@@ -14,6 +14,21 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "dq_row_count_anomaly": (
+        {"bnlj"},
+        "1-row mean/stddev scalar broadcast against the bounded daily "
+        "rollup",
+    ),
+    "dq_fk_coverage": (
+        {"single_partition_x3"},
+        "three 1-row per-edge coverage aggregates unioned — each gather "
+        "carries one partially-aggregated row per FK edge",
+    ),
+    "analytics_monthly_churn": (
+        {"bnlj"},
+        "1-row last-month scalar broadcast; the churn self-join is equi "
+        "on (user, month)",
+    ),
     "dedup_minhash_estimate_error": (
         {"bnlj"},
         "bounded 30-doc calibration sample broadcast for all-pairs "

@@ -660,3 +660,12 @@ def test_collocations_bigram_join_is_doc_keyed(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert uses_take_ordered(df)
+
+
+def test_bucketed_range_join_is_equi(spark, sf_dir):
+    """The bucketed rewrite must join on the EQUI (user, bucket) key —
+    no range-condition nested loop anywhere in the plan."""
+    df = q("join_time_bucketed_range", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
