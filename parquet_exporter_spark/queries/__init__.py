@@ -94,7 +94,14 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # analytics_order_value_deciles, analytics_cumulative_users,
 # dq_row_count_anomaly, dq_fk_coverage, join_time_bucketed_range,
 # emb_quantization_error, text_readability_score, text_hapax_ratio,
-# text_zipf_slope, text_langid_confusion.
+# text_zipf_slope, text_langid_confusion,
+# analytics_last_touch_attribution, analytics_feature_adoption,
+# analytics_ship_lag_monthly, analytics_user_value_trend,
+# timeseries_seasonality_strength, timeseries_cross_correlation,
+# dq_cross_field_consistency, dq_total_reconciliation,
+# split_time_holdout_leakage, udf_pandas_grouped_agg,
+# sql_lateral_view_explode, emb_nearest_centroid_accuracy,
+# fn_char_suite, window_index_to_first.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -892,3 +892,182 @@ def analytics_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "analytics_last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN event_type IN ('click', 'view') THEN event_id END AS touch_id,
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch_type,
+               CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+        FROM events
+    ), attributed AS (
+        SELECT user_id, event_id AS purchase_id, ts,
+               last_value(touch_id IGNORE NULLS) OVER w AS touch_id,
+               last_value(touch_type IGNORE NULLS) OVER w AS touch_type,
+               last_value(touch_ts IGNORE NULLS) OVER w AS touch_ts
+        FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        QUALIFY event_type = 'purchase'
+    )
+    SELECT user_id, purchase_id, touch_id, touch_type,
+           CAST((epoch_us(ts) - epoch_us(touch_ts)) // 60000000 AS BIGINT)
+               AS minutes_since_touch
+    FROM attributed
+    WHERE touch_id IS NOT NULL
+      AND epoch_us(ts) - epoch_us(touch_ts) <= CAST(604800000000 AS BIGINT)
+    """,
+    doc=(
+        "Last-touch attribution: each purchase credits the most recent "
+        "click/view strictly before it within a 7-day lookback — the "
+        "default marketing-attribution model, spelled as last(ignorenulls) "
+        "over a frame ending 1 PRECEDING (so a purchase can never credit "
+        "itself or a simultaneous touch). One user-keyed window over the "
+        "interleaved stream; no join, no per-purchase scan."
+    ),
+)
+def analytics_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(is_touch, F.col("event_id")).alias("t_id"),
+        F.when(is_touch, F.col("event_type")).alias("t_type"),
+        F.when(is_touch, F.col("ts")).alias("t_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = seq.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "event_type",
+        "ts",
+        F.last("t_id", ignorenulls=True).over(w).alias("touch_id"),
+        F.last("t_type", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("t_ts", ignorenulls=True).over(w).alias("touch_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    gap_us = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    return attributed.filter(
+        F.col("touch_id").isNotNull() & (gap_us <= 7 * 86400 * 1000000)
+    ).select(
+        "user_id",
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.expr("(unix_micros(ts) - unix_micros(touch_ts)) div 60000000").alias(
+            "minutes_since_touch"
+        ),
+    )
+
+
+@query(
+    "analytics_feature_adoption",
+    oracle="""
+    WITH u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    per_type AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_adopters
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n_adopters AS BIGINT) AS n_adopters,
+           round(n_adopters / CAST(n_users AS DOUBLE), 6) AS adoption_rate
+    FROM per_type, u
+    """,
+    doc=(
+        "Feature adoption: distinct users per event type over total "
+        "distinct users — the feature-penetration matrix. Both distinct "
+        "counts are exact two-phase aggregates (partial distinct "
+        "map-side); the 1-row denominator broadcasts."
+    ),
+)
+def analytics_feature_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    per_type = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_adopters"))
+    return per_type.join(F.broadcast(u)).select(
+        "event_type",
+        F.col("n_adopters").cast("long").alias("n_adopters"),
+        F.round(F.col("n_adopters") / F.col("n_users").cast("double"), 6).alias(
+            "adoption_rate"
+        ),
+    )
+
+
+@query(
+    "analytics_ship_lag_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 6) AS avg_ship_lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Operational ship-lag trend: mean days from order to line-item "
+        "ship date per order month — the fulfillment-latency KPI. "
+        "Orderkey-keyed join (orders side broadcast-eligible), then a "
+        "bounded month rollup; day difference computed on calendar "
+        "dates so both engines count identically."
+    ),
+)
+def analytics_ship_lag_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return j.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.avg(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            ),
+            6,
+        ).alias("avg_ship_lag_days"),
+    )
+
+
+@query(
+    "analytics_user_value_trend",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value,
+               epoch_us(ts) / 86400000000.0 AS t_days
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(regr_slope(value, t_days), 6) AS value_trend_per_day
+    FROM base GROUP BY 1 HAVING count(*) >= 20
+    """,
+    doc=(
+        "Per-user value trajectory: OLS slope of event value against "
+        "time (days) for users with enough history — the engagement "
+        "trend feature behind churn models. regr_slope is a single-pass "
+        "co-moment aggregate, so this is one user-keyed shuffle however "
+        "long the histories are."
+    ),
+)
+def analytics_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "value", (F.unix_micros("ts") / 86400000000.0).alias("t_days")
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.regr_slope("value", "t_days"), 6).alias("value_trend_per_day"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )

@@ -784,3 +784,84 @@ def dq_fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey")
         )
     )
+
+
+@query(
+    "dq_cross_field_consistency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+               AS n_ship_before_order,
+           round(count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+                 / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Cross-table temporal consistency: line items shipped BEFORE "
+        "their order date — the impossible-sequence audit that catches "
+        "timezone bugs and backdated loads, broken down by priority. "
+        "One orderkey join + conditional aggregate; the violation "
+        "predicate stays a per-row expression, so cost is the join "
+        "alone."
+    ),
+)
+def dq_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bad = F.col("l_shipdate") < F.col("o_orderdate")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.count(F.when(bad, 1)).cast("long").alias("n_ship_before_order"),
+        F.round(F.count(F.when(bad, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@query(
+    "dq_total_reconciliation",
+    oracle="""
+    WITH item_sums AS (
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS computed
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE abs(computed - o.o_totalprice)
+                                       > 0.01 * o.o_totalprice) AS BIGINT) AS n_mismatched,
+           round(count(*) FILTER (WHERE abs(computed - o.o_totalprice)
+                                        > 0.01 * o.o_totalprice)
+                 / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+    FROM orders o JOIN item_sums i ON i.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Header/detail reconciliation: each order's stored total against "
+        "the recomputed sum of its line charges, mismatches beyond a 1% "
+        "relative tolerance counted per status — the classic financial "
+        "closing check. The item rollup and the header join share the "
+        "order key; the tolerance is relative so float noise can't flip "
+        "verdicts."
+    ),
+)
+def dq_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    sums = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("computed")
+    )
+    j = orders.join(sums, orders.o_orderkey == sums.l_orderkey)
+    bad = F.abs(F.col("computed") - F.col("o_totalprice")) > 0.01 * F.col("o_totalprice")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(bad, 1)).cast("long").alias("n_mismatched"),
+        F.round(F.count(F.when(bad, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mismatch_rate"
+        ),
+    )

@@ -715,3 +715,37 @@ def fn_uuid5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hx", 21, 12),
         ).alias("doc_uuid"),
     )
+
+
+@query(
+    "fn_char_suite",
+    oracle="""
+    SELECT doc_id,
+           ascii(substring(text, 1, 1)) AS first_cp,
+           chr(97 + CAST(doc_id % 26 AS INTEGER)) AS cycle_char,
+           translate(substring(text, 1, 40), 'aeiou', '#####') AS vowels_masked,
+           left(text, 5) AS head5,
+           right(text, 5) AS tail5,
+           reverse(substring(text, 1, 10)) AS rev10,
+           repeat(substring(text, 1, 2), 3) AS rep3
+    FROM documents WHERE doc_id < 300
+    """,
+    doc=(
+        "Character-function suite: ascii/chr code-point round trips, "
+        "translate masking, left/right slicing, reverse, repeat — the "
+        "remaining scalar string surface beyond fn_string. All per-row "
+        "JVM expressions in one codegen stage."
+    ),
+)
+def fn_char_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.chr(97 + (F.col("doc_id") % 26)).alias("cycle_char"),
+        F.translate(F.substring("text", 1, 40), "aeiou", "#####").alias("vowels_masked"),
+        F.left("text", F.lit(5)).alias("head5"),
+        F.right("text", F.lit(5)).alias("tail5"),
+        F.reverse(F.substring("text", 1, 10)).alias("rev10"),
+        F.repeat(F.substring("text", 1, 2), 3).alias("rep3"),
+    )

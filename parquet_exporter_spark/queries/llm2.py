@@ -613,3 +613,60 @@ def split_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@query(
+    "split_time_holdout_leakage",
+    oracle="""
+    WITH bounds AS (
+        SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS cutoff
+        FROM events
+    ), sides AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE ts < cutoff) AS n_train,
+               count(*) FILTER (WHERE ts >= cutoff) AS n_test
+        FROM events, bounds GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE n_train > 0 AND n_test > 0) AS BIGINT)
+               AS n_leaking_users,
+           round(count(*) FILTER (WHERE n_train > 0 AND n_test > 0)
+                 / CAST(count(*) AS DOUBLE), 6) AS leak_fraction,
+           CAST(sum(n_train) AS BIGINT) AS n_train_events,
+           CAST(sum(n_test) AS BIGINT) AS n_test_events
+    FROM sides
+    """,
+    doc=(
+        "Time-based holdout with entity-leakage report: split at the "
+        "integer-microsecond midpoint, then count users present on BOTH "
+        "sides — the leakage a temporal split permits and a group split "
+        "(split_train_holdout's hash split) would forbid; this query IS "
+        "the measurement that decides between them. One user-keyed "
+        "conditional aggregate + a 1-row verdict."
+    ),
+)
+def split_time_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.timestamp_micros(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        ).alias("cutoff")
+    )
+    sides = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("ts") < F.col("cutoff"), 1)).alias("n_train"),
+            F.count(F.when(F.col("ts") >= F.col("cutoff"), 1)).alias("n_test"),
+        )
+    )
+    leak = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    return sides.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when(leak, 1)).cast("long").alias("n_leaking_users"),
+        F.round(F.count(F.when(leak, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "leak_fraction"
+        ),
+        F.sum("n_train").cast("long").alias("n_train_events"),
+        F.sum("n_test").cast("long").alias("n_test_events"),
+    )

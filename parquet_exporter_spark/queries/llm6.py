@@ -988,3 +988,65 @@ def emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(mse), 6).alias("mse"),
         F.round(F.max(mabs), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "emb_nearest_centroid_accuracy",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, u.dim, u.x
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                             unnest(embedding) AS x) u
+    ), cent AS (
+        SELECT label AS c_label, dim, avg(x) AS c FROM dims GROUP BY 1, 2
+    ), dist AS (
+        SELECT d.vec_id, d.label, cent.c_label,
+               sum((d.x - cent.c) * (d.x - cent.c)) AS d2
+        FROM dims d JOIN cent ON cent.dim = d.dim
+        GROUP BY 1, 2, 3
+    ), assigned AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+        FROM dist
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (WHERE c_label = label) AS BIGINT) AS n_correct,
+           round(count(*) FILTER (WHERE c_label = label) / CAST(count(*) AS DOUBLE), 6)
+               AS accuracy
+    FROM assigned WHERE rn = 1 GROUP BY 1
+    """,
+    doc=(
+        "Nearest-centroid classification accuracy: assign every vector "
+        "to its closest label centroid (euclidean, deterministic label "
+        "tie-break) and score against the true labels — the fastest "
+        "label-quality / cluster-coherence readout. The centroid table "
+        "is |labels| x |dims| and broadcasts; per-vector distances come "
+        "from one dim-keyed join + aggregate, so the corpus shuffles "
+        "once (the posexplode) regardless of label count."
+    ),
+)
+def emb_nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x")).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "dim").agg(F.avg("x").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    correct = F.col("c_label") == F.col("label")
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count(F.when(correct, 1)).cast("long").alias("n_correct"),
+        F.round(F.count(F.when(correct, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "accuracy"
+        ),
+    )

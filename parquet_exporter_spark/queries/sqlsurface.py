@@ -763,3 +763,38 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey < 1000
         """
     )
+
+
+@query(
+    "sql_lateral_view_explode",
+    oracle="""
+    SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+                   AS terms
+        FROM documents WHERE doc_id < 50
+    ), LATERAL (SELECT unnest(terms) AS term) u
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "LATERAL VIEW explode: the Hive-inherited SQL spelling of "
+        "generator expansion (the DataFrame twin is fn_explode_wordcount) "
+        "— one generate node feeding a partial-agg count, filter pushed "
+        "beneath the generator."
+    ),
+)
+def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id, term, count(*) AS n
+        FROM (
+            SELECT doc_id,
+                   filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS terms
+            FROM documents WHERE doc_id < 50
+        )
+        LATERAL VIEW explode(terms) t AS term
+        GROUP BY doc_id, term
+        """
+    ).select("doc_id", "term", F.col("n").cast("long").alias("n"))

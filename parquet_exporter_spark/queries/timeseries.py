@@ -975,3 +975,113 @@ def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v") > F.col("next_v"))
         & (F.col("v") > 1.2 * F.col("mu"))
     ).select("event_type", "day", "v")
+
+
+@query(
+    "timeseries_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), trended AS (
+        SELECT event_type, day, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily
+    ), seasonal AS (
+        SELECT event_type, day, v - trend AS detrended,
+               avg(v - trend) OVER (PARTITION BY event_type, dayofweek(day)) AS seas
+        FROM trended
+    )
+    SELECT event_type,
+           round(greatest(0, 1 - var_samp(detrended - seas) / var_samp(detrended)), 6)
+               AS seasonality_strength,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM seasonal GROUP BY 1
+    """,
+    doc=(
+        "Seasonality strength (the STL diagnostic): 1 - Var(remainder)/"
+        "Var(detrended), clamped at 0 — near 1 means the dow pattern "
+        "explains the detrended series, near 0 means noise; THE number "
+        "that says whether a seasonal forecast model is worth fitting. "
+        "Same window stack as timeseries_decompose_additive collapsed "
+        "to one row per series."
+    ),
+)
+def timeseries_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w_trend = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn("trend", F.avg("v").over(w_trend))
+    w_seas = Window.partitionBy("event_type", F.dayofweek("day"))
+    seasonal = trended.select(
+        "event_type",
+        (F.col("v") - F.col("trend")).alias("detrended"),
+        F.avg(F.col("v") - F.col("trend")).over(w_seas).alias("seas"),
+    )
+    return seasonal.groupBy("event_type").agg(
+        F.round(
+            F.greatest(
+                F.lit(0),
+                1 - F.var_samp(F.col("detrended") - F.col("seas")) / F.var_samp("detrended"),
+            ),
+            6,
+        ).alias("seasonality_strength"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) FILTER (WHERE event_type = 'click') AS clicks,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT d.k, daily.clicks,
+               lead(daily.purchases, d.k) OVER (PARTITION BY d.k ORDER BY daily.day)
+                   AS purchases_shifted
+        FROM daily CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(k)
+    )
+    SELECT k, round(corr(clicks, purchases_shifted), 6) AS xcorr,
+           CAST(count(purchases_shifted) AS BIGINT) AS n_days
+    FROM lagged GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Lead-lag cross-correlation: corr(clicks today, purchases k days "
+        "later) for k in 0..3 — the lag-discovery scan that tells you "
+        "how long conversions trail traffic. The daily rollup is "
+        "computed once; the 4-row lag table replicates it per k "
+        "(bounded x4), and each k's lead runs over the same bounded "
+        "day series."
+    ),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    lagged = daily.crossJoin(F.broadcast(ks)).select("k", "clicks", "purchases", "day")
+    w = Window.partitionBy("k").orderBy("day")
+    shifted = lagged.withColumn(
+        "purchases_shifted",
+        F.when(F.col("k") == 0, F.lead("purchases", 0).over(w))
+        .when(F.col("k") == 1, F.lead("purchases", 1).over(w))
+        .when(F.col("k") == 2, F.lead("purchases", 2).over(w))
+        .when(F.col("k") == 3, F.lead("purchases", 3).over(w)),
+    )
+    return (
+        shifted.groupBy("k")
+        .agg(
+            F.round(F.corr("clicks", "purchases_shifted"), 6).alias("xcorr"),
+            F.count("purchases_shifted").cast("long").alias("n_days"),
+        )
+        .orderBy("k")
+    )

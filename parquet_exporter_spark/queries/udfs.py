@@ -176,3 +176,32 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(byte_lengths, "doc_id bigint, n_bytes int")
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)
+               AS weighted_discount
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc=(
+        "GROUPED_AGG Pandas UDF: a pandas_udf returning one scalar per "
+        "group used directly inside .agg() — the third UDF aggregation "
+        "surface next to applyInPandas (udaf_grouped_pandas) and JVM "
+        "aggregates. Arrow ships each group's columns as Series; the "
+        "price-weighted discount is rounded inside the UDF so the "
+        "value-hash compare sees the same 6-decimal contract as the "
+        "SQL twin."
+    ),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wdisc(disc: pd.Series, price: pd.Series) -> float:
+        return round(float((disc * price).sum() / price.sum()), 6)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        wdisc("l_discount", "l_extendedprice").alias("weighted_discount")
+    )

@@ -401,3 +401,37 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase_value"),
         F.first("purchase_value", ignorenulls=True).over(wf).alias("first_purchase_value"),
     )
+
+
+@query(
+    "window_index_to_first",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, value,
+               first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS first_value_
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           round(100.0 * value / first_value_, 6) AS indexed_value
+    FROM p WHERE first_value_ <> 0
+    """,
+    doc=(
+        "Index-to-first normalization: every purchase value rebased to "
+        "100 x value / the user's first purchase — the 'indexed to "
+        "baseline' transformation behind cohort comparison charts. One "
+        "first_value window per user; the purchase filter is pushed to "
+        "the scan."
+    ),
+)
+def window_index_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id", "event_id", "value", F.first("value").over(w).alias("first_value_")
+    )
+    return p.filter(F.col("first_value_") != 0).select(
+        "user_id",
+        "event_id",
+        F.round(100.0 * F.col("value") / F.col("first_value_"), 6).alias("indexed_value"),
+    )

@@ -14,6 +14,21 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "split_time_holdout_leakage": (
+        {"bnlj", "single_partition_x2"},
+        "1-row midpoint-cutoff scalar broadcast; the gathers carry one "
+        "partially-aggregated min/max row and the 1-row leak verdict",
+    ),
+    "timeseries_cross_correlation": (
+        {"bnlj"},
+        "4-row lag table broadcast-replicated over the bounded daily "
+        "rollup (x4 duplication of days, never raw events)",
+    ),
+    "analytics_feature_adoption": (
+        {"bnlj"},
+        "1-row total-distinct-users scalar broadcast against the "
+        "|types|-row adoption aggregate",
+    ),
     "dq_row_count_anomaly": (
         {"bnlj"},
         "1-row mean/stddev scalar broadcast against the bounded daily "
