@@ -101,7 +101,12 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # dq_cross_field_consistency, dq_total_reconciliation,
 # split_time_holdout_leakage, udf_pandas_grouped_agg,
 # sql_lateral_view_explode, emb_nearest_centroid_accuracy,
-# fn_char_suite, window_index_to_first.
+# fn_char_suite, window_index_to_first, timeseries_acf,
+# timeseries_max_drawdown, analytics_order_backlog,
+# analytics_session_conversion, analytics_top_movers,
+# analytics_activity_heatmap, stream_watermark_what_if,
+# fn_base_conversion, emb_norm_profile, dedup_lsh_s_curve,
+# dq_categorical_profile, graph_component_sizes.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

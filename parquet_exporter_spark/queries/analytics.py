@@ -1071,3 +1071,190 @@ def analytics_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 20)
     )
+
+
+@query(
+    "analytics_order_backlog",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS placed,
+               CAST(max(l.l_shipdate) AS DATE) AS done
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), deltas AS (
+        SELECT placed AS day, count(*) AS delta FROM per_order GROUP BY 1
+        UNION ALL
+        SELECT done, -count(*) FROM per_order GROUP BY done
+    ), daily AS (
+        SELECT day, sum(delta) AS net FROM deltas GROUP BY 1
+    )
+    SELECT day, CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    doc=(
+        "Open-order backlog curve via the sweep-line (+1 at placement, "
+        "-1 at final ship) — the interval-counting identity that turns "
+        "'how many orders were open each day' from a day x order range "
+        "join into two aggregates and one cumulative sum over the "
+        "bounded day series. The per-order rollup shuffles on the order "
+        "key once."
+    ),
+)
+def analytics_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("placed"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("done"))
+    )
+    plus = per_order.groupBy(F.col("placed").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    minus = per_order.groupBy(F.col("done").alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    daily = plus.unionAll(minus).groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@query(
+    "analytics_session_conversion",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) > 300000000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, session_no,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_with_view,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_purchase > t_view)
+                AS BIGINT) AS n_converted,
+           round(count(*) FILTER (WHERE t_view IS NOT NULL AND t_purchase > t_view)
+                 / CAST(nullif(count(*) FILTER (WHERE t_view IS NOT NULL), 0) AS DOUBLE), 6)
+               AS view_to_purchase_rate
+    FROM per_sess
+    """,
+    doc=(
+        "Sessionized conversion: the 5-minute gaps-and-islands "
+        "sessionization (sessionize_gaps_islands' machinery) composed "
+        "with an ordered view->purchase check WITHIN each session — "
+        "conversion measured at session granularity, where funnels are "
+        "actually reported. One user-keyed window stack + a session "
+        "aggregate + a 1-row verdict."
+    ),
+)
+def analytics_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 300000000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    has_view = F.col("t_view").isNotNull()
+    converted = has_view & (F.col("t_purchase") > F.col("t_view"))
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.when(has_view, 1)).cast("long").alias("n_with_view"),
+        F.count(F.when(converted, 1)).cast("long").alias("n_converted"),
+        F.round(
+            F.count(F.when(converted, 1))
+            / F.nullif(F.count(F.when(has_view, 1)), F.lit(0)).cast("double"),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@query(
+    "analytics_top_movers",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ), diffs AS (
+        SELECT event_type, day, v,
+               round(v - lag(v) OVER (PARTITION BY event_type ORDER BY day), 2) AS delta
+        FROM daily
+    )
+    SELECT event_type, day, v, delta
+    FROM diffs WHERE delta IS NOT NULL
+    ORDER BY abs(delta) DESC, event_type, day LIMIT 5
+    """,
+    doc=(
+        "Top movers: the 5 largest day-over-day absolute swings across "
+        "all series — the 'what changed most' alert feed. Lag windows "
+        "over the bounded daily rollup; the global top-5 is TakeOrdered "
+        "on |series x days| rows, never the raw events."
+    ),
+)
+def analytics_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.withColumn("delta", F.round(F.col("v") - F.lag("v").over(w), 2))
+    return (
+        diffs.filter(F.col("delta").isNotNull())
+        .orderBy(F.abs("delta").desc(), "event_type", "day")
+        .limit(5)
+    )
+
+
+@query(
+    "analytics_activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Activity heatmap: the (day-of-week x hour) count/value matrix "
+        "in long form — the usage-pattern grid every product dashboard "
+        "opens with. One partial-agg scan to at most 168 rows; dow "
+        "numbering pinned cross-engine (+1 in the oracle)."
+    ),
+)
+def analytics_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

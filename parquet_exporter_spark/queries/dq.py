@@ -865,3 +865,56 @@ def dq_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mismatch_rate"
         ),
     )
+
+
+@query(
+    "dq_categorical_profile",
+    oracle="""
+    WITH et AS (
+        SELECT event_type AS val, count(*) AS n FROM events GROUP BY 1
+    ), pr AS (
+        SELECT o_orderpriority AS val, count(*) AS n FROM orders GROUP BY 1
+    ), st AS (
+        SELECT o_orderstatus AS val, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT col, CAST(n_distinct AS BIGINT) AS n_distinct, top_value,
+           CAST(top_n AS BIGINT) AS top_n
+    FROM (
+        SELECT 'events.event_type' AS col, count(*) AS n_distinct,
+               (SELECT val FROM et ORDER BY n DESC, val DESC LIMIT 1) AS top_value,
+               max(n) AS top_n
+        FROM et
+        UNION ALL
+        SELECT 'orders.o_orderpriority', count(*),
+               (SELECT val FROM pr ORDER BY n DESC, val DESC LIMIT 1), max(n) FROM pr
+        UNION ALL
+        SELECT 'orders.o_orderstatus', count(*),
+               (SELECT val FROM st ORDER BY n DESC, val DESC LIMIT 1), max(n) FROM st
+    )
+    """,
+    doc=(
+        "Categorical-column profile in long form: distinct count, modal "
+        "value (deterministic max_by(val, (n, val)) tie-break) and its "
+        "frequency for each profiled column — the categorical complement "
+        "of profile_table_summary's numeric stats. Each column costs one "
+        "partial-agg scan collapsed to one row."
+    ),
+)
+def dq_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("val")).agg(F.count(F.lit(1)).alias("n"))
+        return counts.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max_by("val", F.struct("n", "val")).alias("top_value"),
+            F.max("n").cast("long").alias("top_n"),
+        )
+
+    return (
+        profile(ev, "event_type", "events.event_type")
+        .unionAll(profile(orders, "o_orderpriority", "orders.o_orderpriority"))
+        .unionAll(profile(orders, "o_orderstatus", "orders.o_orderstatus"))
+    )

@@ -749,3 +749,30 @@ def fn_char_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.substring("text", 1, 10)).alias("rev10"),
         F.repeat(F.substring("text", 1, 2), 3).alias("rep3"),
     )
+
+
+@query(
+    "fn_base_conversion",
+    oracle="""
+    SELECT event_id,
+           lower(to_hex(event_id)) AS hex_str,
+           CAST(('0x' || to_hex(event_id))::BIGINT AS BIGINT) AS hex_roundtrip,
+           bin(event_id) AS bin_str
+    FROM events WHERE event_id < 300
+    """,
+    doc=(
+        "Radix conversion: conv() to hex and binary and back (the "
+        "primitive under shard-key prefixes and bitmap debugging); hex "
+        "case pinned cross-engine via lower(). Per-row expressions, "
+        "pushed filter."
+    ),
+)
+def fn_base_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    hex_str = F.lower(F.conv(F.col("event_id").cast("string"), 10, 16))
+    return ev.select(
+        "event_id",
+        hex_str.alias("hex_str"),
+        F.conv(hex_str, 16, 10).cast("long").alias("hex_roundtrip"),
+        F.conv(F.col("event_id").cast("string"), 10, 2).alias("bin_str"),
+    )

@@ -484,3 +484,38 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("degree").cast("int").alias("degree"), "n_users")
         .orderBy("degree")
     )
+
+
+@query(
+    "graph_component_sizes",
+    oracle=_CC_CTES
+    + """,
+    comp AS (
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT component, count(*) AS size FROM comp GROUP BY 1
+    )
+    SELECT CAST(size AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY size
+    """,
+    doc=(
+        "Duplicate-cluster size distribution: histogram of connected-"
+        "component sizes over the shared-chunk edge set — the dedup "
+        "health report (a fat tail means boilerplate is gluing "
+        "unrelated documents into mega-clusters and the chunk length "
+        "needs raising). Two bounded aggregates on top of the same "
+        "label-propagation labels as dedup_connected_components."
+    ),
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    edges = _chunk_edges(docs).persist()
+    try:
+        labels = connected_components(edges)
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+        return sizes.groupBy(F.col("size").cast("long").alias("component_size")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_components")
+        )
+    finally:
+        edges.unpersist()

@@ -849,3 +849,33 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(est - true_j), 6).alias("abs_error"),
     )
     return pairs.filter((F.col("est_jaccard") > 0) | (F.col("true_jaccard") > 0))
+
+
+@query(
+    "dedup_lsh_s_curve",
+    oracle="""
+    SELECT c.bands, c.rows_, j.j,
+           round(1 - pow(1 - pow(j.j, c.rows_), c.bands), 6) AS p_candidate
+    FROM (VALUES (4, 6), (8, 3), (6, 4), (12, 2)) AS c(bands, rows_)
+    CROSS JOIN (VALUES (0.1), (0.3), (0.5), (0.7), (0.8), (0.9)) AS j(j)
+    """,
+    doc=(
+        "LSH s-curve tuning table: candidate probability "
+        "1-(1-j^r)^b for every (bands, rows) configuration x Jaccard "
+        "grid — the design table that justifies dedup_minhash_lsh_pairs' "
+        "4x6 choice (threshold ~ (1/b)^(1/r) ~= 0.79) and shows the "
+        "precision/recall trade of the alternatives. Pure literal "
+        "relations; no scan."
+    ),
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configs = spark.createDataFrame([(4, 6), (8, 3), (6, 4), (12, 2)], "bands: int, rows_: int")
+    js = spark.createDataFrame([(0.1,), (0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "j: double")
+    return configs.crossJoin(js).select(
+        "bands",
+        "rows_",
+        "j",
+        F.round(1 - F.pow(1 - F.pow(F.col("j"), F.col("rows_")), F.col("bands")), 6).alias(
+            "p_candidate"
+        ),
+    )

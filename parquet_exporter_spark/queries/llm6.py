@@ -1050,3 +1050,37 @@ def emb_nearest_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
             "accuracy"
         ),
     )
+
+
+@query(
+    "emb_norm_profile",
+    oracle="""
+    WITH norms AS (
+        SELECT label, sqrt(list_sum([x * x for x in embedding])) AS l2
+        FROM embeddings
+    )
+    SELECT label,
+           round(min(l2), 6) AS min_norm,
+           round(quantile_cont(l2, 0.5), 6) AS median_norm,
+           round(max(l2), 6) AS max_norm,
+           round(stddev_samp(l2), 6) AS std_norm
+    FROM norms GROUP BY 1
+    """,
+    doc=(
+        "Embedding norm profile: per-label L2-norm distribution (min/"
+        "median/max/std) — the pre-normalization QA that catches scale "
+        "drift between embedding batches (cosine similarity silently "
+        "forgives it; dot-product retrieval does not). Per-row "
+        "higher-order sum + one label-keyed aggregate."
+    ),
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
+    norms = emb.select("label", l2.alias("l2"))
+    return norms.groupBy("label").agg(
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.percentile("l2", F.lit(0.5)), 6).alias("median_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+        F.round(F.stddev_samp("l2"), 6).alias("std_norm"),
+    )

@@ -666,3 +666,53 @@ def stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("late_us", F.lit(0.95)) / 1e6, 6).alias("p95_lateness_sec"),
         F.round(F.max("late_us") / 1e6, 6).alias("max_lateness_sec"),
     )
+
+
+@query(
+    "stream_watermark_what_if",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type,
+               epoch_us(max(ts) OVER (PARTITION BY event_type ORDER BY event_id))
+                   - epoch_us(ts) AS late_us
+        FROM events
+    )
+    SELECT d.delay_s,
+           CAST(count(*) FILTER (WHERE late_us > d.delay_s * 1000000) AS BIGINT)
+               AS n_dropped,
+           round(count(*) FILTER (WHERE late_us > d.delay_s * 1000000)
+                 / CAST(count(*) AS DOUBLE), 6) AS drop_fraction
+    FROM arr CROSS JOIN (VALUES (60), (300), (900)) AS d(delay_s)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Watermark what-if: for candidate withWatermark delays (1, 5, "
+        "15 min), the fraction of events arriving later than the delay "
+        "and therefore DROPPED by a streaming aggregate — the decision "
+        "table stream_lateness_profile's percentiles feed. One lateness "
+        "window + a 3-row broadcast replication."
+    ),
+)
+def stream_watermark_what_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    arr = ev.select(
+        (F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")).alias("late_us")
+    )
+    delays = spark.range(1).select(
+        F.explode(F.array(F.lit(60), F.lit(300), F.lit(900))).alias("delay_s")
+    )
+    rep = arr.crossJoin(F.broadcast(delays))
+    dropped = F.col("late_us") > F.col("delay_s").cast("long") * 1000000
+    return (
+        rep.groupBy("delay_s")
+        .agg(
+            F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+            F.round(F.count(F.when(dropped, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "drop_fraction"
+            ),
+        )
+        .orderBy("delay_s")
+    )

@@ -1085,3 +1085,99 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "timeseries_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, k.k, daily.cnt,
+               lag(daily.cnt, k.k) OVER (PARTITION BY event_type, k.k ORDER BY daily.day)
+                   AS prev_cnt
+        FROM daily CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS k(k)
+    )
+    SELECT event_type, k AS lag_days,
+           round(corr(cnt, prev_cnt), 6) AS acf,
+           CAST(count(prev_cnt) AS BIGINT) AS n_pairs
+    FROM lagged GROUP BY 1, 2
+    """,
+    doc=(
+        "Autocorrelation function, lags 1-7: the full ACF table whose "
+        "lag-7 spike identifies weekly seasonality (the generalization "
+        "of timeseries_autocorr's single lag). The daily rollup is "
+        "computed once and replicated over the bounded 7-row lag table; "
+        "every per-lag window shares the (type, k) partitioning."
+    ),
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    rep = daily.crossJoin(F.broadcast(ks))
+    w = Window.partitionBy("event_type", "k").orderBy("day")
+    expr = F.when(F.col("k") == 1, F.lag("cnt", 1).over(w))
+    for i in range(2, 8):
+        expr = expr.when(F.col("k") == i, F.lag("cnt", i).over(w))
+    lagged = rep.withColumn("prev_cnt", expr)
+    return lagged.groupBy("event_type", F.col("k").alias("lag_days")).agg(
+        F.round(F.corr("cnt", "prev_cnt"), 6).alias("acf"),
+        F.count("prev_cnt").cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "timeseries_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), cum0 AS (
+        SELECT event_type, day,
+               sum(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+        FROM daily
+    ), cum AS (
+        SELECT event_type, day, cum_v,
+               max(cum_v) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM cum0
+    )
+    SELECT event_type,
+           round(max(peak - cum_v), 2) AS max_drawdown,
+           round(max((peak - cum_v) / nullif(peak, 0)), 6) AS max_drawdown_frac
+    FROM cum GROUP BY 1
+    """,
+    doc=(
+        "Maximum drawdown of the cumulative value series: largest "
+        "peak-to-current drop (absolute and as a fraction of the peak) "
+        "— the risk metric from finance, equally useful for 'how far "
+        "below its high-water mark did this KPI fall'. Two stacked "
+        "cumulative windows + a final aggregate, all sharing one "
+        "event_type exchange over the bounded daily rollup."
+    ),
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type", "day", F.sum("v").over(w).alias("cum_v")
+    ).withColumn("peak", F.max("cum_v").over(w))
+    dd = F.col("peak") - F.col("cum_v")
+    return cum.groupBy("event_type").agg(
+        F.round(F.max(dd), 2).alias("max_drawdown"),
+        F.round(F.max(dd / F.nullif(F.col("peak"), F.lit(0))), 6).alias("max_drawdown_frac"),
+    )

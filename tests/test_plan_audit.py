@@ -14,6 +14,24 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "dedup_lsh_s_curve": (
+        {"cartesian"},
+        "4x6 literal design-table cross product — no data scan at all",
+    ),
+    "dq_categorical_profile": (
+        {"single_partition_x3"},
+        "three 1-row per-column profile aggregates unioned, same bounded "
+        "shape as profile_table_summary",
+    ),
+    "timeseries_acf": (
+        {"bnlj"},
+        "7-row lag table broadcast-replicated over the bounded daily "
+        "rollup (x7 duplication of days, never raw events)",
+    ),
+    "stream_watermark_what_if": (
+        {"bnlj"},
+        "3-row delay table broadcast over the lateness column",
+    ),
     "split_time_holdout_leakage": (
         {"bnlj", "single_partition_x2"},
         "1-row midpoint-cutoff scalar broadcast; the gathers carry one "
