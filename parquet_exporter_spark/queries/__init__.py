@@ -106,7 +106,10 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # analytics_session_conversion, analytics_top_movers,
 # analytics_activity_heatmap, stream_watermark_what_if,
 # fn_base_conversion, emb_norm_profile, dedup_lsh_s_curve,
-# dq_categorical_profile, graph_component_sizes.
+# dq_categorical_profile, graph_component_sizes, timeseries_burstiness,
+# fn_aes_roundtrip, fn_struct_json_roundtrip, emb_dim_variance_topk,
+# emb_twonn_intrinsic_dim, analytics_dau_wau_stickiness,
+# sample_hash_rate_sweep.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

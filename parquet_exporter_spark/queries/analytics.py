@@ -1258,3 +1258,51 @@ def analytics_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "analytics_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY 1
+    ), wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+    doc=(
+        "DAU/WAU stickiness: daily actives over trailing-7-day actives "
+        "— the engagement-frequency ratio product teams steer by. The "
+        "rolling distinct count (not window-expressible) is rewritten "
+        "as a BOUNDED replication: each (user, day) activity explodes "
+        "to the <=7 report days it supports, turning the range join "
+        "into an equi join on day with duplication factor exactly 7 — "
+        "the same rewrite as join_time_bucketed_range, applied to "
+        "windowed distinct counting."
+    ),
+)
+def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    offsets = F.sequence(F.lit(0), F.lit(6))
+    rep = ud.select(
+        "user_id", F.explode(offsets).alias("off"), F.col("day").alias("act_day")
+    ).select("user_id", F.date_add(F.col("act_day"), F.col("off")).alias("day"))
+    days = ud.select("day").distinct()
+    wau = rep.join(days, "day").groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+    )

@@ -776,3 +776,60 @@ def fn_base_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(hex_str, 16, 10).cast("long").alias("hex_roundtrip"),
         F.conv(F.col("event_id").cast("string"), 10, 2).alias("bin_str"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id, true AS roundtrip_ok,
+           CAST(octet_length(encode(text)) AS INTEGER) AS plaintext_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+    doc=(
+        "AES encrypt/decrypt round-trip: aes_decrypt(aes_encrypt(x)) "
+        "must reproduce the plaintext byte-for-byte (GCM mode, random "
+        "IV, so the CIPHERTEXT is non-deterministic and only the "
+        "round-trip identity is checkable — the oracle pins exactly "
+        "that plus the byte length). The column-level encryption "
+        "primitive for PII-bearing exports."
+    ),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    ct = F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary"))
+    pt = F.aes_decrypt(ct, key.cast("binary"))
+    return docs.select(
+        "doc_id",
+        (pt == F.col("text").cast("binary")).alias("roundtrip_ok"),
+        F.length(F.col("text").cast("binary")).alias("plaintext_bytes"),
+    )
+
+
+@query(
+    "fn_struct_json_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars))
+               AS js,
+           json_extract_string(
+               to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)),
+               '$.lang') AS lang_back
+    FROM documents WHERE doc_id < 300
+    """,
+    doc=(
+        "Struct -> JSON -> field round-trip: named-struct construction, "
+        "to_json serialization (key order and number formatting agree "
+        "across engines for integer fields), and get_json_object "
+        "extraction back out — the nested-record export path checked "
+        "end-to-end on VALUES, not just schema."
+    ),
+)
+def fn_struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    js = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    return docs.select(
+        "doc_id",
+        js.alias("js"),
+        F.get_json_object(js, "$.lang").alias("lang_back"),
+    )

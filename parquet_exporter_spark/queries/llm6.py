@@ -1084,3 +1084,103 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l2"), 6).alias("max_norm"),
         F.round(F.stddev_samp("l2"), 6).alias("std_norm"),
     )
+
+
+@query(
+    "emb_dim_variance_topk",
+    oracle="""
+    WITH dims AS (
+        SELECT u.dim - 1 AS dim, u.x
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                             unnest(embedding) AS x) u
+    )
+    SELECT dim, round(var_samp(x), 6) AS variance
+    FROM dims GROUP BY 1
+    ORDER BY variance DESC, dim LIMIT 10
+    """,
+    doc=(
+        "Per-dimension variance ranking (top-10): which embedding "
+        "coordinates carry signal — the screen before PCA/Matryoshka "
+        "truncation (a near-zero-variance dim is free to drop; see "
+        "emb_matryoshka_truncate). posexplode + one dim-keyed "
+        "partial-agg + TakeOrdered."
+    ),
+)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return (
+        dims.groupBy("dim")
+        .agg(F.round(F.var_samp("x"), 6).alias("variance"))
+        .orderBy(F.col("variance").desc(), "dim")
+        .limit(10)
+    )
+
+
+@query(
+    "emb_twonn_intrinsic_dim",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+    pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               sqrt(list_sum(list_transform(
+                   list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])))) AS d
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT i, d, row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn
+        FROM pairs
+    ), mu AS (
+        SELECT i,
+               round(max(CASE WHEN rn = 2 THEN d END)
+                     / nullif(max(CASE WHEN rn = 1 THEN d END), 0), 9) AS mu
+        FROM ranked WHERE rn <= 2 GROUP BY i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(count(*) / sum(round(ln(mu), 9)), 4) AS intrinsic_dim_hat
+    FROM mu WHERE mu IS NOT NULL AND mu > 1
+    """,
+    doc=(
+        "TwoNN intrinsic-dimension estimate (Facco et al. 2017): for a "
+        "bounded sample, the ratio mu of 2nd- to 1st-nearest-neighbor "
+        "distance per point yields d_hat = n / sum(ln mu) — how many "
+        "degrees of freedom the embedding actually uses vs its ambient "
+        "dimension (a 64-d embedding with d_hat ~= 10 truncates "
+        "safely; see emb_matryoshka_truncate). Intermediate mu and "
+        "ln(mu) are pinned to 9 decimals so the cross-engine "
+        "aggregation-order difference cannot reach the reported 4 "
+        "decimals. At corpus scale the sample IS the method — TwoNN "
+        "needs only O(sample^2) distances."
+    ),
+)
+def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    pairs = a.join(F.broadcast(b), F.col("i") != F.col("j")).select("i", "j", d.alias("d"))
+    w = Window.partitionBy("i").orderBy("d", "j")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    mu = ranked.groupBy("i").agg(
+        F.round(
+            F.max(F.when(F.col("rn") == 2, F.col("d")))
+            / F.nullif(F.max(F.when(F.col("rn") == 1, F.col("d"))), F.lit(0)),
+            9,
+        ).alias("mu")
+    )
+    valid = mu.filter(F.col("mu").isNotNull() & (F.col("mu") > 1))
+    return valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.count(F.lit(1)) / F.sum(F.round(F.log("mu"), 9)), 4).alias(
+            "intrinsic_dim_hat"
+        ),
+    )

@@ -310,3 +310,55 @@ def sample_proportional_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+
+
+@query(
+    "sample_hash_rate_sweep",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('rate:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS unif
+        FROM documents
+    )
+    SELECT r.rate,
+           CAST(count(*) FILTER (WHERE unif < r.rate) AS BIGINT) AS n_kept,
+           round(count(*) FILTER (WHERE unif < r.rate) / CAST(count(*) AS DOUBLE), 6)
+               AS achieved_rate
+    FROM u CROSS JOIN (VALUES (0.01), (0.1), (0.5)) AS r(rate)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Deterministic Bernoulli sampler calibration: the md5-derived "
+        "uniform (first 8 hex digits / 2^32 — the same keyed-hash "
+        "uniform sample_weighted uses) swept against target keep rates, "
+        "reporting achieved vs requested — both the sampler primitive "
+        "and the evidence it is unbiased, hash-matched across engines. "
+        "Nested sampling property holds by construction: the 1% sample "
+        "is a subset of the 10% sample."
+    ),
+)
+def sample_hash_rate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rate:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    u = docs.select(unif.alias("unif"))
+    rates = spark.createDataFrame([(0.01,), (0.1,), (0.5,)], "rate: double")
+    rep = u.crossJoin(F.broadcast(rates))
+    kept = F.col("unif") < F.col("rate")
+    return (
+        rep.groupBy("rate")
+        .agg(
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+            F.round(F.count(F.when(kept, 1)) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "achieved_rate"
+            ),
+        )
+        .orderBy("rate")
+    )

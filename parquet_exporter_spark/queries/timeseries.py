@@ -1181,3 +1181,41 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(dd), 2).alias("max_drawdown"),
         F.round(F.max(dd / F.nullif(F.col("peak"), F.lit(0))), 6).alias("max_drawdown_frac"),
     )
+
+
+@query(
+    "timeseries_burstiness",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           round(var_samp(n) / avg(n), 6) AS fano_factor,
+           round((stddev_samp(n) - avg(n)) / (stddev_samp(n) + avg(n)), 6)
+               AS burstiness,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+    """,
+    doc=(
+        "Burstiness metrics: Fano factor (variance/mean of daily counts "
+        "— 1 under Poisson arrivals) and the Goh-Barabasi burstiness "
+        "coefficient (sigma-mu)/(sigma+mu) in [-1, 1] — the dispersion "
+        "diagnostics that say whether traffic is smooth, Poisson, or "
+        "bursty (and therefore how much headroom autoscaling needs). "
+        "One rollup + one bounded aggregate."
+    ),
+)
+def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano_factor"),
+        F.round(
+            (F.stddev_samp("n") - F.avg("n")) / (F.stddev_samp("n") + F.avg("n")), 6
+        ).alias("burstiness"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )

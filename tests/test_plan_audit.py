@@ -14,6 +14,15 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "emb_twonn_intrinsic_dim": (
+        {"bnlj"},
+        "bounded 60-vector sample broadcast for the O(sample^2) TwoNN "
+        "distances — sampling IS the method at corpus scale",
+    ),
+    "sample_hash_rate_sweep": (
+        {"bnlj"},
+        "3-row rate table broadcast over the hash-uniform column",
+    ),
     "dedup_lsh_s_curve": (
         {"cartesian"},
         "4x6 literal design-table cross product — no data scan at all",
