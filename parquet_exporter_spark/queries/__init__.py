@@ -109,7 +109,9 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # dq_categorical_profile, graph_component_sizes, timeseries_burstiness,
 # fn_aes_roundtrip, fn_struct_json_roundtrip, emb_dim_variance_topk,
 # emb_twonn_intrinsic_dim, analytics_dau_wau_stickiness,
-# sample_hash_rate_sweep.
+# sample_hash_rate_sweep, analytics_time_to_first_purchase,
+# analytics_revenue_bridge, analytics_spearman_daily, dq_enum_new_values,
+# multimodal_dedup_exact, text_bigram_entropy_rate.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -1306,3 +1306,168 @@ def analytics_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("long").alias("wau"),
         F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "analytics_time_to_first_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(ts) AS first_seen,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY 1
+    ), conv AS (
+        SELECT user_id,
+               (epoch_us(first_purchase) - epoch_us(first_seen)) / 3600e6 AS hours
+        FROM firsts WHERE first_purchase IS NOT NULL AND first_purchase > first_seen
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           round(avg(hours), 6) AS mean_hours
+    FROM conv
+    """,
+    doc=(
+        "Time to first purchase: hours from a user's first event to "
+        "their first purchase (strictly later), summarized p50/p90/mean "
+        "— the activation-latency metric. Both firsts come from ONE "
+        "user-keyed conditional-min aggregate; the exact percentile "
+        "runs over converted users only."
+    ),
+)
+def analytics_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_purchase").isNotNull() & (F.col("first_purchase") > F.col("first_seen"))
+    ).select(
+        ((F.unix_micros("first_purchase") - F.unix_micros("first_seen")) / 3600e6).alias(
+            "hours"
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
+        F.round(F.avg("hours"), 6).alias("mean_hours"),
+    )
+
+
+@query(
+    "analytics_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+        SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+               round(sum(value), 2) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), joined AS (
+        SELECT coalesce(CAST(p.month + INTERVAL 1 MONTH AS DATE), c.month) AS month,
+               coalesce(c.rev, 0) AS cur_rev, coalesce(p.rev, 0) AS prev_rev
+        FROM cm c FULL OUTER JOIN cm p
+          ON p.user_id = c.user_id AND CAST(p.month + INTERVAL 1 MONTH AS DATE) = c.month
+    )
+    SELECT month,
+           round(sum(CASE WHEN prev_rev = 0 THEN cur_rev ELSE 0 END), 2) AS new_rev,
+           round(sum(CASE WHEN cur_rev > prev_rev AND prev_rev > 0
+                          THEN cur_rev - prev_rev ELSE 0 END), 2) AS expansion,
+           round(sum(CASE WHEN cur_rev < prev_rev AND cur_rev > 0
+                          THEN cur_rev - prev_rev ELSE 0 END), 2) AS contraction,
+           round(sum(CASE WHEN cur_rev = 0 THEN -prev_rev ELSE 0 END), 2) AS churned_rev,
+           round(sum(cur_rev - prev_rev), 2) AS net_change
+    FROM joined GROUP BY 1
+    """,
+    doc=(
+        "Month-over-month revenue bridge: each month's net change "
+        "decomposed into new / expansion / contraction / churned "
+        "components (the SaaS waterfall; new + expansion + contraction "
+        "+ churned == net by construction). A per-(user, month) rollup "
+        "full-outer joined to itself shifted one month — equi keys via "
+        "add_months on the build side, so the bridge is one "
+        "co-partitioned join over the bounded customer-month table. "
+        "Negations live INSIDE the sums so empty components are +0 on "
+        "both engines (IEEE -0 formats differently)."
+    ),
+)
+def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cm = ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.round(F.sum("value"), 2).alias("rev"))
+    c = cm.alias("c")
+    p = cm.select(
+        F.col("user_id").alias("p_user"),
+        F.add_months("month", 1).alias("p_next"),
+        F.col("rev").alias("prev_rev0"),
+    ).alias("p")
+    joined = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p_user")) & (F.col("c.month") == F.col("p_next")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("p_next"), F.col("c.month")).alias("month"),
+        F.coalesce(F.col("c.rev"), F.lit(0)).alias("cur_rev"),
+        F.coalesce(F.col("prev_rev0"), F.lit(0)).alias("prev_rev"),
+    )
+    cur, prev = F.col("cur_rev"), F.col("prev_rev")
+    return joined.groupBy("month").agg(
+        F.round(F.sum(F.when(prev == 0, cur).otherwise(0)), 2).alias("new_rev"),
+        F.round(F.sum(F.when((cur > prev) & (prev > 0), cur - prev).otherwise(0)), 2).alias(
+            "expansion"
+        ),
+        F.round(F.sum(F.when((cur < prev) & (cur > 0), cur - prev).otherwise(0)), 2).alias(
+            "contraction"
+        ),
+        F.round(F.sum(F.when(cur == 0, -prev).otherwise(0)), 2).alias("churned_rev"),
+        F.round(F.sum(cur - prev), 2).alias("net_change"),
+    )
+
+
+@query(
+    "analytics_spearman_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) FILTER (WHERE event_type = 'click') AS clicks,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY clicks, day) AS r1,
+               row_number() OVER (ORDER BY purchases, day) AS r2
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(1 - 6.0 * sum((r1 - r2) * (r1 - r2))
+                     / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman_rho
+    FROM ranked
+    """,
+    doc=(
+        "Spearman rank correlation of daily clicks vs purchases: ranks "
+        "by row_number with a deterministic day tie-break, then the "
+        "classic 1 - 6*sum(d^2)/(n(n^2-1)) identity — the monotone-"
+        "association complement to Pearson corr (agg_stats) that "
+        "ignores outlier magnitudes. Integer rank arithmetic, so the "
+        "result is exact on both engines up to the final rounding."
+    ),
+)
+def analytics_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("clicks", "day")).alias("r1"),
+        F.row_number().over(Window.orderBy("purchases", "day")).alias("r2"),
+    )
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_days"),
+        F.round(1 - 6.0 * F.sum(d2) / (n * (n * n - 1.0)), 6).alias("spearman_rho"),
+    )

@@ -918,3 +918,53 @@ def dq_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile(orders, "o_orderpriority", "orders.o_orderpriority"))
         .unionAll(profile(orders, "o_orderstatus", "orders.o_orderstatus"))
     )
+
+
+@query(
+    "dq_enum_new_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS mid
+        FROM events
+    ),
+    old AS (SELECT DISTINCT event_type FROM events, bounds WHERE ts < mid),
+    new AS (
+        SELECT event_type, count(*) AS n
+        FROM events, bounds WHERE ts >= mid GROUP BY 1
+    )
+    SELECT n.event_type AS new_value, CAST(n.n AS BIGINT) AS n_rows
+    FROM new n LEFT JOIN old o ON o.event_type = n.event_type
+    WHERE o.event_type IS NULL
+    """,
+    doc=(
+        "Enum drift detection: categorical values appearing in the "
+        "recent half of the data that were never seen in the older half "
+        "— the upstream-schema-change alarm (a new event_type silently "
+        "breaks every CASE WHEN downstream). Two bounded distinct/"
+        "count aggregates + an anti-join on the category; empty output "
+        "IS the pass verdict."
+    ),
+)
+def dq_enum_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.timestamp_micros(
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
+        ).alias("mid")
+    )
+    withmid = ev.join(F.broadcast(bounds))
+    old = withmid.filter(F.col("ts") < F.col("mid")).select("event_type").distinct()
+    new = (
+        withmid.filter(F.col("ts") >= F.col("mid"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        new.join(
+            old.withColumnRenamed("event_type", "old_type"),
+            new.event_type == F.col("old_type"),
+            "left",
+        )
+        .filter(F.col("old_type").isNull())
+        .select(F.col("event_type").alias("new_value"), F.col("n").cast("long").alias("n_rows"))
+    )

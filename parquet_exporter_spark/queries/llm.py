@@ -879,3 +879,33 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_candidate"
         ),
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS payload_sha FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(count(DISTINCT payload_sha) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT payload_sha) AS BIGINT) AS n_duplicates
+    FROM h
+    """,
+    doc=(
+        "Exact binary-payload dedup report: sha-256 over the payload "
+        "bytes, distinct-count summary — the multimodal twin of "
+        "dedup_exact (images/audio dedupe on content hash before any "
+        "decode; only 32-byte digests ever shuffle). Payload = utf-8 "
+        "bytes of the text column here, same plumbing as "
+        "multimodal_binary_meta."
+    ),
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    h = docs.select(F.sha2(F.col("text").cast("binary"), 256).alias("payload_sha"))
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.countDistinct("payload_sha").cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("payload_sha")).cast("long").alias("n_duplicates"),
+    )

@@ -768,3 +768,75 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "text_bigram_entropy_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.pos, u.term
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS terms
+            FROM documents
+        ), LATERAL (SELECT generate_subscripts(terms, 1) AS pos, unnest(terms) AS term) u
+    ), uni AS (
+        SELECT term, count(*) AS n FROM tok GROUP BY 1
+    ), un AS (SELECT sum(n) AS t FROM uni),
+    bi AS (
+        SELECT a.term AS w1, b.term AS w2, count(*) AS n
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ), bn AS (SELECT sum(n) AS t FROM bi),
+    hu AS (
+        SELECT -sum((n / CAST(un.t AS DOUBLE)) * log2(n / CAST(un.t AS DOUBLE))) AS h
+        FROM uni, un GROUP BY un.t
+    ), hb AS (
+        SELECT -sum((n / CAST(bn.t AS DOUBLE)) * log2(n / CAST(bn.t AS DOUBLE))) AS h
+        FROM bi, bn GROUP BY bn.t
+    )
+    SELECT round(hu.h, 6) AS unigram_entropy,
+           round(hb.h, 6) AS bigram_entropy,
+           round(hb.h - hu.h, 6) AS entropy_rate
+    FROM hu, hb
+    """,
+    doc=(
+        "Bigram entropy rate: H(bigram) - H(unigram) = the conditional "
+        "entropy H(w2 | w1) — bits of surprise per word GIVEN the "
+        "previous word; the corpus-level predictability number a "
+        "language model's perplexity is benchmarked against (entropy "
+        "rate near the unigram entropy means no sequential structure "
+        "to learn). Both entropies are single aggregates over the "
+        "bounded count tables from the positional-join pipeline shared "
+        "with text_collocations_pmi."
+    ),
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    terms = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.posexplode(terms).alias("pos", "term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def entropy(df: DataFrame) -> DataFrame:
+        t = df.agg(F.sum("n").alias("t"))
+        p = F.col("n") / F.col("t").cast("double")
+        return df.join(F.broadcast(t)).agg((-F.sum(p * F.log2(p))).alias("h"))
+
+    hu = entropy(uni).withColumnRenamed("h", "hu")
+    hb = entropy(bi).withColumnRenamed("h", "hb")
+    return hu.crossJoin(hb).select(
+        F.round("hu", 6).alias("unigram_entropy"),
+        F.round("hb", 6).alias("bigram_entropy"),
+        F.round(F.col("hb") - F.col("hu"), 6).alias("entropy_rate"),
+    )

@@ -14,6 +14,16 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "text_bigram_entropy_rate": (
+        {"bnlj", "single_partition_x4"},
+        "two 1-row count-total broadcasts and the 1-row-per-entropy "
+        "gathers; every gathered row is a partially-aggregated scalar",
+    ),
+    "dq_enum_new_values": (
+        {"bnlj", "single_partition_x2"},
+        "1-row midpoint scalar broadcast; gathers carry the min/max row "
+        "and the bounded category sets",
+    ),
     "emb_twonn_intrinsic_dim": (
         {"bnlj"},
         "bounded 60-vector sample broadcast for the O(sample^2) TwoNN "
