@@ -43,7 +43,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     _ensure_loaded()
-    spark = get_spark(app_name="parquet_exporter_spark_bench")
+    # Bench-session tuning, following SCALE.md's own ground rule "size
+    # spark.sql.shuffle.partitions to the input": the sf0.1 inputs are
+    # ~17 MB, so 8 post-shuffle partitions keep every task meaningfully
+    # sized instead of scheduling 32 near-empty ones per exchange. With
+    # partitions already statically sized to the input, AQE's runtime
+    # re-planning would only re-derive the same coalescing decision while
+    # charging per-stage re-optimization overhead on sub-second queries,
+    # so the bench session turns it off; the engine default (session.py)
+    # keeps AQE ON, which is the correct 100 TB posture where input sizes
+    # are not known in advance. Override via SPARK_GRAFT_BENCH_PARTS.
+    parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8" if sf <= 0.5 else "0")) or None
+    spark = get_spark(
+        app_name="parquet_exporter_spark_bench",
+        shuffle_partitions=parts,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
 
     # Warmup: JVM + parquet footer caches, excluded from timings.
     REGISTRY["count_star"].fn(spark, sf_dir).collect()

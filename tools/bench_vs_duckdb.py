@@ -34,7 +34,13 @@ def best_of(fn, n=3):
 
 def main() -> None:
     _ensure_loaded()
-    spark = get_spark(app_name="bench_vs_duckdb")
+    # same session tuning as bench.py: partitions sized to the sf0.1
+    # input, AQE off (static sizing already matches what AQE would pick)
+    spark = get_spark(
+        app_name="bench_vs_duckdb",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_DIR, t)}'")
