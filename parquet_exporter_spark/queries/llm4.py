@@ -137,7 +137,7 @@ _KNUTH = 2_654_435_761
         SELECT doc_id, n_chars,
                ln(CAST(((doc_id * {_KNUTH}) % {_HASH_MOD}) + 1 AS DOUBLE)
                   / {_HASH_MOD + 1}) / n_chars AS log_key
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     -- + 0.0 normalizes IEEE negative zero (round of a tiny negative key
     -- prints '-0' in one engine and '0' in the other)
@@ -159,7 +159,10 @@ _KNUTH = 2_654_435_761
     ),
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # weight 0 means "never sample" in Efraimidis-Spirakis; excluding
+    # those rows (rather than dividing by zero) keeps the key finite on
+    # corpora containing empty documents.
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_HASH_MOD) + 1).cast("double")
         / F.lit(float(_HASH_MOD + 1))
