@@ -111,7 +111,9 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # emb_twonn_intrinsic_dim, analytics_dau_wau_stickiness,
 # sample_hash_rate_sweep, analytics_time_to_first_purchase,
 # analytics_revenue_bridge, analytics_spearman_daily, dq_enum_new_values,
-# multimodal_dedup_exact, text_bigram_entropy_rate.
+# multimodal_dedup_exact, text_bigram_entropy_rate,
+# dq_uniqueness_report, timeseries_realized_volatility,
+# text_word_length_histogram, emb_cosine_histogram.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

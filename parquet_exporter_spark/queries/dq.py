@@ -968,3 +968,52 @@ def dq_enum_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("old_type").isNull())
         .select(F.col("event_type").alias("new_value"), F.col("n").cast("long").alias("n_rows"))
     )
+
+
+@query(
+    "dq_uniqueness_report",
+    oracle="""
+    SELECT col, CAST(n AS BIGINT) AS n, CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(n_distinct / CAST(n AS DOUBLE), 6) AS uniqueness
+    FROM (
+        SELECT 'events.event_id' AS col, count(*) AS n,
+               count(DISTINCT event_id) AS n_distinct FROM events
+        UNION ALL
+        SELECT 'events.user_id', count(*), count(DISTINCT user_id) FROM events
+        UNION ALL
+        SELECT 'events.event_type', count(*), count(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'documents.doc_id', count(*), count(DISTINCT doc_id) FROM documents
+    )
+    """,
+    doc=(
+        "Uniqueness profile: distinct/total ratio per column in long "
+        "form — 1.0 identifies key candidates, low values identify "
+        "categoricals; the first screen when onboarding an unknown "
+        "table. One exact two-phase distinct aggregate per column, "
+        "each collapsing to a single row."
+    ),
+)
+def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    docs = read_table(spark, sf_dir, "documents")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+        )
+
+    out = (
+        profile(ev, "event_id", "events.event_id")
+        .unionAll(profile(ev, "user_id", "events.user_id"))
+        .unionAll(profile(ev, "event_type", "events.event_type"))
+        .unionAll(profile(docs, "doc_id", "documents.doc_id"))
+    )
+    return out.select(
+        "col",
+        "n",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n").cast("double"), 6).alias("uniqueness"),
+    )

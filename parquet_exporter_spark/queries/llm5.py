@@ -840,3 +840,44 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hb", 6).alias("bigram_entropy"),
         F.round(F.col("hb") - F.col("hu"), 6).alias("entropy_rate"),
     )
+
+
+@query(
+    "text_word_length_histogram",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), lens AS (
+        SELECT least(length(term), 15) AS wlen FROM tok WHERE term <> ''
+    ), n AS (SELECT count(*) AS total FROM lens)
+    SELECT CAST(wlen AS INTEGER) AS word_length, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS share
+    FROM lens, n GROUP BY wlen, total ORDER BY wlen
+    """,
+    doc=(
+        "Token-length histogram (capped at 15+): the vocabulary-shape "
+        "profile whose natural-language signature is a 3-5 character "
+        "mode — a flat or long-tailed shape flags code, DNA-like "
+        "strings, or concatenation damage. One explode + bounded "
+        "histogram aggregate + 1-row total broadcast."
+    ),
+)
+def text_word_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    lens = tok.select(F.least(F.length("term"), F.lit(15)).alias("wlen"))
+    n = lens.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        lens.groupBy("wlen")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("wlen").cast("int").alias("word_length"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        )
+        .orderBy("word_length")
+    )

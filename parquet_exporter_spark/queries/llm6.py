@@ -1184,3 +1184,52 @@ def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intrinsic_dim_hat"
         ),
     )
+
+
+@query(
+    "emb_cosine_histogram",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
+    pairs AS (
+        SELECT {S.sql_cosine("a.embedding", "b.embedding")} AS cs
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ), binned AS (
+        SELECT least(greatest(CAST(floor((cs + 1) * 5) AS INTEGER), 0), 9) AS bin
+        FROM pairs
+    ), n AS (SELECT count(*) AS total FROM binned)
+    SELECT bin,
+           round(-1 + bin * 0.2, 1) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS share
+    FROM binned, n GROUP BY bin, total ORDER BY bin
+    """,
+    doc=(
+        "Pairwise-cosine histogram over a bounded sample: the "
+        "similarity-score distribution that calibrates every threshold "
+        "in the dedup/similarity family (dedup_embedding_cosine's 0.5, "
+        "the LSH s-curve's target j) against what random pairs in THIS "
+        "corpus actually score. Ten fixed-width bins over [-1, 1]; "
+        "bin edges computed in integer-safe arithmetic."
+    ),
+)
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    cs = S.cosine(F.col("ea"), F.col("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(cs.alias("cs"))
+    bin_ = F.least(F.greatest(F.floor((F.col("cs") + 1) * 5).cast("int"), F.lit(0)), F.lit(9))
+    binned = pairs.select(bin_.alias("bin"))
+    n = binned.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n))
+        .select(
+            "bin",
+            F.round(-1 + F.col("bin") * 0.2, 1).alias("bin_lo"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        )
+        .orderBy("bin")
+    )

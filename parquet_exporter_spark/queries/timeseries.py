@@ -1219,3 +1219,44 @@ def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("burstiness"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+
+
+@query(
+    "timeseries_realized_volatility",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), rets AS (
+        SELECT event_type, day,
+               (v - lag(v) OVER w) / nullif(lag(v) OVER w, 0) AS ret
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           round(stddev_samp(ret) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS vol_7d
+    FROM rets WHERE ret IS NOT NULL
+    """,
+    doc=(
+        "Realized volatility: 7-day rolling stddev of daily returns "
+        "(pct change, zero-baseline guarded) per series — the "
+        "instability gauge that pairs with timeseries_rate_of_change's "
+        "first derivative. Lag window and rolling-std window share the "
+        "event_type partitioning over the bounded daily rollup."
+    ),
+)
+def timeseries_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("v").over(w)
+    rets = daily.select(
+        "event_type", "day", ((F.col("v") - prev) / F.nullif(prev, F.lit(0))).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    wv = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return rets.select(
+        "event_type", "day", F.round(F.stddev_samp("ret").over(wv), 6).alias("vol_7d")
+    )

@@ -14,6 +14,20 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "text_word_length_histogram": (
+        {"bnlj"},
+        "1-row token-total scalar broadcast against the 15-row histogram",
+    ),
+    "emb_cosine_histogram": (
+        {"bnlj"},
+        "bounded 80-vector sample broadcast for pairwise scoring, plus "
+        "the 1-row total against the 10-bin histogram",
+    ),
+    "dq_uniqueness_report": (
+        {"single_partition_x4"},
+        "four 1-row per-column distinct-profile aggregates unioned, same "
+        "bounded shape as dq_categorical_profile",
+    ),
     "text_bigram_entropy_rate": (
         {"bnlj", "single_partition_x4"},
         "two 1-row count-total broadcasts and the 1-row-per-entropy "
