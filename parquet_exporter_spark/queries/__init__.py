@@ -113,7 +113,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # analytics_revenue_bridge, analytics_spearman_daily, dq_enum_new_values,
 # multimodal_dedup_exact, text_bigram_entropy_rate,
 # dq_uniqueness_report, timeseries_realized_volatility,
-# text_word_length_histogram, emb_cosine_histogram.
+# text_word_length_histogram, emb_cosine_histogram, dedup_prefix_exact,
+# agg_trimmed_mean, window_lag_defaults.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

@@ -722,3 +722,43 @@ def agg_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("long").alias("n_events"),
         F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice, 0.1) AS p10,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders
+    )
+    SELECT round(avg(o_totalprice), 6) AS raw_mean,
+           round(avg(o_totalprice) FILTER (WHERE o_totalprice >= q.p10
+                                             AND o_totalprice <= q.p90), 6)
+               AS trimmed_mean_10,
+           CAST(count(*) FILTER (WHERE o_totalprice < q.p10 OR o_totalprice > q.p90)
+                AS BIGINT) AS n_trimmed
+    FROM orders, q
+    """,
+    doc=(
+        "10% trimmed mean: the exact p10/p90 fence profile broadcast "
+        "back onto the scan, averaging only the central 80% — the "
+        "robust location estimate between the mean (outlier-sensitive) "
+        "and the median (discards magnitude); reported next to both "
+        "plus the trimmed count. Two-pass profile-broadcast shape, "
+        "approx_percentile swap at scale as with dq_outlier_iqr."
+    ),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.1)).alias("p10"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+    j = orders.join(F.broadcast(q))
+    inside = (F.col("o_totalprice") >= F.col("p10")) & (F.col("o_totalprice") <= F.col("p90"))
+    return j.agg(
+        F.round(F.avg("o_totalprice"), 6).alias("raw_mean"),
+        F.round(F.avg(F.when(inside, F.col("o_totalprice"))), 6).alias("trimmed_mean_10"),
+        F.count(F.when(~inside, 1)).cast("long").alias("n_trimmed"),
+    )

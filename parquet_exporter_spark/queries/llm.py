@@ -909,3 +909,36 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("payload_sha").cast("long").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct("payload_sha")).cast("long").alias("n_duplicates"),
     )
+
+
+@query(
+    "dedup_prefix_exact",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, md5(substring(text, 1, 100)) AS prefix_hash
+        FROM documents WHERE length(text) >= 20
+    )
+    SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM p GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc=(
+        "Prefix-duplicate detection: documents sharing their first 100 "
+        "characters — catches the truncation/continuation duplicates "
+        "that whole-document hashing (dedup_exact) misses and that are "
+        "endemic in scraped corpora (same article, different cutoffs). "
+        "Only 16-byte prefix hashes shuffle; the min-doc_id keeper "
+        "matches dedup_near_keep_canonical's convention."
+    ),
+)
+def dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") >= 20)
+    p = docs.select("doc_id", F.md5(F.substring("text", 1, 100)).alias("prefix_hash"))
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -435,3 +435,32 @@ def window_index_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(100.0 * F.col("value") / F.col("first_value_"), 6).alias("indexed_value"),
     )
+
+
+@query(
+    "window_lag_defaults",
+    oracle="""
+    SELECT event_id, user_id,
+           round(lag(value, 1, 0.0) OVER w, 2) AS prev_value_or_zero,
+           round(lead(value, 1, -1.0) OVER w, 2) AS next_value_or_neg1,
+           round(lag(value, 3, 0.0) OVER w, 2) AS value_3_back_or_zero
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "lag/lead with explicit defaults (3-arg form): partition "
+        "boundaries yield the supplied default instead of NULL — the "
+        "form that lets downstream arithmetic skip null guards. All "
+        "three offsets share one user-keyed window sort."
+    ),
+)
+def window_lag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value_or_zero"),
+        F.round(F.lead("value", 1, -1.0).over(w), 2).alias("next_value_or_neg1"),
+        F.round(F.lag("value", 3, 0.0).over(w), 2).alias("value_3_back_or_zero"),
+    )

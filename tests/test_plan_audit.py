@@ -14,6 +14,12 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "agg_trimmed_mean": (
+        {"bnlj", "single_partition_x2"},
+        "1-row p10/p90 fence profile broadcast onto the scan; gathers "
+        "carry one partially-aggregated percentile row and the 1-row "
+        "verdict",
+    ),
     "text_word_length_histogram": (
         {"bnlj"},
         "1-row token-total scalar broadcast against the 15-row histogram",
