@@ -114,7 +114,9 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # multimodal_dedup_exact, text_bigram_entropy_rate,
 # dq_uniqueness_report, timeseries_realized_volatility,
 # text_word_length_histogram, emb_cosine_histogram, dedup_prefix_exact,
-# agg_trimmed_mean, window_lag_defaults.
+# agg_trimmed_mean, window_lag_defaults, analytics_lifecycle_stages,
+# analytics_touches_before_purchase, dedup_blocking_stats,
+# timeseries_dow_adjusted, timeseries_sma_crossover.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

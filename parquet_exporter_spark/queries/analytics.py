@@ -1471,3 +1471,104 @@ def analytics_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_days"),
         F.round(1 - 6.0 * F.sum(d2) / (n * (n * n - 1.0)), 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "analytics_lifecycle_stages",
+    oracle="""
+    WITH last_seen AS (
+        SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1
+    ), corpus AS (SELECT max(ts) AS max_ts FROM events),
+    staged AS (
+        SELECT CASE
+                 WHEN epoch_us(max_ts) - epoch_us(last_ts)
+                      <= CAST(7 * 86400 AS BIGINT) * 1000000 THEN 'active'
+                 WHEN epoch_us(max_ts) - epoch_us(last_ts)
+                      <= CAST(21 * 86400 AS BIGINT) * 1000000 THEN 'at_risk'
+                 ELSE 'churned'
+               END AS stage
+        FROM last_seen, corpus
+    ), n AS (SELECT count(*) AS total FROM staged)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*) / CAST(total AS DOUBLE), 6) AS share
+    FROM staged, n GROUP BY stage, total
+    """,
+    doc=(
+        "User lifecycle stages: recency bands against the corpus "
+        "watermark classify every user active / at-risk / churned — the "
+        "segmentation the retention team acts on (RFM's recency axis "
+        "collapsed to named stages). One user-keyed max aggregate + a "
+        "1-row watermark broadcast + a 3-row rollup."
+    ),
+)
+def analytics_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    corpus = ev.agg(F.max("ts").alias("max_ts"))
+    gap = F.unix_micros("max_ts") - F.unix_micros("last_ts")
+    staged = last_seen.join(F.broadcast(corpus)).select(
+        F.when(gap <= 7 * 86400 * 1000000, "active")
+        .when(gap <= 21 * 86400 * 1000000, "at_risk")
+        .otherwise("churned")
+        .alias("stage")
+    )
+    n = staged.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .join(F.broadcast(n))
+        .select(
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "analytics_touches_before_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               count(*) FILTER (WHERE event_type IN ('click', 'view'))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touches
+        FROM events
+    ), p AS (
+        SELECT least(coalesce(n_touches, 0), 10) AS touches_bucket
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT CAST(touches_bucket AS INTEGER) AS touches_bucket,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Dose-response of marketing touches: for every purchase, the "
+        "running count of prior clicks/views (capped at 10+), "
+        "histogrammed — the curve that says how many touches typically "
+        "precede conversion (the aggregate complement to "
+        "analytics_last_touch_attribution's per-purchase credit). One "
+        "user-keyed running conditional count."
+    ),
+)
+def analytics_touches_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_touches = F.count(F.when(F.col("event_type").isin("click", "view"), 1)).over(w)
+    seq = ev.select("event_type", n_touches.alias("n_touches"))
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.least(F.coalesce(F.col("n_touches"), F.lit(0)), F.lit(10))
+        .cast("int")
+        .alias("touches_bucket")
+    )
+    return (
+        p.groupBy("touches_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("touches_bucket")
+    )

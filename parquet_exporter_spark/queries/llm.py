@@ -942,3 +942,44 @@ def dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "dedup_blocking_stats",
+    oracle="""
+    WITH blocks AS (
+        SELECT lang, source,
+               CAST(floor(ln(greatest(n_chars, 1)) / ln(2)) AS INTEGER) AS len_band,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_band, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_pairs,
+           n_docs > 1000 AS oversized
+    FROM blocks
+    """,
+    doc=(
+        "Blocking-efficiency audit: occupancy and implied pair count of "
+        "every (lang, source, log2-length-band) dedup block, with an "
+        "oversized flag — the governance query that decides whether the "
+        "exact-verify stage's quadratic blocks are safe or need LSH "
+        "pre-banding (the scale risk the round-1 verdict flagged on "
+        "dedup_ngram_jaccard, now measurable). One partial-agg scan."
+    ),
+)
+def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    band = F.floor(
+        F.log(F.greatest(F.col("n_chars"), F.lit(1)).cast("double")) / F.log(F.lit(2.0))
+    ).cast("int")
+    blocks = docs.groupBy("lang", "source", band.alias("len_band")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return blocks.select(
+        "lang",
+        "source",
+        "len_band",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long").alias("n_pairs"),
+        (F.col("n_docs") > 1000).alias("oversized"),
+    )

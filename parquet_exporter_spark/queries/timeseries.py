@@ -1260,3 +1260,121 @@ def timeseries_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFram
     return rets.select(
         "event_type", "day", F.round(F.stddev_samp("ret").over(wv), 6).alias("vol_7d")
     )
+
+
+@query(
+    "timeseries_dow_adjusted",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS v
+        FROM events GROUP BY 1
+    ), factors AS (
+        SELECT day, v,
+               avg(v) OVER (PARTITION BY dayofweek(day)) AS dow_mean,
+               avg(v) OVER () AS overall_mean
+        FROM daily
+    )
+    SELECT day, round(v, 2) AS raw,
+           round(v / (dow_mean / overall_mean), 2) AS dow_adjusted,
+           round(dow_mean / overall_mean, 6) AS dow_factor
+    FROM factors
+    """,
+    doc=(
+        "Day-of-week adjustment (multiplicative): each day's value "
+        "divided by its weekday's mean-relative factor — the "
+        "'seasonally adjusted' series that makes a Tuesday comparable "
+        "to a Saturday (the multiplicative twin of the additive "
+        "decomposition). Factor windows run over the bounded daily "
+        "rollup; dow partition identity is engine-offset-proof."
+    ),
+)
+def timeseries_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum("value").alias("v")
+    )
+    factors = daily.select(
+        "day",
+        "v",
+        F.avg("v").over(Window.partitionBy(F.dayofweek("day"))).alias("dow_mean"),
+        F.avg("v").over(Window.partitionBy()).alias("overall_mean"),
+    )
+    factor = F.col("dow_mean") / F.col("overall_mean")
+    return factors.select(
+        "day",
+        F.round("v", 2).alias("raw"),
+        F.round(F.col("v") / factor, 2).alias("dow_adjusted"),
+        F.round(factor, 6).alias("dow_factor"),
+    )
+
+
+@query(
+    "timeseries_sma_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ), sma AS (
+        SELECT event_type, day,
+               avg(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sma3,
+               avg(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sma7,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ), sig AS (
+        SELECT event_type, day, sma3, sma7,
+               lag(sma3 > sma7) OVER (PARTITION BY event_type ORDER BY day) AS was_above,
+               sma3 > sma7 AS is_above
+        FROM sma WHERE rn >= 7
+    )
+    SELECT event_type, day,
+           CASE WHEN is_above AND NOT was_above THEN 'golden_cross'
+                ELSE 'death_cross' END AS signal,
+           round(sma3, 6) AS sma3, round(sma7, 6) AS sma7
+    FROM sig
+    WHERE was_above IS NOT NULL AND is_above <> was_above
+    """,
+    doc=(
+        "Moving-average crossover signals: days where the fast SMA(3) "
+        "crosses the slow SMA(7) (golden/death cross) after both "
+        "windows are fully populated — trend-change detection by "
+        "crossing, complementing peak detection's local extrema. Both "
+        "SMAs, the rank guard, and the lag comparison share one "
+        "event_type exchange over the bounded rollup."
+    ),
+)
+def timeseries_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    sma = daily.select(
+        "event_type",
+        "day",
+        F.avg("v").over(w.rowsBetween(-2, 0)).alias("sma3"),
+        F.avg("v").over(w.rowsBetween(-6, 0)).alias("sma7"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    is_above = F.col("sma3") > F.col("sma7")
+    sig = sma.select(
+        "event_type",
+        "day",
+        "sma3",
+        "sma7",
+        F.lag(is_above).over(Window.partitionBy("event_type").orderBy("day")).alias("was_above"),
+        is_above.alias("is_above"),
+    )
+    return sig.filter(
+        F.col("was_above").isNotNull() & (F.col("is_above") != F.col("was_above"))
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("is_above") & ~F.col("was_above"), "golden_cross")
+        .otherwise("death_cross")
+        .alias("signal"),
+        F.round("sma3", 6).alias("sma3"),
+        F.round("sma7", 6).alias("sma7"),
+    )

@@ -14,6 +14,12 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "analytics_lifecycle_stages": (
+        {"bnlj", "single_partition_x3"},
+        "1-row corpus-watermark and 1-row total-user scalars broadcast; "
+        "gathers carry partially-aggregated max rows and the 3-row "
+        "stage rollup",
+    ),
     "agg_trimmed_mean": (
         {"bnlj", "single_partition_x2"},
         "1-row p10/p90 fence profile broadcast onto the scan; gathers "
