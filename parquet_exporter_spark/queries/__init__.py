@@ -116,7 +116,8 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # text_word_length_histogram, emb_cosine_histogram, dedup_prefix_exact,
 # agg_trimmed_mean, window_lag_defaults, analytics_lifecycle_stages,
 # analytics_touches_before_purchase, dedup_blocking_stats,
-# timeseries_dow_adjusted, timeseries_sma_crossover.
+# timeseries_dow_adjusted, timeseries_sma_crossover,
+# analytics_day_n_retention, analytics_user_activity_powerlaw.
 DRIVER_VERIFIED = frozenset(
     {
         # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---

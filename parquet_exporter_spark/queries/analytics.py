@@ -1572,3 +1572,110 @@ def analytics_touches_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
         .orderBy("touches_bucket")
     )
+
+
+@query(
+    "analytics_day_n_retention",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), first_seen AS (
+        SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+    ), cohorted AS (
+        SELECT f.user_id, f.first_day,
+               max(CASE WHEN u.day = f.first_day + 1 THEN 1 ELSE 0 END) AS d1,
+               max(CASE WHEN u.day = f.first_day + 7 THEN 1 ELSE 0 END) AS d7,
+               max(CASE WHEN u.day = f.first_day + 14 THEN 1 ELSE 0 END) AS d14
+        FROM first_seen f JOIN ud u ON u.user_id = f.user_id
+        GROUP BY 1, 2
+    ), lastd AS (SELECT max(day) AS last_day FROM ud)
+    SELECT CAST(count(*) FILTER (WHERE first_day + 1 <= last_day) AS BIGINT) AS n_d1_eligible,
+           round(sum(d1) FILTER (WHERE first_day + 1 <= last_day)
+                 / CAST(nullif(count(*) FILTER (WHERE first_day + 1 <= last_day), 0)
+                        AS DOUBLE), 6) AS d1_retention,
+           round(sum(d7) FILTER (WHERE first_day + 7 <= last_day)
+                 / CAST(nullif(count(*) FILTER (WHERE first_day + 7 <= last_day), 0)
+                        AS DOUBLE), 6) AS d7_retention,
+           round(sum(d14) FILTER (WHERE first_day + 14 <= last_day)
+                 / CAST(nullif(count(*) FILTER (WHERE first_day + 14 <= last_day), 0)
+                        AS DOUBLE), 6) AS d14_retention
+    FROM cohorted, lastd
+    """,
+    doc=(
+        "Day-N retention (N = 1, 7, 14): fraction of users active ON "
+        "exactly the Nth day after their first day, denominators "
+        "restricted to users whose day-N window has elapsed (the "
+        "right-censoring correction naive retention numbers miss). "
+        "The user-keyed join + conditional-max aggregate share one "
+        "partitioning; day-of-first granularity matches "
+        "cohort_retention's monthly shape."
+    ),
+)
+def analytics_day_n_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = first_seen.join(ud, "user_id")
+    cohorted = j.groupBy("user_id", "first_day").agg(
+        F.max(F.when(F.col("day") == F.date_add("first_day", 1), 1).otherwise(0)).alias("d1"),
+        F.max(F.when(F.col("day") == F.date_add("first_day", 7), 1).otherwise(0)).alias("d7"),
+        F.max(F.when(F.col("day") == F.date_add("first_day", 14), 1).otherwise(0)).alias("d14"),
+    )
+    lastd = ud.agg(F.max("day").alias("last_day"))
+    c = cohorted.join(F.broadcast(lastd))
+
+    def ret(n: int, col: str):
+        eligible = F.date_add("first_day", n) <= F.col("last_day")
+        return F.round(
+            F.sum(F.when(eligible, F.col(col)))
+            / F.nullif(F.count(F.when(eligible, 1)), F.lit(0)).cast("double"),
+            6,
+        )
+
+    return c.agg(
+        F.count(F.when(F.date_add("first_day", 1) <= F.col("last_day"), 1))
+        .cast("long")
+        .alias("n_d1_eligible"),
+        ret(1, "d1").alias("d1_retention"),
+        ret(7, "d7").alias("d7_retention"),
+        ret(14, "d14").alias("d14_retention"),
+    )
+
+
+@query(
+    "analytics_user_activity_powerlaw",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(regr_slope(log(n), log(rnk)), 6) AS powerlaw_slope,
+           round(regr_r2(log(n), log(rnk)), 6) AS r2
+    FROM ranked WHERE rnk <= 1000
+    """,
+    doc=(
+        "User-activity power law: log-log slope of events-per-user "
+        "against rank (the behavioral twin of text_zipf_slope) — a "
+        "heavy-tailed slope predicts hot-key skew in every user-keyed "
+        "shuffle, so this number directly informs when the salted "
+        "variants (skew_salted_agg/join) are needed. One rank window "
+        "over the bounded per-user aggregate + a regr aggregate."
+    ),
+)
+def analytics_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "user_id")).alias("rnk")
+    ).filter(F.col("rnk") <= 1000)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 6).alias("powerlaw_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rnk")), 6).alias("r2"),
+    )

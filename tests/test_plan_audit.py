@@ -14,6 +14,12 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "analytics_day_n_retention": (
+        {"bnlj", "single_partition_x2"},
+        "1-row last-day watermark broadcast for right-censoring; "
+        "gathers carry one partially-aggregated max-day row and the "
+        "1-row retention verdict",
+    ),
     "analytics_lifecycle_stages": (
         {"bnlj", "single_partition_x3"},
         "1-row corpus-watermark and 1-row total-user scalars broadcast; "
