@@ -54,10 +54,15 @@ def main() -> None:
     # keeps AQE ON, which is the correct 100 TB posture where input sizes
     # are not known in advance. Override via SPARK_GRAFT_BENCH_PARTS.
     parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8" if sf <= 0.5 else "0")) or None
+    # AQE off is only justified when partitions ARE statically sized to the
+    # input (parts set); at larger SFs where parts falls back to the engine
+    # default, keep AQE on so runtime coalescing/skew handling still applies
+    # — otherwise big-SF bench runs would lose both static sizing and AQE.
+    extra_conf = {"spark.sql.adaptive.enabled": "false"} if parts else {}
     spark = get_spark(
         app_name="parquet_exporter_spark_bench",
         shuffle_partitions=parts,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf=extra_conf,
     )
 
     # Warmup: JVM + parquet footer caches, excluded from timings.

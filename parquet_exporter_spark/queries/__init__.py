@@ -43,197 +43,108 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 )
 
 # Queries with a green (or no_oracle-by-design) row in a past round's
-# CORRECTNESS_r{N}.json. Kept at the back of the registry so the driver's
-# per-round check budget lands on still-unverified queries.
+# CORRECTNESS_r{N}.json are rotated to the BACK of the registry so the
+# driver's per-round check budget (~50 queries from the front) always lands
+# on still-unverified names. Rather than hand-maintaining the list, the
+# verified set is derived from the committed CORRECTNESS_r*.json files at
+# the repo root: a query counts as driver-verified if ANY round recorded
+# either a full green row (rows/schema/hash all matched) or a
+# rows-only-by-design row (err == "no_oracle", which the driver emits for
+# queries that intentionally register no oracle SQL). A row with a real
+# error or any mismatch does NOT count, so regressions get re-checked.
 #
-# NEXT ROUND: after CORRECTNESS_r03.json lands, fold its green names
-# (expected: the PRIORITY block above) into this set, then promote the
-# next ~50 never-checked names into PRIORITY — suggested order: remaining
-# windows/subqueries/setops/relational, reference_parity, the rest of the
-# llm/llm2/llm3/llm4 families, timeseries, sampling, streaming, udfs,
-# sqlsurface, dq, graph, and the round-3 additions (join_asof_nearest,
-# join_interval_overlap, join_asof_tolerance, ids_global_rownum,
-# emb_standardize_dims, dedup_near_keep_canonical, geo_nearest_climbs,
-# timeseries_ewma, agg_bitmap_exact_distinct, setop_intersect_all,
-# text_boilerplate_strip_rebuild), plus the late-round-3 batch:
-# text_bpe_token_estimate, text_chunk_sliding, dq_drift_psi, outlier_mad,
-# page_limit_offset, page_keyset, window_count_distinct, fn_mask_redact,
-# profile_numeric_correlations, setop_except_distinct, agg_geometric_mean,
-# stream_session_window_dynamic, sample_mixture_temperature,
-# timeseries_latency_percentiles, dedup_prefix_filter_jaccard,
-# agg_filter_clause, agg_rollup_grouping_id, fn_explode_outer, and the
-# round-3 llm6/cdc/window batch: dsir_importance_weights,
-# dedup_semdedup_clustered, text_perplexity_buckets,
-# similarity_range_search, cdc_merge_upsert, window_rolling_corr,
-# graph_bfs_hops, sql_unpivot_clause, emb_matryoshka_truncate,
-# sql_execute_immediate, cdc_incremental_agg, timeseries_hierarchical_rollup,
-# ab_test_proportions, split_kfold_assign, agg_skew_kurtosis,
-# sql_select_star_except, similarity_binary_quantized, dq_rule_engine,
-# dedup_containment_pairs, geo_radius_join, stream_topk_per_window,
-# scd2_temporal_lookup, sample_semantic_order, event_transition_matrix,
-# agg_weighted_median, dq_freshness_lag, timeseries_cusum_shift,
-# event_longest_streak, dq_sequence_gaps, sample_interleave_sources,
-# analytics_rfm_segmentation, analytics_pareto_share,
-# analytics_market_basket, analytics_event_paths, dq_benford_first_digit,
-# timeseries_autocorr, timeseries_seasonal_baseline,
-# join_bucketed_no_shuffle, sql_values_inline, text_vocab_coverage,
-# fn_regexp_suite, fn_bit_ops, fn_codec_roundtrip, fn_date_arithmetic,
-# sample_balanced_classes, cdc_snapshot_diff, window_time_range_frame,
-# window_ignore_nulls, emb_centroid_drift, similarity_hard_negatives,
-# emb_knn_outlier_score, agg_user_entropy, text_js_divergence_sources,
-# text_code_detection, text_sentence_stats, timeseries_rate_of_change,
-# graph_degree_distribution, analytics_repeat_purchase_interval,
-# sample_proportional_quota, analytics_gini_revenue, sql_qualify_emulation,
-# dq_outlier_iqr, analytics_new_vs_returning, emb_label_separation,
-# stream_lateness_profile, dedup_minhash_estimate_error, fn_uuid5_like,
-# timeseries_weekday_weekend_lift, text_collocations_pmi,
-# dq_null_fractions, analytics_cohort_ltv, text_nonascii_ratio,
-# text_negative_sampling_dist, dq_duplicate_full_rows,
-# timeseries_decompose_additive, timeseries_peak_detection,
-# sql_lateral_column_alias, analytics_monthly_churn,
-# analytics_order_value_deciles, analytics_cumulative_users,
-# dq_row_count_anomaly, dq_fk_coverage, join_time_bucketed_range,
-# emb_quantization_error, text_readability_score, text_hapax_ratio,
-# text_zipf_slope, text_langid_confusion,
-# analytics_last_touch_attribution, analytics_feature_adoption,
-# analytics_ship_lag_monthly, analytics_user_value_trend,
-# timeseries_seasonality_strength, timeseries_cross_correlation,
-# dq_cross_field_consistency, dq_total_reconciliation,
-# split_time_holdout_leakage, udf_pandas_grouped_agg,
-# sql_lateral_view_explode, emb_nearest_centroid_accuracy,
-# fn_char_suite, window_index_to_first, timeseries_acf,
-# timeseries_max_drawdown, analytics_order_backlog,
-# analytics_session_conversion, analytics_top_movers,
-# analytics_activity_heatmap, stream_watermark_what_if,
-# fn_base_conversion, emb_norm_profile, dedup_lsh_s_curve,
-# dq_categorical_profile, graph_component_sizes, timeseries_burstiness,
-# fn_aes_roundtrip, fn_struct_json_roundtrip, emb_dim_variance_topk,
-# emb_twonn_intrinsic_dim, analytics_dau_wau_stickiness,
-# sample_hash_rate_sweep, analytics_time_to_first_purchase,
-# analytics_revenue_bridge, analytics_spearman_daily, dq_enum_new_values,
-# multimodal_dedup_exact, text_bigram_entropy_rate,
-# dq_uniqueness_report, timeseries_realized_volatility,
-# text_word_length_histogram, emb_cosine_histogram, dedup_prefix_exact,
-# agg_trimmed_mean, window_lag_defaults, analytics_lifecycle_stages,
-# analytics_touches_before_purchase, dedup_blocking_stats,
-# timeseries_dow_adjusted, timeseries_sma_crossover,
-# analytics_day_n_retention, analytics_user_activity_powerlaw.
-DRIVER_VERIFIED = frozenset(
-    {
-        # --- CORRECTNESS_r01.json == CORRECTNESS_r02.json (same 50) ---
-        "agg_approx_distinct",
-        "agg_approx_percentile",
-        "agg_bitwise_boolean",
-        "agg_collect",
-        "agg_conditional_pivot",
-        "agg_count_min_sketch",
-        "agg_cube",
-        "agg_distinct",
-        "agg_grouping_sets",
-        "agg_hll_rollup",
-        "agg_median_percentile",
-        "agg_min_by_max_by",
-        "agg_ntile_histogram",
-        "agg_pricing_summary",
-        "agg_regression",
-        "agg_rollup",
-        "agg_stats",
-        "cohort_retention",
-        "dedup_connected_components",
-        "dedup_minhash_mllib",
-        "fn_array",
-        "fn_datetime",
-        "fn_explode_wordcount",
-        "fn_higher_order",
-        "fn_json",
-        "fn_map",
-        "fn_math",
-        "fn_na_handling",
-        "fn_posexplode",
-        "fn_string",
-        "fn_string_distance",
-        "fn_url_parse",
-        "fn_variant_json",
-        "funnel_three_step",
-        "join_full_outer",
-        "join_inner_equi",
-        "join_left_outer",
-        "join_right_outer",
-        "join_semi",
-        "layout_zorder_key",
-        "multimodal_binaryfile_scan",
-        "sample_fraction",
-        "scan_csv",
-        "scan_json",
-        "scan_text",
-        "schema_introspection",
-        "similarity_ann_mllib",
-        "skew_salted_agg",
-        "skew_salted_join",
-        "unpivot_stack",
-    }
-)
+# PER ROUND: update PRIORITY below with the next ~50 never-verified names
+# (one per operator family first, so component coverage grows fastest);
+# DRIVER_VERIFIED folds in the new round's results automatically once the
+# driver commits CORRECTNESS_r{N}.json.
 
 
-# Hand-picked front of the registry for the current round's driver check
-# budget (~50 queries). One representative per still-unverified component,
-# plus the families the round-1 verdict called out by name: the flagship,
-# the 22 TPC-H shapes, and the LLM-pipeline north stars (dedup_exact*,
-# text_*, similarity_topk_bruteforce, cleaning_pipeline_kept,
-# sample_tokens_budget). Remaining unverified queries follow in module
-# order; queries already green in a past round go to the very back.
+def _load_driver_verified() -> frozenset:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            full_green = err is None and all(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            rows_only_ok = err == "no_oracle"
+            if full_green or rows_only_ok:
+                green.add(name)
+    return frozenset(green)
+
+
+DRIVER_VERIFIED = _load_driver_verified()
+
+
+# Hand-picked front of the registry for the ROUND-4 driver check budget
+# (~50 queries), all oracle-backed and never driver-checked in r1-r3.
+# Ordered one-per-family first (graph, dedup/LSH, DSIR, similarity, as-of
+# and interval joins, windows, CDC/SCD2, recursive CTE, set ops,
+# percentiles, time series, analytics, DQ, embeddings, sampling,
+# streaming batch twins), then reference-parity (climbs_*/geo_*) and
+# high-value SQL-surface/UDF names.
 PRIORITY = (
-    "flagship_revenue_by_region",
-    "join_anti",
-    "join_star_broadcast",
-    "join_cross",
-    "join_theta",
-    "join_range",
-    "join_asof",
-    "join_hint_merge",
-    "join_hint_shuffle_hash",
-    "join_null_safe_eq",
-    # (Q1's shape is agg_pricing_summary — already driver-green, kept at back)
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_bracketed_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "window_ranking",
-    "window_analytic",
-    "window_frames",
-    "sql_exists_correlated",
-    "sql_scalar_subquery",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_simhash_portable",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "cleaning_pipeline_kept",
-    "sample_tokens_budget",
+    "graph_pagerank",
+    "graph_bfs_hops",
+    "dedup_semdedup_clustered",
+    "dedup_prefix_filter_jaccard",
+    "dsir_importance_weights",
+    "similarity_lsh_topk",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_interval_overlap",
+    "join_bucketed_no_shuffle",
+    "join_time_bucketed_range",
+    "window_count_distinct",
+    "window_topk_per_group",
+    "window_rolling_median",
+    "window_time_range_frame",
+    "cdc_merge_upsert",
+    "cdc_latest_snapshot",
+    "scd2_temporal_lookup",
+    "sql_recursive_cte_spine",
+    "sql_not_exists",
+    "sql_cte_multi_ref",
+    "sql_lateral_topn",
+    "sql_pivot_wide",
+    "setop_intersect_all",
+    "setop_except_distinct",
+    "agg_percentile_disc",
+    "agg_string_agg",
+    "timeseries_ewma",
+    "timeseries_downsample_ohlc",
+    "timeseries_gapfill_locf",
+    "analytics_rfm_segmentation",
+    "analytics_pareto_share",
+    "dq_rule_engine",
+    "dq_drift_psi",
+    "emb_kmeans_cluster",
+    "emb_l2_normalize",
+    "sample_sequence_packing",
+    "sample_global_shuffle",
+    "stream_session_window",
+    "stream_tumbling_window",
+    "dedup_minhash_lsh_pairs_portable",
+    "dedup_containment_pairs",
+    "similarity_binary_quantized",
+    "similarity_range_search",
+    "text_bpe_token_estimate",
+    "text_chunk_sliding",
+    "climbs_reshape",
+    "climbs_parent_fill",
+    "geo_radius_join",
+    "udf_pandas_scalar",
 )
 
 

@@ -406,7 +406,7 @@ _BFS_DEPTH = 4  # recursion bound: chunk-share graphs have tiny diameter
     bfs(node, dist) AS (
         SELECT node, 0 FROM seeds
         UNION ALL
-        SELECT e.dst, b.dist + 1
+        SELECT DISTINCT e.dst, b.dist + 1
         FROM bfs b JOIN edges e ON e.src = b.node
         WHERE b.dist < {_BFS_DEPTH}
     )
@@ -419,16 +419,17 @@ _BFS_DEPTH = 4  # recursion bound: chunk-share graphs have tiny diameter
         "node (a node with no smaller-id neighbor — the canonical "
         "representative in keep-smallest dedup) to the duplicates it "
         "covers. Both engines run the SAME recursive SQL: UNION ALL "
-        f"recursion with an explicit dist < {_BFS_DEPTH} guard, then "
-        "min-dist per node — the guard, not engine magic, bounds the "
-        "path fan-out, so the query is portable and terminates on "
-        "cyclic edge sets. The depth bound is the scale contract too: "
-        "each recursion level is one join shuffle on the frontier, and "
-        "for UNBOUNDED diameters the iterative frontier loop with "
-        "per-level dedup (connected_components above) is the production "
-        "path — this operator is the SQL-surface variant for the "
-        "near-clique graphs dedup actually produces, where diameter is "
-        "tiny. Edges come from the same persisted chunk-share builder "
+        "recursion whose recursive step is SELECT DISTINCT (per-level "
+        f"frontier dedup) with an explicit dist < {_BFS_DEPTH} guard, "
+        "then min-dist per node. The DISTINCT is the fan-out bound: on "
+        "the near-clique components dedup graphs actually produce, raw "
+        "path enumeration grows ~degree^depth (a 100-doc clique would "
+        "enumerate ~1e8 paths at depth 4), while the deduped frontier "
+        "is at most |V| rows per level, so total work is O(depth * |E|) "
+        "on both engines. The depth guard additionally terminates "
+        "cyclic edge sets; for UNBOUNDED diameters the iterative "
+        "frontier loop (connected_components above) is the production "
+        "path. Edges come from the same persisted chunk-share builder "
         "as the other graph queries."
     ),
 )
@@ -443,7 +444,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs(node, dist) AS (
             SELECT node, 0 AS dist FROM seeds
             UNION ALL
-            SELECT e.dst AS node, b.dist + 1 AS dist
+            SELECT DISTINCT e.dst AS node, b.dist + 1 AS dist
             FROM bfs b JOIN __bfs_edges e ON e.src = b.node
             WHERE b.dist < {_BFS_DEPTH}
         )

@@ -655,27 +655,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int = 8) -> str:
     """Materialize a testdata table as a bucketed catalog table (once per
-    (session, sf)) at an external scratch path, returning its name.
+    (session, source-data version)) at an external scratch path,
+    returning its name.
 
     bucketBy requires saveAsTable; the explicit path keeps the location
-    independent of the caller session's warehouse directory. The catalog
-    existence check makes repeat invocations free within a session."""
+    independent of the caller session's warehouse directory. The table
+    name is keyed on the source dir AND the source file mtimes, so a
+    stale scratch table from an earlier data generation is never reused
+    (it simply stops being referenced). Concurrent creators (parallel
+    test workers) are tolerated: losing a saveAsTable race falls back to
+    the winner's table; a catalog entry whose scratch path was wiped is
+    dropped and rebuilt."""
+    import glob
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    src_files = sorted(glob.glob(os.path.join(sf_dir, name + "*")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.0f}" for p in src_files
+    ) or sf_dir
+    tag = hashlib.sha256(f"{sf_dir}|{version}".encode()).hexdigest()[:12]
     tbl = f"pes_bkt_{name}_{tag}"
+    path = os.path.join(tempfile.gettempdir(), tbl)
+    if spark.catalog.tableExists(tbl) and not os.path.isdir(path):
+        # Catalog survived (e.g. shared derby metastore) but the scratch
+        # files did not: rebuild instead of failing at scan time.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
-        path = os.path.join(tempfile.gettempdir(), tbl)
-        (
-            read_table(spark, sf_dir, name)
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(n_buckets, key)
-            .sortBy(key)
-            .saveAsTable(tbl)
-        )
+        try:
+            (
+                read_table(spark, sf_dir, name)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+        except Exception:
+            # Lost a create race to a parallel worker: their table is
+            # equivalent (name encodes source version). Anything else is
+            # a real failure.
+            if not spark.catalog.tableExists(tbl):
+                raise
     return tbl
 
 

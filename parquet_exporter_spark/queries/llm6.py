@@ -339,10 +339,11 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # The scored branch feeds BOTH the cutpoint aggregate and the final
-    # bucketing join; persist it so the token-explode LM pass runs once
-    # per execution instead of twice (same pattern as the LSH pipeline's
-    # persisted shingles).
-    scored = scored.persist()
+    # bucketing join; materialize it once so the token-explode LM pass
+    # runs once per execution instead of twice. localCheckpoint instead
+    # of persist: blocks are released on GC instead of staying pinned in
+    # the CacheManager for the session lifetime.
+    scored = scored.localCheckpoint(eager=True)
     # Exact discrete-percentile cutpoints as a 1-row AGGREGATE (ANSI
     # PERCENTILE_DISC = smallest value whose cume_dist >= p), broadcast
     # back — no global-order window anywhere in the plan.

@@ -499,9 +499,9 @@ def timeseries_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         "is never rescanned per resolution. The oracle recomputes every "
         "level from raw; equality is the losslessness proof for "
         "mergeable (count, sum) state, same contract as "
-        "cdc_incremental_agg. The minute level is persisted (AQE does "
-        "not unify the three identical union-branch exchanges), so raw "
-        "events is scanned and shuffled exactly once per execution; at "
+        "cdc_incremental_agg. The minute level is checkpointed once "
+        "(AQE does not unify the three identical union-branch "
+        "exchanges), so raw events is scanned and shuffled once; at "
         "100 TB each level materializes as its own table and refreshes "
         "incrementally from the level below."
     ),
@@ -515,11 +515,15 @@ def timeseries_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("value").alias("total_value"),
     )
     # The minute level feeds its own output branch AND the hour/day
-    # derivations; persist it so raw events is scanned and shuffled once
-    # (AQE does not unify the three identical union-branch exchanges).
-    # This is the materialized-continuous-aggregate shape: at 100 TB the
-    # persist becomes a stored minute-level table.
-    minute = minute.persist()
+    # derivations; materialize it once so raw events is scanned and
+    # shuffled once (AQE does not unify the three identical union-branch
+    # exchanges). localCheckpoint instead of persist: same
+    # compute-once guarantee, but the blocks are released when the
+    # DataFrame is garbage-collected rather than pinned in the
+    # CacheManager for the session lifetime. This is the
+    # materialized-continuous-aggregate shape: at 100 TB the checkpoint
+    # becomes a stored minute-level table.
+    minute = minute.localCheckpoint(eager=True)
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket").alias("bucket")
     ).agg(

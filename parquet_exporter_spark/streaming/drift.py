@@ -42,7 +42,14 @@ def histogram(
 def histogram_dict(
     df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
 ) -> dict[int, int]:
-    """Reference-side helper: collect the (bounded, n_bins-row) histogram."""
+    """Reference-side helper: collect the (bounded, n_bins-row) histogram.
+
+    Contract: call ONCE per reference snapshot and pass the resulting
+    dict to ``monitor_drift`` — never call this inside ``foreachBatch``,
+    which would rescan the (potentially huge) reference table every
+    micro-batch. The monitor deliberately takes the plain dict, not the
+    DataFrame, so the reference scan cost cannot silently move into the
+    per-batch path."""
     return {r["bin"]: r["n"] for r in histogram(df, value_col, lo, hi, n_bins).collect()}
 
 
