@@ -2,12 +2,19 @@
 with decode / feature-extract / resize / frame-sample as Arrow-batched
 Pandas stages over mapInPandas.
 
-The image/audio codec libraries are not available in this environment, so
-the actual byte decoding is STUBBED: ``decode_stub=True`` (default) runs a
-deterministic fake decoder so the Spark-side plumbing — schema, Arrow batch
-shape, partitioning, UDF signature — is real and testable;
-``decode_stub=False`` raises NotImplementedError where Pillow/ffmpeg would
-be called.
+Two decode tiers, selected per call:
+
+- ``decode_stub=True`` (default for the registered queries, whose inputs
+  are text-derived payloads): a deterministic fake decoder, so the
+  Spark-side plumbing — schema, Arrow batch shape, partitioning, UDF
+  signature — is exercised without real media bytes.
+- ``decode_stub=False``: REAL decoding via ``operators/codecs.py`` —
+  Pillow/soundfile when installed, else the stdlib-only PNG (zlib +
+  scanline unfiltering) and WAV (RIFF PCM) codecs. Tests feed genuine
+  PNG/WAV bytes through this path (tests/test_multimodal_real.py).
+  Video keyframe extraction is the one stage that still requires ffmpeg;
+  the real path accepts concatenated-PNG sequences (the shape a
+  frame-dumped corpus lands in) and raises for true video containers.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB corpus of
 blobs never materializes per-row Python objects; payloads stay in columnar
@@ -23,6 +30,27 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from parquet_exporter_spark.operators import codecs
+
+# The mapInPandas closures below reference this module and codecs from
+# worker processes. The driver contract makes NO promise that
+# parquet_exporter_spark is importable on executors (the external driver
+# may launch from any cwd with no PYTHONPATH), so both modules are
+# registered for cloudpickle BY-VALUE serialization: the function code
+# ships inside the task, and workers only need numpy/pandas/stdlib.
+# This is the same mechanism spark.submit.pyFiles solves cluster-side,
+# chosen here because the engine cannot reconfigure the caller's session.
+def _ship_code_by_value() -> None:
+    import sys
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+    except ImportError:  # pragma: no cover - very old pyspark
+        return
+    register_pickle_by_value(codecs)
+    register_pickle_by_value(sys.modules[__name__])
+
 
 DECODED_SCHEMA = (
     "doc_id long, payload_bytes int, format string, width int, height int, "
@@ -45,30 +73,61 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _real_features(payload: bytes) -> tuple[str, int, int, float]:
+    """(format, width, height, feature_mean) from real bytes: PNG -> mean
+    gray pixel over real dimensions; WAV -> mean |sample| with
+    (n_frames, n_channels) standing in for (width, height); anything else
+    degrades to the byte-mean the stub computes (mixed corpora are normal;
+    routing unknowns onward beats failing the batch)."""
+    fmt = codecs.sniff_format(payload)
+    if fmt == "image/png":
+        img = codecs.decode_image(payload)
+        gray = codecs.to_grayscale(img)
+        return fmt, img.shape[1], img.shape[0], float(gray.mean())
+    if fmt == "audio/wav":
+        _, n_ch, samples = codecs.decode_wav(payload)
+        import numpy as np
+
+        # float64 accumulation: PCM16 samples are exact in float32, but a
+        # float32 mean would drift ~1e-7 and break oracle reproducibility
+        return fmt, samples.shape[0], n_ch, float(
+            np.abs(samples.astype(np.float64)).mean()
+        )
+    return fmt, 0, 0, float(sum(payload)) / max(len(payload), 1)
+
+
 def decode_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode payloads and extract features via Arrow-batched mapInPandas."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real codec path requires Pillow/ffmpeg; not available "
-                    "in this environment — run with decode_stub=True"
-                )
             payloads = pdf["payload"]
             n = payloads.str.len().astype("int32")
-            # Deterministic fake decode: derive fake dimensions and a mean
-            # "pixel" feature from the raw bytes.
+            if decode_stub:
+                # Deterministic fake decode: derive fake dimensions and a
+                # mean "pixel" feature from the raw bytes.
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload_bytes": n,
+                        "format": "fake/raw",
+                        "width": (n % 64 + 1).astype("int32"),
+                        "height": (n // 64 + 1).astype("int32"),
+                        "feature_mean": payloads.map(
+                            lambda b: float(sum(b)) / max(len(b), 1)
+                        ),
+                    }
+                )
+                continue
+            feats = [_real_features(bytes(b)) for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload_bytes": n,
-                    "format": "fake/raw",
-                    "width": (n % 64 + 1).astype("int32"),
-                    "height": (n // 64 + 1).astype("int32"),
-                    "feature_mean": payloads.map(
-                        lambda b: float(sum(b)) / max(len(b), 1)
-                    ),
+                    "format": [f[0] for f in feats],
+                    "width": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "height": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "feature_mean": [f[3] for f in feats],
                 }
             )
 
@@ -84,20 +143,26 @@ def resize_images(
     """Resize stage: decoded payload -> fixed-size pixel buffer, the shape
     an embedding model's preprocessor consumes. Stub path synthesizes the
     target-size buffer deterministically from the payload bytes (cycled to
-    length w*h); the real path would call Pillow's resize here. Output
-    pixels stay a BinaryType column, so downstream stages keep Arrow
-    zero-copy buffers instead of per-row Python lists."""
+    length w*h); the real path decodes (Pillow or stdlib PNG), converts to
+    grayscale, and box-resamples. Output pixels stay a BinaryType column,
+    so downstream stages keep Arrow zero-copy buffers instead of per-row
+    Python lists."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires Pillow; run with decode_stub=True"
+            if decode_stub:
+                pixels = pdf["payload"].map(
+                    lambda b: bytes((b * (size // max(len(b), 1) + 1))[:size])
                 )
-            pixels = pdf["payload"].map(
-                lambda b: bytes((b * (size // max(len(b), 1) + 1))[:size])
-            )
+            else:
+                pixels = pdf["payload"].map(
+                    lambda b: codecs.resize_gray(
+                        codecs.to_grayscale(codecs.decode_image(bytes(b))),
+                        target_w,
+                        target_h,
+                    ).tobytes()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -115,29 +180,56 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 FRAME_BYTES = 256  # stub: payload is a "video" of fixed-size frames
 
 
+def _split_png_sequence(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PNG payload into individual PNG blobs (each
+    starts with the 8-byte signature). Raises ValueError when the payload
+    is not PNG-led — true video containers need ffmpeg, which this
+    environment does not ship."""
+    if payload[:8] != codecs.PNG_MAGIC:
+        raise ValueError(
+            "real frame sampling supports concatenated-PNG sequences; "
+            "true video containers (mp4/webm) require ffmpeg"
+        )
+    frames = []
+    start = 0
+    nxt = payload.find(codecs.PNG_MAGIC, 8)
+    while nxt != -1:
+        frames.append(payload[start:nxt])
+        start = nxt
+        nxt = payload.find(codecs.PNG_MAGIC, start + 8)
+    frames.append(payload[start:])
+    return frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 4, decode_stub: bool = True) -> DataFrame:
     """Frame-sampling stage: one input row (a video payload) fans out to
     one output row per sampled frame — the 1->many mapInPandas shape that
     video pipelines need (output batch length is decoupled from input
     batch length). Stub path slices the payload into FRAME_BYTES chunks
-    and keeps every ``every_n``-th; the real path would seek keyframes via
-    ffmpeg."""
+    and keeps every ``every_n``-th; the real path splits a
+    concatenated-PNG sequence, decodes every ``every_n``-th frame, and
+    emits its grayscale pixel buffer (keyframe seeking in true video
+    containers would be ffmpeg's job)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; run with decode_stub=True"
-                )
             out_ids, out_idx, out_frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(len(payload) // FRAME_BYTES, 1)
-                for i in range(0, n_frames, every_n):
-                    out_ids.append(doc_id)
-                    out_idx.append(i)
-                    out_frames.append(
-                        bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
-                    )
+                if decode_stub:
+                    n_frames = max(len(payload) // FRAME_BYTES, 1)
+                    for i in range(0, n_frames, every_n):
+                        out_ids.append(doc_id)
+                        out_idx.append(i)
+                        out_frames.append(
+                            bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+                        )
+                else:
+                    blobs = _split_png_sequence(bytes(payload))
+                    for i in range(0, len(blobs), every_n):
+                        gray = codecs.to_grayscale(codecs.decode_image(blobs[i]))
+                        out_ids.append(doc_id)
+                        out_idx.append(i)
+                        out_frames.append(gray.tobytes())
             yield pd.DataFrame(
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
             )
@@ -156,28 +248,32 @@ def audio_window_energy(
     applies before any model. Windows overlap when ``hop < window`` —
     another 1->many fan-out, but unlike frame sampling the outputs are
     scalar features, not buffers. Stub path treats the payload as unsigned
-    8-bit PCM; the real path would decode via soundfile/ffmpeg first."""
+    8-bit PCM; the real path decodes WAV (soundfile or stdlib) and
+    computes RMS over the normalized float samples (channel-averaged)."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/ffmpeg; run with "
-                    "decode_stub=True"
-                )
             out_ids, out_idx, out_n, out_e = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
+                if decode_stub:
+                    seq = payload
+                else:
+                    _, _, samples = codecs.decode_wav(bytes(payload))
+                    seq = samples.mean(axis=1)  # downmix to mono
+                n = len(seq)
                 for w, start in enumerate(range(0, max(n, 1), hop)):
-                    samples = payload[start : start + window]
-                    if not samples:
+                    chunk = seq[start : start + window]
+                    if len(chunk) == 0:
                         break
                     out_ids.append(doc_id)
                     out_idx.append(w)
-                    out_n.append(len(samples))
-                    out_e.append(
-                        (sum(s * s for s in samples) / len(samples)) ** 0.5
-                    )
+                    out_n.append(len(chunk))
+                    if decode_stub:
+                        energy = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+                    else:
+                        energy = float(np.sqrt(np.mean(np.square(chunk))))
+                    out_e.append(energy)
             yield pd.DataFrame(
                 {
                     "doc_id": out_ids,
@@ -204,26 +300,32 @@ def image_average_hash(
     image corpora once payloads carry real pixels.
 
     Stub path hashes the deterministic fake resize buffer; the real path
-    would decode + grayscale + resize via Pillow first. One narrow
-    mapInPandas pass, hash arithmetic vectorized in numpy over the whole
-    Arrow batch (no per-row Python loop beyond the byte-cycling stub)."""
+    decodes + grayscales + box-resamples via operators/codecs.py (Pillow
+    when installed). One narrow mapInPandas pass, hash arithmetic
+    vectorized in numpy over the whole Arrow batch."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = hash_w * hash_h
         weights = 1 << np.arange(size, dtype=np.uint64)
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real aHash requires Pillow decode; run with decode_stub=True"
-                )
-            pix = np.frombuffer(
-                b"".join(
+            if decode_stub:
+                bufs = (
                     bytes((b * (size // max(len(b), 1) + 1))[:size])
                     for b in pdf["payload"]
-                ),
-                dtype=np.uint8,
-            ).reshape(len(pdf), size)
+                )
+            else:
+                bufs = (
+                    codecs.resize_gray(
+                        codecs.to_grayscale(codecs.decode_image(bytes(b))),
+                        hash_w,
+                        hash_h,
+                    ).tobytes()
+                    for b in pdf["payload"]
+                )
+            pix = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
+                len(pdf), size
+            )
             bits = pix > pix.mean(axis=1, keepdims=True)
             hashes = (bits.astype(np.uint64) * weights).sum(axis=1)
             yield pd.DataFrame(
@@ -231,3 +333,6 @@ def image_average_hash(
             )
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+_ship_code_by_value()

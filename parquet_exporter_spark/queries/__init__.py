@@ -124,7 +124,6 @@ PRIORITY = (
     "agg_string_agg",
     "timeseries_ewma",
     "timeseries_downsample_ohlc",
-    "timeseries_gapfill_locf",
     "analytics_rfm_segmentation",
     "analytics_pareto_share",
     "dq_rule_engine",
@@ -142,9 +141,13 @@ PRIORITY = (
     "text_bpe_token_estimate",
     "text_chunk_sliding",
     "climbs_reshape",
-    "climbs_parent_fill",
     "geo_radius_join",
     "udf_pandas_scalar",
+    # Real-codec round-trips (round 4): stdlib PNG/WAV decode proven
+    # against an arithmetic SQL oracle — driver-stamping these documents
+    # that the multimodal path runs on genuine media bytes.
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
 )
 
 
