@@ -34,12 +34,15 @@ def best_of(fn, n=3):
 
 def main() -> None:
     _ensure_loaded()
-    # same session tuning as bench.py: partitions sized to the sf0.1
-    # input, AQE off (static sizing already matches what AQE would pick)
+    # same session tuning as bench.py: partitions statically sized to the
+    # input only at small SF (then AQE's re-derivation is pure overhead);
+    # at larger SF keep the engine default with AQE ON.
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+    parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8" if sf <= 0.5 else "0")) or None
     spark = get_spark(
         app_name="bench_vs_duckdb",
-        shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        shuffle_partitions=parts,
+        extra_conf={"spark.sql.adaptive.enabled": "false"} if parts else {},
     )
     con = duckdb.connect()
     for t in TABLES:
