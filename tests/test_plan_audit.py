@@ -178,11 +178,10 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "aggregate",
     ),
     "text_vocab_coverage": (
-        {"bnlj", "single_partition_x2"},
-        "3-row k-cutpoint literal table broadcast, and rank/total windows "
+        {"bnlj"},
+        "3-row k-cutpoint literal table broadcast; rank/total windows run "
         "over the bounded vocabulary aggregate, not the token stream",
     ),
-    "join_theta": ({"bnlj", "cartesian"}, "non-equi theta join over bounded inputs"),
     "join_range": ({"bnlj"}, "3-row band table broadcast; O(n*k) per-row nested loop, no shuffle"),
     "q11_important_stock": ({"bnlj"}, "1-row fraction-of-total scalar broadcast"),
     "q22_global_sales_opportunity": ({"bnlj"}, "1-row avg-balance scalar broadcast"),
@@ -192,7 +191,6 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     ),
     "sql_cte_multi_ref": ({"bnlj"}, "1-row aggregate CTE re-joined as a scalar"),
     "similarity_topk_bruteforce": ({"bnlj"}, "query set broadcast against corpus — the exact baseline"),
-    "dedup_embedding_cosine": ({"bnlj"}, "blocked pair generation over a bounded block"),
     "similarity_ivf_topk": ({"bnlj"}, "k centroid rows broadcast for cell assignment"),
     "text_unigram_logprob": ({"bnlj"}, "1-row corpus-total broadcast (plan-asserted elsewhere)"),
     "text_bigram_logprob": (
@@ -229,10 +227,10 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "posting-score join; postings are filtered to |Q| literal terms",
     ),
     "search_hybrid_rrf": (
-        {"bnlj", "single_partition_x3"},
-        "the avgdl scalar gather plus two rank windows that run over "
-        "top-LEG_N lists already cut by TakeOrdered — each gather "
-        "carries at most 100 rows regardless of corpus size",
+        {"bnlj"},
+        "the 1-row avgdl scalar broadcast; the rank windows run over "
+        "top-LEG_N lists already cut by TakeOrdered (at most 100 rows "
+        "each regardless of corpus size)",
     ),
     "dq_drift_psi": (
         {"bnlj"},
@@ -252,10 +250,10 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "sized; the corpus itself contributes one partial-agg'd shuffle",
     ),
     "text_perplexity_buckets": (
-        {"bnlj", "single_partition_x3"},
-        "three 1-row scalar gathers (corpus token total, the persisted "
-        "scored branch's reuse of it, and the percentile_disc cutpoint "
-        "aggregate), each broadcast back; no global-order window",
+        {"bnlj"},
+        "1-row scalar broadcasts (corpus token total, percentile_disc "
+        "cutpoints); the LM scoring pass runs eagerly at localCheckpoint "
+        "time, so its bounded gathers sit before the audited plan",
     ),
     "similarity_range_search": (
         {"bnlj"},
@@ -325,3 +323,34 @@ def test_no_unapproved_scale_red_flags(spark, sf_dir):
         "scale red flags outside the allowlist (add with a justification "
         f"only if genuinely bounded): {offenders}"
     )
+
+
+def test_no_stale_allowlist_waivers(spark, sf_dir):
+    """Every allowlist entry must still be EARNED: if a query's cold plan
+    no longer exhibits any flag in the waived category, the waiver is
+    stale and must be deleted — otherwise the allowlist silently decays
+    into blanket permission for future regressions. (A lower
+    single_partition count than allowlisted is fine — the entry is an
+    upper bound — but ZERO single-partition exchanges means the waiver
+    no longer describes the plan.)"""
+    stale = {}
+    for name, (allowed, _why) in ALLOWED.items():
+        if name not in REGISTRY:
+            stale[name] = "query no longer registered"
+            continue
+        df = REGISTRY[name].raw_fn(spark, sf_dir)
+        spark.catalog.clearCache()
+        flags = _flags(df._jdf.queryExecution().executedPlan().toString())
+        for a in sorted(allowed):
+            if a.startswith("single_partition_x"):
+                if not any(f.startswith("single_partition_x") for f in flags):
+                    stale[name] = f"waives {a} but plan has no 1-row gather"
+            elif a in ("bnlj", "cartesian"):
+                # Spark picks BroadcastNestedLoopJoin vs CartesianProduct
+                # by runtime size estimates, so either earns a waiver in
+                # the nested-loop family.
+                if not flags & {"bnlj", "cartesian"}:
+                    stale[name] = f"waives {a} but plan has no nested-loop join"
+            elif a not in flags:
+                stale[name] = f"waives {a} but plan does not exhibit it"
+    assert not stale, f"stale plan-audit waivers — delete them: {stale}"
