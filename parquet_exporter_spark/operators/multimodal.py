@@ -78,21 +78,31 @@ def _real_features(payload: bytes) -> tuple[str, int, int, float]:
     gray pixel over real dimensions; WAV -> mean |sample| with
     (n_frames, n_channels) standing in for (width, height); anything else
     degrades to the byte-mean the stub computes (mixed corpora are normal;
-    routing unknowns onward beats failing the batch)."""
-    fmt = codecs.sniff_format(payload)
-    if fmt == "image/png":
-        img = codecs.decode_image(payload)
-        gray = codecs.to_grayscale(img)
-        return fmt, img.shape[1], img.shape[0], float(gray.mean())
-    if fmt == "audio/wav":
-        _, n_ch, samples = codecs.decode_wav(payload)
-        import numpy as np
+    routing unknowns onward beats failing the batch).
 
-        # float64 accumulation: PCM16 samples are exact in float32, but a
-        # float32 mean would drift ~1e-7 and break oracle reproducibility
-        return fmt, samples.shape[0], n_ch, float(
-            np.abs(samples.astype(np.float64)).mean()
-        )
+    A payload whose magic bytes promise a format its body cannot deliver
+    (truncated download, bit rot — routine at 100 TB) is tagged
+    ``corrupt/<format>`` instead of raising: one bad blob must not kill a
+    multi-hour job's task (and with it the whole Arrow batch), and the
+    tag makes corrupt rows filterable/countable downstream."""
+    fmt = codecs.sniff_format(payload)
+    try:
+        if fmt == "image/png":
+            img = codecs.decode_image(payload)
+            gray = codecs.to_grayscale(img)
+            return fmt, img.shape[1], img.shape[0], float(gray.mean())
+        if fmt == "audio/wav":
+            _, n_ch, samples = codecs.decode_wav(payload)
+            import numpy as np
+
+            # float64 accumulation: PCM16 samples are exact in float32,
+            # but a float32 mean would drift ~1e-7 and break oracle
+            # reproducibility
+            return fmt, samples.shape[0], n_ch, float(
+                np.abs(samples.astype(np.float64)).mean()
+            )
+    except Exception:
+        return f"corrupt/{fmt.split('/', 1)[1]}", 0, 0, float("nan")
     return fmt, 0, 0, float(sum(payload)) / max(len(payload), 1)
 
 

@@ -429,3 +429,44 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_orc(nation, path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "dq_file_row_distribution",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS partition_dir,
+           regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4) AS sum_value
+    FROM read_parquet('{PARTITIONED_EVENTS}/*/*.parquet',
+                      hive_partitioning = 0, filename = 1)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Per-FILE row distribution of a partitioned dataset via "
+        "input_file_name() — the small-file / skewed-file detector every "
+        "lake operation team runs before compaction (sinks/writers.py "
+        "write_compacted is the fix this query motivates). Both engines "
+        "group by the physical file identity ((partition dir, basename) "
+        "— engine path prefixes differ, so the key is extracted with the "
+        "same regex on both sides). One partial-agg scan; output is "
+        "bounded by file count, and at 100 TB this is the query that "
+        "tells you whether 10k tasks are reading 10k well-sized files or "
+        "one hot file plus 9,999 stubs."
+    ),
+)
+def dq_file_row_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(PARTITIONED_EVENTS)
+    path = F.input_file_name()
+    return (
+        df.select(
+            F.regexp_extract(path, r"([^/]+)/[^/]+$", 1).alias("partition_dir"),
+            F.regexp_extract(path, r"([^/]+)$", 1).alias("file_name"),
+            "value",
+        )
+        .groupBy("partition_dir", "file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

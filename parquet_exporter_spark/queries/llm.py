@@ -1104,3 +1104,139 @@ def dedup_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long").alias("n_pairs"),
         (F.col("n_docs") > 1000).alias("oversized"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS canon
+        FROM documents
+    )
+    SELECT sha256(canon) AS canon_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM norm
+    GROUP BY 1
+    """,
+    doc=(
+        "Normalized exact dedup (the C4/CCNet 'fuzzy-lite' stage between "
+        "byte-exact and MinHash): canonicalize text — lowercase, strip "
+        "punctuation to spaces, collapse whitespace — THEN hash-group, so "
+        "casing/punctuation/spacing variants of the same content "
+        "collapse. Catches the large class of trivial near-dups (quoted "
+        "reposts, smart-quote variants) at exact-dedup cost: one shuffle "
+        "of 32-byte digests, no candidate generation at all. The "
+        "normalization is per-row Catalyst regexp (RE2/Java-compatible "
+        "character classes, 'g' on the DuckDB side = Spark's default "
+        "replace-all), so both engines produce byte-identical canon "
+        "strings and therefore identical sha-256 groups."
+    ),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon"))
+        .groupBy(F.sha2("canon", 256).alias("canon_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   )) AS g
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            )
+        )
+    ),
+    firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1.0 ELSE 0 END)
+                 / count(*), 6) AS novelty
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY gr.doc_id
+    """,
+    doc=(
+        "N-gram novelty per document: the fraction of a doc's distinct "
+        "word trigrams whose FIRST occurrence (min doc_id = corpus order) "
+        "is this doc — the standard diversity/memorization diagnostic "
+        "for training corpora (a low-novelty tail is re-crawled or "
+        "templated content that inflates token counts without adding "
+        "signal; the curve also calibrates how much dedup is left to "
+        "do). Shape: tokenize + trigram explode (distinct per doc), one "
+        "gram-keyed shuffle to find each gram's first doc, then a "
+        "doc-keyed re-aggregate — the tfidf shuffle pattern, linear in "
+        "corpus token count, no self-join. Spark window min over the "
+        "gram key and DuckDB's group-min are the same computation."
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(toks) - F.lit(2), F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
+    scored = grams.withColumn("first_doc", first_doc)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )

@@ -81,6 +81,23 @@ def test_real_decode_features(media_df):
     assert other.width == 0 and other.height == 0
 
 
+def test_real_decode_tags_corrupt_blobs_instead_of_failing(spark, media_df):
+    good = _gradient_png(8, 8)
+    rows = [
+        (10, good[: len(good) // 2]),          # truncated PNG (magic intact)
+        (11, codecs.PNG_MAGIC + b"\x00" * 16),  # PNG magic, garbage body
+        (12, b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"junk"),  # bad WAV
+        (13, good),                             # control: still decodes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_features(df, decode_stub=False).collect()}
+    # NaN feature -> null through Arrow: corrupt rows carry no feature
+    assert out[10].format == "corrupt/png" and out[10].feature_mean is None
+    assert out[11].format == "corrupt/png"
+    assert out[12].format == "corrupt/wav"
+    assert out[13].format == "image/png" and (out[13].width, out[13].height) == (8, 8)
+
+
 def test_real_resize_images(spark):
     # constant-color image must resize to a constant buffer of exactly
     # that gray level, any resampler
