@@ -1207,15 +1207,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
     )
+    # Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty
+    # (DuckDB's range(1, 1) IS empty) — docs under 3 tokens must produce
+    # an explicitly empty index array or element_at walks off the end.
+    n_toks = F.size(toks)
+    idx = F.when(n_toks >= 3, F.sequence(F.lit(1), n_toks - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = (
         docs.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.size(toks) - F.lit(2), F.lit(0)),
-                    ),
+                    idx,
                     lambda i: F.concat_ws(
                         " ",
                         F.element_at(toks, i),

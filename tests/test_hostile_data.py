@@ -42,6 +42,11 @@ REPRESENTATIVES = [
     "analytics_event_paths",
     "analytics_repeat_purchase_interval",
     "window_ignore_nulls",
+    # round-4 additions: empty-doc trigram pipelines, canonicalization of
+    # symbol-only text, tied-timestamp funnel stages
+    "text_ngram_novelty",
+    "dedup_exact_normalized",
+    "funnel_time_bounded",
 ]
 
 
