@@ -152,16 +152,28 @@ PRIORITY = (
 
 
 def _reorder_registry() -> None:
+    """Front = PRIORITY minus already-verified names, then the remaining
+    unverified queries in module order, then everything driver-verified.
+
+    Self-healing: because DRIVER_VERIFIED is derived from the committed
+    CORRECTNESS files and verified names fall OUT of the priority front
+    automatically, a round that forgets to refresh PRIORITY still
+    presents ~50 never-checked queries to the driver — the front simply
+    continues down the unverified list in module order."""
     from parquet_exporter_spark.registry import REGISTRY
 
-    priority = {k: REGISTRY[k] for k in PRIORITY if k in REGISTRY}
+    priority = {
+        k: REGISTRY[k]
+        for k in PRIORITY
+        if k in REGISTRY and k not in DRIVER_VERIFIED
+    }
     unverified = {
         k: v
         for k, v in REGISTRY.items()
         if k not in DRIVER_VERIFIED and k not in priority
     }
     verified = {
-        k: v for k, v in REGISTRY.items() if k in DRIVER_VERIFIED and k not in priority
+        k: v for k, v in REGISTRY.items() if k not in priority and k not in unverified
     }
     REGISTRY.clear()
     REGISTRY.update(priority)
