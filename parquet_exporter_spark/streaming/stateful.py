@@ -191,3 +191,37 @@ def user_record_highs(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _record_highs_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cur = state.get if state.exists else None
+    best, n = (cur[0], cur[1]) if cur else (float("-inf"), 0)
+    out = []
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            if float(v) > best:
+                best = float(v)
+                n += 1
+                out.append((key[0], best, n))
+    state.update((best, n))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "new_high", "n_records"])
+
+
+def user_record_highs_aip(events: DataFrame) -> DataFrame:
+    """Per-user record-high detector on applyInPandasWithState — the SAME
+    semantics as `user_record_highs` (transformWithStateInPandas) on the
+    API that needs no worker-side protobuf, so the operator RUNS in this
+    container too; the Spark-4 variant above stays for standard cluster
+    images where RocksDB state + the new API are available. State per
+    key is the (best, count) pair — O(1) per user regardless of stream
+    length."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _record_highs_update,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType="best double, n_records long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

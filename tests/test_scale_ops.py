@@ -372,6 +372,48 @@ def test_transform_with_state_record_highs(tmp_path):
         q.stop()
 
 
+def test_record_highs_aip_multi_batch(spark, tmp_path):
+    """The applyInPandasWithState twin of the gated transformWithState
+    operator: SAME record-high semantics, runs in this container. Two
+    micro-batches prove state (best, count) persists across batches —
+    batch 2's 15.0 is NOT a new high for user 1 after batch 1's 20.0."""
+    from parquet_exporter_spark.streaming.stateful import user_record_highs_aip
+
+    d = str(tmp_path / "aip_events")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1.parquet"))
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    q = (
+        user_record_highs_aip(stream)
+        .writeStream.format("memory")
+        .queryName("aip_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(1, 15.0), (1, 25.0), (3, 1.0)], "user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2.parquet"))
+        q.processAllAvailable()
+        rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM aip_out").collect())
+        assert rows == [
+            (1, 10.0, 1),
+            (1, 20.0, 2),
+            (1, 25.0, 3),  # 15.0 correctly suppressed by cross-batch state
+            (2, 5.0, 1),
+            (3, 1.0, 1),
+        ]
+    finally:
+        q.stop()
+
+
 def test_upsert_restarts_from_checkpoint(spark, tmp_path):
     """Stop the upsert stream, add data, restart with the same checkpoint:
     the query resumes from committed offsets (the restarted run processes
