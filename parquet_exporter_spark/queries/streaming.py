@@ -716,3 +716,55 @@ def stream_watermark_what_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_s")
     )
+
+
+@query(
+    "stream_record_highs_twin",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, ts, event_id, value,
+               max(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM events
+    )
+    SELECT user_id, ts, round(value, 6) AS new_high,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS n_records
+    FROM runs
+    WHERE prev_best IS NULL OR value > prev_best
+    """,
+    doc=(
+        "Batch twin of the stateful record-high detector "
+        "(streaming/stateful.py user_record_highs / "
+        "user_record_highs_aip): rows where value exceeds the per-user "
+        "running max of all PRIOR events (ties broken by event_id, the "
+        "arrival order the stream twin sees). One user-keyed exchange "
+        "serves the running-max frame and the record index — same "
+        "equivalence contract as the other stream_* twins: the batch "
+        "query is the oracle for what the stateful operator must emit "
+        "when the stream is replayed in order."
+    ),
+)
+def stream_record_highs_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_best = F.max("value").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("prev_best", prev_best).filter(
+        F.col("prev_best").isNull() | (F.col("value") > F.col("prev_best"))
+    )
+    return flagged.select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("new_high"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("n_records"),
+    )
