@@ -49,6 +49,14 @@ EXTRA = [
     "dq_freshness_lag",
     "timeseries_cusum_shift",
     "event_longest_streak",
+    # round-4 additions
+    "funnel_time_bounded",
+    "dq_file_row_distribution",
+    "dedup_exact_normalized",
+    "text_ngram_novelty",
+    "stream_record_highs_twin",
+    "multimodal_png_roundtrip",
+    "graph_bfs_hops",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
