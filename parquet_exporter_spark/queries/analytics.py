@@ -1764,3 +1764,53 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return done.withColumn(
         "converted", F.col("t_purchase").isNotNull().cast("int")
     )
+
+
+@query(
+    "analytics_event_regex_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, seq,
+           CAST(regexp_matches(seq, 'vc*p') AS INTEGER) AS matched,
+           regexp_extract(seq, 'vc*p') AS first_match
+    FROM seqs
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequential pattern detection (the SQL:2016 "
+        "row-pattern feature Spark lacks): each user's event history is "
+        "collapsed IN EVENT ORDER to a compact symbol string (first "
+        "letter of event_type), then the pattern — here 'view, any "
+        "number of clicks, purchase' as the regex vc*p — is matched "
+        "against the sequence. This is the standard trick for "
+        "funnel-with-repetition / path-pattern questions that window "
+        "functions can't express: one user-keyed shuffle builds the "
+        "ordered symbol string (ORDER BY inside the aggregate on DuckDB, "
+        "sort_array(collect_list(struct)) on Spark — both deterministic "
+        "under ties via event_id), and the regex engine does the "
+        "sequence automaton per user. State per user is O(events/user) "
+        "symbols — bytes, not rows; at 100 TB the shuffle carries "
+        "1-char symbols instead of event payloads."
+    ),
+)
+def analytics_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", sym.alias("s")))),
+        lambda x: x["s"],
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws("", ordered).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        F.col("seq").rlike("vc*p").cast("int").alias("matched"),
+        F.regexp_extract("seq", "vc*p", 0).alias("first_match"),
+    )

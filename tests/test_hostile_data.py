@@ -47,6 +47,7 @@ REPRESENTATIVES = [
     "text_ngram_novelty",
     "dedup_exact_normalized",
     "funnel_time_bounded",
+    "analytics_event_regex_match",
 ]
 
 
