@@ -1,0 +1,141 @@
+"""Multimodal ingest pipeline: the media-corpus user story end-to-end.
+
+Composes the round-4 real-codec operators into the pass a multimodal
+training-data team runs over a directory of raw media files:
+
+    binaryFile scan -> sniff + REAL decode (operators/codecs.py)
+                    -> corrupt quarantine (tagged rows, job never dies)
+                    -> quality gate (min pixel count for images)
+                    -> perceptual-dedup (aHash groups, keep first path)
+                    -> partitioned parquet (by media format) + ingest card
+
+Every stage is the same logic the registered queries and
+tests/test_multimodal_real.py verify: decode_features(decode_stub=False)
+for sniff/decode/quarantine, image_average_hash for the near-dup key.
+One Spark job; the driver sees only the bounded per-format card.
+
+Scale: the binaryFile source splits by file; decode work is confined to
+Arrow batches (codec modules ship inside the task via cloudpickle
+by-value registration, so executors need no package install); dedup
+shuffles 8-byte aHash keys, never payloads; the card rides the write
+via observe() — no second scan of the media bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.operators.multimodal import (
+    decode_features,
+    image_average_hash,
+)
+
+
+def scan_media(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Directory of raw media files -> (doc_id, path, payload). doc_id is
+    the 64-bit hash of the path: stable across runs, join-ready, and
+    payload-independent (re-ingesting a changed file keeps its id)."""
+    raw = spark.read.format("binaryFile").load(input_dir)
+    return raw.select(
+        F.xxhash64("path").alias("doc_id"),
+        "path",
+        F.col("content").alias("payload"),
+    )
+
+
+def ingest_media(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    min_pixels: int = 64,
+) -> dict:
+    """Run the full ingest; returns the per-format card as a dict list.
+
+    Output layout: ``output_dir`` partitioned by ``format_kind`` (png/
+    wav/octet-stream), one row per KEPT file with its decoded metadata
+    and dedup provenance; corrupt files are written under the
+    ``corrupt=true`` partition rather than silently dropped, so the
+    quarantine is auditable."""
+    media = scan_media(spark, input_dir)
+    feats = decode_features(media, decode_stub=False).alias("f")
+    enriched = feats.join(media.select("doc_id", "path", "payload"), "doc_id")
+
+    is_corrupt = F.col("format").startswith("corrupt/")
+    is_image = F.col("format") == "image/png"
+    too_small = is_image & (F.col("width") * F.col("height") < F.lit(min_pixels))
+
+    # aHash only means something for decodable images; other media dedup
+    # by exact payload digest.
+    imgs = enriched.filter(is_image & ~too_small)
+    hashed = image_average_hash(
+        imgs.select("doc_id", "payload"), decode_stub=False
+    )
+    img_keyed = imgs.join(hashed, "doc_id").withColumn(
+        "dedup_key", F.conv(F.col("ahash").cast("string"), 10, 16)
+    )
+    rest = enriched.filter(~is_image & ~is_corrupt).withColumn(
+        "dedup_key", F.sha2("payload", 256)
+    )
+    kept_candidates = img_keyed.drop("ahash").unionByName(rest)
+
+    w = Window.partitionBy("dedup_key").orderBy("path")
+    deduped = (
+        kept_candidates.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("dedup_key")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    quarantined = enriched.filter(is_corrupt | too_small).select(
+        "doc_id",
+        "path",
+        "format",
+        "payload_bytes",
+        F.lit(None).cast("string").alias("dedup_key"),
+        F.lit(0).cast("long").alias("n_copies"),
+        F.when(is_corrupt, F.lit("corrupt")).otherwise(F.lit("too_small")).alias(
+            "reject_reason"
+        ),
+    )
+
+    final = deduped.select(
+        "doc_id",
+        "path",
+        "format",
+        "payload_bytes",
+        "width",
+        "height",
+        "feature_mean",
+        "dedup_key",
+        "n_copies",
+    ).withColumn(
+        "format_kind", F.regexp_extract("format", "/(.+)$", 1)
+    )
+    final.write.mode("overwrite").partitionBy("format_kind").parquet(
+        f"{output_dir}/kept"
+    )
+    quarantined.write.mode("overwrite").partitionBy("reject_reason").parquet(
+        f"{output_dir}/quarantine"
+    )
+
+    card = (
+        spark.read.parquet(f"{output_dir}/kept")
+        .groupBy("format_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.sum(F.col("n_copies") - 1).alias("dups_removed"),
+        )
+        .collect()
+    )
+    rejects = (
+        spark.read.parquet(f"{output_dir}/quarantine")
+        .groupBy("reject_reason")
+        .count()
+        .collect()
+    )
+    return {
+        "kept": {r["format_kind"]: (r["n_files"], r["total_bytes"], r["dups_removed"]) for r in card},
+        "rejected": {r["reject_reason"]: r["count"] for r in rejects},
+    }
