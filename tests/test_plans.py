@@ -522,12 +522,15 @@ def test_incremental_agg_merges_partials(spark, sf_dir):
 
 
 def test_hierarchical_rollup_single_raw_scan(spark, sf_dir):
-    """The hour/day levels derive from minute partials; the shared minute
-    aggregate is computed once (ReusedExchange), so raw events is
-    scanned exactly once across the three union branches."""
+    """The hour/day levels derive from minute partials. The minute level
+    is materialized ONCE via eager localCheckpoint (raw events scanned
+    and shuffled at checkpoint time), so the executed rollup plan reads
+    the checkpointed minute rows in every union branch and touches the
+    raw parquet ZERO times — the continuous-aggregate contract."""
     df = q("timeseries_hierarchical_rollup", spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("Location: InMemoryFileIndex [file:") == 1, plan
+    assert plan.count("Location: InMemoryFileIndex [file:") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
 def test_rule_engine_single_scan_partial_agg(spark, sf_dir):
