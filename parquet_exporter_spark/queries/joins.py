@@ -792,3 +792,41 @@ def join_time_bucketed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("unix_micros(click_ts) div 1000000")
         ).alias("lag_seconds"),
     )
+
+
+@query(
+    "join_lateral_df_api",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey < 200) c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    """,
+    doc=(
+        "Spark 4.1's DataFrame.lateralJoin(): per-customer top-2 orders "
+        "as a correlated LATERAL subquery built in the DataFrame API "
+        "(col(...).outer() marks the correlated reference) — the "
+        "API-surface twin of sql_lateral_topn. Catalyst decorrelates to "
+        "the join + per-key window shape (DeduplicateRightSideOfLeftSemi "
+        "/ WindowGroupLimit family), so the executed plan is the same "
+        "one-shuffle ranked join the SQL form gets; ties are broken by "
+        "order key so both engines return identical rows."
+    ),
+)
+def join_lateral_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    orders = _t(spark, sf_dir, "orders")
+    topo = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(topo).select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )

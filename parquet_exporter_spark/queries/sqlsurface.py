@@ -798,3 +798,45 @@ def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, term
         """
     ).select("doc_id", "term", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "sql_transpose_summary",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag AS rf,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               CAST(count(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY 1
+    ),
+    u AS (
+        SELECT rf, 'sum_qty' AS key, sum_qty AS v FROM agg
+        UNION ALL SELECT rf, 'avg_price', avg_price FROM agg
+        UNION ALL SELECT rf, 'n_items', n_items FROM agg
+    )
+    SELECT key,
+           max(CASE WHEN rf = 'A' THEN v END) AS A,
+           max(CASE WHEN rf = 'N' THEN v END) AS N,
+           max(CASE WHEN rf = 'R' THEN v END) AS R
+    FROM u GROUP BY key
+    """,
+    doc=(
+        "Spark 4's DataFrame.transpose(): metrics-as-rows presentation of "
+        "a bounded aggregate (the reporting flip BI tools do client-side, "
+        "now a catalyst-planned operator). Index values become columns "
+        "('A'/'N'/'R' return flags), metric columns become rows, values "
+        "unify to DOUBLE. The transpose necessarily gathers — it is only "
+        "legal AFTER aggregation to a bounded table (here 3 rows x 3 "
+        "metrics); the oracle reproduces it as unpivot + conditional "
+        "pivot, which is exactly how Catalyst lowers it."
+    ),
+)
+def sql_transpose_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return agg.transpose()
