@@ -44,7 +44,64 @@ def sniff_format(data: bytes) -> str:
         return "image/png"
     if data[:4] == WAV_MAGIC and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:2] == b"BM":
+        return "image/bmp"
     return "application/octet-stream"
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BITMAPINFOHEADER BMP to
+    (H, W, 3|4) uint8 (BGR(A) storage converted to RGB(A); bottom-up or
+    top-down row order both handled). The other real uncompressed image
+    format crawled corpora contain; palette/RLE variants raise."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    if len(data) < pixel_offset + stride * height:
+        raise ValueError("BMP data length mismatch")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=pixel_offset
+    ).reshape(height, stride)[:, : width * channels]
+    img = rows.reshape(height, width, channels)
+    if not top_down:
+        img = img[::-1]
+    # BGR(A) -> RGB(A)
+    order = [2, 1, 0] + ([3] if channels == 4 else [])
+    return np.ascontiguousarray(img[:, :, order])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W) gray or (H, W, 3) RGB uint8 array as a 24-bit
+    bottom-up BMP. Round-trips through decode_bmp and any compliant
+    reader."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects gray or RGB input")
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = arr[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + bytes(body)
 
 
 # --------------------------------------------------------------------------
@@ -209,7 +266,8 @@ def resize_gray(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes to (H, W, C) uint8. Prefers Pillow when
-    installed (any format it knows); falls back to the stdlib PNG path."""
+    installed (any format it knows); falls back to the stdlib decoders
+    (PNG, BMP) dispatched by magic bytes."""
     try:  # pragma: no cover - Pillow absent in this container
         from PIL import Image
 
@@ -217,6 +275,8 @@ def decode_image(data: bytes) -> np.ndarray:
         arr = np.asarray(img.convert("RGBA" if "A" in img.getbands() else "RGB"))
         return arr if arr.ndim == 3 else arr[:, :, None]
     except ImportError:
+        if data[:2] == b"BM":
+            return decode_bmp(data)
         return decode_png(data)
 
 

@@ -87,7 +87,7 @@ def _real_features(payload: bytes) -> tuple[str, int, int, float]:
     tag makes corrupt rows filterable/countable downstream."""
     fmt = codecs.sniff_format(payload)
     try:
-        if fmt == "image/png":
+        if fmt.startswith("image/"):
             img = codecs.decode_image(payload)
             gray = codecs.to_grayscale(img)
             return fmt, img.shape[1], img.shape[0], float(gray.mean())

@@ -161,6 +161,28 @@ def test_real_ahash_near_duplicate_images(spark):
     assert ham(h[1], h[3]) >= 32, "inverted image must be far in Hamming space"
 
 
+def test_real_bmp_roundtrip_and_features(spark):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    data = codecs.encode_bmp(img)
+    assert codecs.sniff_format(data) == "image/bmp"
+    assert np.array_equal(codecs.decode_bmp(data), img)
+    # odd width exercises the 4-byte row padding path
+    df = spark.createDataFrame([(1, data)], "doc_id long, payload binary")
+    row = decode_features(df, decode_stub=False).collect()[0]
+    assert row.format == "image/bmp"
+    assert (row.width, row.height) == (7, 10)
+    want = codecs.to_grayscale(img).mean()
+    assert abs(row.feature_mean - want) < 1e-9
+    # top-down BMP (negative height) decodes identically
+    neg = bytearray(data)
+    import struct as _s
+
+    _s.pack_into("<i", neg, 22, -10)
+    top_down = codecs.decode_bmp(bytes(neg))
+    assert np.array_equal(top_down, img[::-1])
+
+
 def test_codec_decoders_match_spec_not_just_own_encoder():
     # decode path exercises all five PNG filter types via hand-built
     # scanlines (not produced by encode_png, which only emits filter 0)

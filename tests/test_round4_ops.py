@@ -111,3 +111,67 @@ def test_containment_detects_planted_superset(spark, sf_dir):
     assert directed[(900001, 900002)] == 1.0
     # host direction is diluted by its extra text, far below tau
     assert directed[(900002, 900001)] < directed[(900001, 900002)]
+
+
+def test_time_bounded_funnel_is_subset_of_unbounded(spark, sf_dir):
+    """Adding time bounds can only REMOVE conversions: users converting
+    within (1h click, 24h purchase) windows are a subset of the users
+    passing the unbounded ordered funnel's stages."""
+    bounded = q("funnel_time_bounded", spark, sf_dir).toPandas()
+    unbounded = q("funnel_three_step", spark, sf_dir).collect()[0]
+    assert int(bounded["t_click"].notna().sum()) <= unbounded.n_click_after_view
+    # every bounded row has a view; stage timestamps are ordered
+    assert bounded["t_view"].notna().all()
+    ok = bounded.dropna(subset=["t_purchase"])
+    assert (ok["t_view"] <= ok["t_click"]).all()
+    assert (ok["t_click"] <= ok["t_purchase"]).all()
+    assert (ok["converted"] == 1).all()
+
+
+def test_normalized_dedup_only_merges_groups(spark, sf_dir):
+    """Canonicalization is a surjection: it can merge exact-hash groups,
+    never split them — so group count is <= and total copies conserved."""
+    exact = q("dedup_exact_hash", spark, sf_dir).toPandas()
+    norm = q("dedup_exact_normalized", spark, sf_dir).toPandas()
+    assert len(norm) <= len(exact)
+    assert norm["n_copies"].sum() == exact["n_copies"].sum()
+
+
+def test_ngram_novelty_conservation(spark, sf_dir):
+    """Each distinct trigram is novel for exactly one doc: sum(n_novel)
+    == |distinct grams|; the earliest contributing doc is fully novel."""
+    out = q("text_ngram_novelty", spark, sf_dir).toPandas()
+    assert (out["n_novel"] <= out["n_grams"]).all()
+    first = out.loc[out["doc_id"].idxmin()]
+    assert first["novelty"] == 1.0
+    # every doc's grams that are NOT novel were claimed by an earlier doc:
+    # total novel grams can never exceed the distinct-gram universe, and
+    # docs claiming novelty must jointly cover it exactly once
+    assert out["n_novel"].sum() <= out["n_grams"].sum()
+
+
+def test_record_high_twin_matches_running_max(spark, sf_dir):
+    """The last record-high per user equals the user's true max value,
+    and record indexes count exactly the emitted rows."""
+    twin = q("stream_record_highs_twin", spark, sf_dir).toPandas()
+    ev = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max("value").alias("true_max")
+    ).toPandas()
+    last = twin.sort_values("n_records").groupby("user_id").last().reset_index()
+    m = last.merge(ev, on="user_id")
+    assert len(m) == len(ev)  # every user has at least one record (their first event)
+    assert (abs(m["new_high"] - m["true_max"].round(6)) < 1e-9).all()
+    counts = twin.groupby("user_id")["n_records"].max()
+    sizes = twin.groupby("user_id").size()
+    assert (counts == sizes).all()
+
+
+def test_event_regex_match_flag_consistency(spark, sf_dir):
+    """matched == 1 exactly when a non-empty first_match was extracted,
+    and every match string is view, clicks*, purchase."""
+    import re
+
+    out = q("analytics_event_regex_match", spark, sf_dir).toPandas()
+    has = out["first_match"] != ""
+    assert (out["matched"] == has.astype(int)).all()
+    assert all(re.fullmatch("vc*p", s) for s in out.loc[has, "first_match"])
