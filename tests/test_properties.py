@@ -207,3 +207,73 @@ def test_prefix_filter_join_complete_vs_bruteforce(spark, texts, dup_of):
         for r in prefix_filter_jaccard_pairs(docs).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- codecs
+# Pure-Python round-trips: no Spark jobs, so these can afford many more
+# examples than the operator properties above.
+
+_CODEC_SETTINGS = dict(max_examples=40, deadline=None)
+
+
+@settings(**_CODEC_SETTINGS)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from parquet_exporter_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    back = codecs.decode_png(codecs.encode_png(img))
+    assert back.shape == (h, w, c)
+    assert np.array_equal(back, img)
+
+
+@settings(**_CODEC_SETTINGS)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),  # odd widths exercise BMP row padding
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, gray, seed):
+    import numpy as np
+
+    from parquet_exporter_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = codecs.decode_bmp(codecs.encode_bmp(img))
+    want = np.repeat(img[:, :, None], 3, axis=2) if gray else img
+    assert np.array_equal(back, want)
+
+
+@settings(**_CODEC_SETTINGS)
+@given(
+    n=st.integers(1, 400),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    import numpy as np
+
+    from parquet_exporter_spark.operators import codecs
+
+    rng = np.random.default_rng(seed)
+    # exact PCM16 grid so the round-trip must be bit-faithful
+    k = rng.integers(-32768, 32768, size=(n, ch)).astype(np.float64)
+    samples = k / 32767.0
+    r, nch, back = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert (r, nch) == (rate, ch)
+    assert back.shape == (n, ch)
+    assert np.array_equal(
+        np.round(back * 32768.0), np.clip(k, -32768, 32767)
+    )
