@@ -56,7 +56,29 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # PER ROUND: update PRIORITY below with the next ~50 never-verified names
 # (one per operator family first, so component coverage grows fastest);
 # DRIVER_VERIFIED folds in the new round's results automatically once the
-# driver commits CORRECTNESS_r{N}.json.
+# driver commits CORRECTNESS_r{N}.json. After rotating, run
+# `TZ=America/New_York python tools/verify_priority.py` to replay the
+# driver's exact check on the new front window.
+#
+# ROUND-5 SUGGESTION (assuming CORRECTNESS_r04 lands green on the current
+# PRIORITY): the self-healing reorder already presents these next — a
+# hand-picked PRIORITY just controls the order. Strong picks, one per
+# still-unstamped family: join_lateral_df_api, sql_transpose_summary,
+# funnel_time_bounded, dq_file_row_distribution, dedup_exact_normalized,
+# text_ngram_novelty, analytics_event_regex_match,
+# stream_record_highs_twin, outlier_zscore, window_rolling_corr,
+# window_ignore_nulls, window_index_to_first, window_lag_defaults,
+# sql_in_subquery, sql_distribute_by, sql_parameterized,
+# sql_identifier_template, setop_union_all, setop_union_distinct,
+# setop_intersect, setop_except_all, setop_union_by_name, scan_parquet,
+# projection_compute, filter_conjunction, filter_like_rlike,
+# coalesce_defaults, case_when, distinct_values, sort_multi_key,
+# limit_rows, topk_global, count_star, ids_global_rownum, page_keyset,
+# climbs_region_filter, climbs_parent_fill, climbs_geojson_features,
+# geo_nearest_climbs, dedup_minhash_estimate_error, dedup_lsh_s_curve,
+# multimodal_dedup_exact, dedup_prefix_exact, dedup_blocking_stats,
+# text_pii_redaction, text_repetition_ratio, dedup_boilerplate_chunks,
+# text_contamination_check, emb_quantize_int8, text_bigrams.
 
 
 def _load_driver_verified() -> frozenset:
