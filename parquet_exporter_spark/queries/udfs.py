@@ -113,8 +113,12 @@ def udtf_split_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_cogrouped_pandas",
-    oracle=None,  # Arrow cogroup is engine-private; value-checked against
-    # the DataFrame twin (broadcast-join + groupBy) in tests/test_operators.py
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
     doc=(
         "Co-grouped pandas UDF: customer and orders both shuffle on the "
         "customer key, then each key's two groups arrive as a pandas "
@@ -150,7 +154,10 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_map_in_arrow",
-    oracle=None,  # value-checked against F.octet_length in tests/test_operators.py
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+    FROM documents
+    """,
     doc=(
         "mapInArrow: per-batch transform at the pyarrow RecordBatch level "
         "— zero pandas conversion overhead, the leanest Python escape "
