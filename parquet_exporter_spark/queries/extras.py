@@ -202,10 +202,19 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_binaryfile_scan",
-    oracle=None,  # filesystem listing source: no SQL oracle
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+           size AS length,
+           CAST(octet_length(content) AS INTEGER) AS content_bytes
+    FROM read_blob('{os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures", "*.parquet")}')
+    """,
     doc=(
         "binaryFile source: whole files as (path, modificationTime, length, "
-        "content) rows — the ingest shape for image/audio corpora."
+        "content) rows — the ingest shape for image/audio corpora. Oracle "
+        "is DuckDB's read_blob over the same glob, so names, declared "
+        "sizes, and actual content byte counts all hash-match."
     ),
 )
 def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +222,7 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("filename"),
         "length",
-        F.octet_length("content").alias("content_bytes"),
+        F.octet_length("content").cast("int").alias("content_bytes"),
     )
 
 
