@@ -743,3 +743,42 @@ def test_ivfpq_index_probe_prunes_and_approximates(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.adc_dist) for r in full.collect()] == [
         (r.vec_id, r.adc_dist) for r in expected.collect()
     ]
+
+
+def test_bucketed_table_rebuilds_when_scratch_wiped(spark, sf_dir):
+    """The catalog entry can outlive its scratch files (shared metastore,
+    cleaned /tmp). _bucketed_table must detect the wiped path and rebuild
+    instead of failing at scan time; the rebuilt table answers queries."""
+    import shutil
+    import tempfile
+
+    from parquet_exporter_spark.queries.joins import _bucketed_table
+
+    tbl = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    n = spark.table(tbl).count()
+    assert n > 0
+    path = os.path.join(tempfile.gettempdir(), tbl)
+    shutil.rmtree(path)
+    assert spark.catalog.tableExists(tbl)  # stale catalog entry survives
+    tbl2 = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    assert tbl2 == tbl
+    assert spark.table(tbl2).count() == n
+
+
+def test_bucketed_table_name_tracks_source_mtime(spark, sf_dir, tmp_path):
+    """Different source-data versions must yield different scratch table
+    names, so stale bucketed data is never silently reused."""
+    import shutil
+
+    from parquet_exporter_spark.queries.joins import _bucketed_table
+
+    copy_dir = str(tmp_path / "sfcopy")
+    os.makedirs(copy_dir)
+    for t in ("orders",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{copy_dir}/{t}.parquet")
+    a = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    b = _bucketed_table(spark, copy_dir, "orders", "o_orderkey")
+    assert a != b  # different dir (and mtime) -> different identity
+    os.utime(f"{copy_dir}/orders.parquet", (0, 0))
+    c = _bucketed_table(spark, copy_dir, "orders", "o_orderkey")
+    assert c != b  # same dir, touched data -> new identity
