@@ -1814,3 +1814,42 @@ def analytics_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike("vc*p").cast("int").alias("matched"),
         F.regexp_extract("seq", "vc*p", 0).alias("first_match"),
     )
+
+
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round((sum(o_totalprice) OVER w - o_totalprice)
+                 / nullif(count(*) OVER w - 1, 0), 2) AS loo_priority_mean
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+    doc=(
+        "Leave-one-out target encoding (the leakage-safe categorical "
+        "encoder for gradient-boosted/linear models): each order's "
+        "priority is encoded as the mean target (o_totalprice) of all "
+        "OTHER orders sharing the priority — (group_sum - y_i) / "
+        "(group_n - 1) — so a row never sees its own label, the classic "
+        "target-leakage fix (2-decimal money rounding: big-group float "
+        "sums differ across engines in the 6th decimal). Singleton categories encode as NULL "
+        "(nullif guard) rather than a self-mean. One shuffle on the "
+        "category key; sum and count ride the same unbounded window "
+        "frame, so the fact table is scanned and exchanged once. At "
+        "100 TB the category cardinality is what matters, not row "
+        "count — the window state per key is two numbers."
+    ),
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    loo = (F.sum("o_totalprice").over(w) - F.col("o_totalprice")) / F.nullif(
+        F.count(F.lit(1)).over(w) - F.lit(1), F.lit(0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(loo, 2).alias("loo_priority_mean"),
+    )

@@ -1382,3 +1382,68 @@ def timeseries_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sma3", 6).alias("sma3"),
         F.round("sma7", 6).alias("sma7"),
     )
+
+
+@query(
+    "timeseries_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, n,
+               CAST(date_diff('day', DATE '2024-01-01', d) AS DOUBLE) AS x
+        FROM daily
+    ),
+    slopes AS (
+        SELECT a.event_type, (b.n - a.n) / (b.x - a.x) AS slope
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.x < b.x
+    )
+    SELECT event_type,
+           round(median(slope), 6) AS theil_sen_slope,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM slopes GROUP BY 1
+    """,
+    doc=(
+        "Theil-Sen robust trend estimator: the median of all pairwise "
+        "slopes of the per-type daily counts — unlike regr_slope "
+        "(analytics_user_value_trend's OLS), a 29%-outlier-tolerant "
+        "trend, the robust-statistics twin of outlier_mad vs z-score. "
+        "The O(days^2) pairwise join runs on the BOUNDED daily rollup "
+        "(|days| rows per type, never raw events) keyed on event_type — "
+        "the same rollup-first discipline as the ACF/burstiness family, "
+        "so at 100 TB the quadratic term is |days|^2 ~ 1e5 pairs per "
+        "type per year, constant in event volume."
+    ),
+)
+def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.datediff("d", F.lit("2024-01-01").cast("date")).cast("double").alias("x"),
+    )
+    a = idx.select(
+        F.col("event_type"), F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = idx.select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("x").alias("x_b"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("x_a") < F.col("x_b"))
+    ).select(
+        "event_type",
+        ((F.col("n_b") - F.col("n_a")) / (F.col("x_b") - F.col("x_a"))).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.round(F.expr("median(slope)"), 6).alias("theil_sen_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
