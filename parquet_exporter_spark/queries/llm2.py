@@ -670,3 +670,69 @@ def split_time_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_train").cast("long").alias("n_train_events"),
         F.sum("n_test").cast("long").alias("n_test_events"),
     )
+
+
+@query(
+    "text_decontaminate_corpus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang, n_chars, {T.sql_tokens('text')} AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(
+                   [array_to_string(list_slice(t, i, i + 7), ' ')
+                    for i in generate_series(1, len(t) - 7)])) AS gram
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    hits AS (
+        SELECT g.doc_id, count(*) AS n_hits
+        FROM grams g JOIN bench b ON g.gram = b.gram
+        WHERE g.source <> 'src0'
+        GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM toks d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0' AND h.doc_id IS NULL
+    """,
+    doc=(
+        "Corpus DECONTAMINATION — the drop stage the contamination REPORT "
+        "(text_contamination_check) feeds: any document sharing even one "
+        "verbatim 8-token gram with the held-out benchmark (source "
+        "'src0') is removed from the training corpus; survivors pass "
+        "through with their metadata. This is the pre-training hygiene "
+        "step every eval-integrity audit requires (GPT-3 appendix C / "
+        "PaLM-style n-gram decontamination). Shape: the distinct "
+        "benchmark gram set broadcasts; contaminated doc_ids resolve via "
+        "one LEFT ANTI join, so the corpus itself is never shuffled by "
+        "gram — only the (doc, gram) explode is, same as the report "
+        "query. At 100 TB both sides join on xxhash64(gram)."
+    ),
+)
+def text_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    grams_arr = F.when(n >= 8, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - 7),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    ))).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", "source", F.explode(grams_arr).alias("gram"))
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select(F.col("gram").alias("bench_gram"))
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), F.col("gram") == F.col("bench_gram"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+    )

@@ -1447,3 +1447,77 @@ def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("median(slope)"), 6).alias("theil_sen_slope"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
+
+
+@query(
+    "timeseries_locf_bounded",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+        FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.user_id, CAST(unnest(generate_series(b.lo, b.hi,
+                                      INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds b
+    ),
+    joined AS (
+        SELECT s.user_id, s.d, dl.v,
+               max(CASE WHEN dl.v IS NOT NULL THEN s.d END) OVER w AS last_obs_d
+        FROM spine s LEFT JOIN daily dl USING (user_id, d)
+        WINDOW w AS (PARTITION BY s.user_id ORDER BY s.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, d,
+           CASE WHEN d - last_obs_d <= 2 THEN
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           END AS v_filled,
+           CAST(v IS NOT NULL AS INTEGER) AS observed
+    FROM joined
+    """,
+    doc=(
+        "Bounded-staleness LOCF: gap-fill carries the last observation "
+        "forward AT MOST 2 days — past that the series goes NULL instead "
+        "of serving stale data, the freshness contract production "
+        "feature stores enforce (unbounded LOCF, timeseries_gapfill_locf "
+        "above, silently serves arbitrarily old values after an outage). "
+        "Two stacked windows over one user-key exchange: a running "
+        "max-of-observed-date computes staleness, and last(ignorenulls) "
+        "supplies the carried value only when staleness <= the bound. "
+        "Calendar spine via sequence/explode, same as the unbounded "
+        "variant."
+    ),
+)
+def timeseries_locf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_obs_d = F.max(F.when(F.col("v").isNotNull(), F.col("d"))).over(w)
+    carried = F.last("v", ignorenulls=True).over(w)
+    return joined.select(
+        "user_id",
+        "d",
+        F.when(F.datediff(F.col("d"), last_obs_d) <= 2, carried).alias("v_filled"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+    )
