@@ -57,6 +57,12 @@ EXTRA = [
     "stream_record_highs_twin",
     "multimodal_png_roundtrip",
     "graph_bfs_hops",
+    "analytics_event_regex_match",
+    "feature_target_encode_loo",
+    "timeseries_theil_sen_trend",
+    "timeseries_locf_bounded",
+    "text_decontaminate_corpus",
+    "join_lateral_df_api",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
