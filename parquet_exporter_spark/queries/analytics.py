@@ -1853,3 +1853,91 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(loo, 2).alias("loo_priority_mean"),
     )
+
+
+@query(
+    "analytics_survival_km",
+    oracle="""
+    WITH w AS (SELECT max(ts) AS wm FROM events),
+    users AS (
+        SELECT user_id,
+               date_diff('day', min(ts), max(ts)) AS duration,
+               CASE WHEN max(ts) < (SELECT wm FROM w) - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY user_id
+    ),
+    per_t AS (
+        SELECT duration AS t,
+               sum(churned) AS d,
+               count(*) AS leaving
+        FROM users GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d,
+               (SELECT count(*) FROM users) -
+               coalesce(sum(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM per_t
+    )
+    SELECT CAST(t AS INTEGER) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(exp(sum(ln(greatest(1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)))
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 6) AS survival
+    FROM risk
+    """,
+    doc=(
+        "Kaplan-Meier survival curve for user lifetime (first to last "
+        "activity) with RIGHT-CENSORING: users still active within 7 "
+        "days of the corpus watermark are censored, not counted as "
+        "churned — the estimator product S(t) = prod(1 - d_i/n_i) only "
+        "steps on true churn events, which is what separates KM from the "
+        "naive retention curve (analytics_day_n_retention corrects a "
+        "single horizon; KM corrects the whole curve). Computed as "
+        "exp(cumsum(ln)) over the BOUNDED per-duration table (<= |days| "
+        "rows): the fact table reduces to per-user min/max in one "
+        "shuffle, and every window thereafter runs over duration rows — "
+        "the global-order window is over ~hundreds of rows at any data "
+        "scale, never events."
+    ),
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("wm"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(wm))
+        .select(
+            F.datediff("last_ts", "first_ts").alias("duration"),
+            (F.col("last_ts") < F.col("wm") - F.expr("INTERVAL 7 DAY"))
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    per_t = users.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prior), F.lit(0)),
+    )
+    hazard_ln = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"), F.lit(1e-12)
+        )
+    )
+    return risk.select(
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.exp(F.sum(hazard_ln).over(w_cum)), 6).alias("survival"),
+    )

@@ -14,6 +14,13 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "analytics_survival_km": (
+        {"bnlj", "single_partition_x4"},
+        "1-row watermark and 1-row user-total scalars broadcast; the "
+        "at-risk/survival windows are global-order but run over the "
+        "BOUNDED per-duration table (<= |days| rows at any scale) — "
+        "the fact reduces to per-user min/max in one keyed shuffle first",
+    ),
     "analytics_day_n_retention": (
         {"bnlj", "single_partition_x2"},
         "1-row last-day watermark broadcast for right-censoring; "
