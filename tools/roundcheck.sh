@@ -1,0 +1,102 @@
+#!/bin/bash
+# End-of-round verification protocol — runs every gate the round driver
+# and judge will apply, in the cheapest order that still catches
+# everything. Usage:  bash tools/roundcheck.sh   (from anywhere)
+#
+# 1. front-window driver replay (fast; the queries CORRECTNESS_r{N} will
+#    actually stamp)
+# 2. full pytest suite
+# 3. full driver-contract replica, all queries, neutral cwd + hostile TZ
+# 4. full-registry hostile-data sweep
+# 5. bench.py single-JSON-line contract
+#
+# Steps 2-4 each take 5-15 min; do NOT run them concurrently (CPU
+# contention roughly doubles each). Total ~35-40 min.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+fail=0
+
+echo "== [1/5] driver-window replay (front 50, sf0.01, hostile TZ) =="
+TZ=America/New_York python "$REPO/tools/verify_priority.py" || fail=1
+
+echo "== [2/5] full pytest suite =="
+(cd "$REPO" && python -m pytest tests/ -q) || fail=1
+
+echo "== [3/5] full driver-contract replica =="
+cd /tmp && TZ=America/New_York python - <<EOF || fail=1
+import sys
+sys.path.insert(0, "$REPO"); sys.path.insert(0, "$REPO/tests")
+from pyspark.sql import SparkSession
+import __spark_entry__ as e
+from harness import compare
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+q, o = e.queries(), e.oracle_sql()
+sf = "/root/testdata/sf0.01"
+fails = []
+print("entry rows:", e.entry(spark).count())
+for name, fn in sorted(q.items()):
+    if name not in o:
+        fn(spark, sf).count(); continue
+    try:
+        probs = compare(spark, name, sf, o[name], fn)
+    except Exception as ex:
+        probs = [f"EXC {ex}"]
+    if probs: fails.append(name); print("FAIL", name, probs[0][:200])
+print("FAILED:", fails or "none")
+sys.exit(1 if fails else 0)
+EOF
+
+echo "== [4/5] hostile-data full-registry sweep =="
+cd /tmp && python - <<EOF || fail=1
+import shutil, sys, tempfile
+sys.path.insert(0, "$REPO")
+from pyspark.sql import functions as F
+from parquet_exporter_spark import tables
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+from parquet_exporter_spark.session import get_spark
+_ensure_loaded()
+spark = get_spark(app_name="hostile_sweep")
+src = "/root/testdata/sf0.001"
+out = tempfile.mkdtemp(prefix="sfhostile_")
+for t in tables.TABLES:
+    shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+docs = spark.createDataFrame(
+    [(900001, "", "en", "web", 0), (900002, " ", "en", "web", 1),
+     (900003, "if (x=1) { return héllo; } // 42\\n    indented", "en", "code", 46),
+     (900004, "日本語のテキスト цифры 3.14159 №§", "ja", "web", 30),
+     (900005, "a", "en", "web", 1), (900006, "123 456 789", "en", "web", 11),
+     (900007, "!!! ??? ;;; ===", "en", "web", 15)],
+    "doc_id: long, text: string, lang: string, source: string, n_chars: long")
+base = spark.read.parquet(f"{src}/documents.parquet")
+base.unionByName(docs).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+ev = spark.read.parquet(f"{src}/events.parquet")
+extra = spark.createDataFrame(
+    [(9900001, "2024-01-15 12:00:00", 999001, "view", 0.0, "{}"),
+     (9900002, "2024-01-15 12:00:00", 999002, "purchase", 0.0, "{}"),
+     (9900003, "2024-01-15 12:00:00", 999002, "purchase", 0.0, "{}")],
+    "event_id: long, ts_s: string, user_id: long, event_type: string, value: double, props: string"
+).select("event_id", F.col("ts_s").cast(ev.schema["ts"].dataType).alias("ts"),
+         "user_id", "event_type", "value", "props")
+ev.unionByName(extra).write.mode("overwrite").parquet(f"{out}/events.parquet")
+tables._schema_cache.clear()
+fails = []
+for name, qd in REGISTRY.items():
+    try:
+        qd.fn(spark, out).count()
+    except Exception as ex:
+        fails.append(name); print("FAIL", name, str(ex).splitlines()[0][:160])
+print("hostile FAILED:", fails or "none")
+shutil.rmtree(out, ignore_errors=True)
+sys.exit(1 if fails else 0)
+EOF
+
+echo "== [5/5] bench contract =="
+(cd "$REPO" && python bench.py | python -c "
+import json, sys
+d = json.loads(sys.stdin.readline())
+assert {'metric','value','unit','queries','sf'} <= set(d), d.keys()
+print('bench OK:', d['value'], d['unit'], 'sf', d['sf'])") || fail=1
+
+echo
+if [ "$fail" -eq 0 ]; then echo "ROUNDCHECK: ALL GREEN"; else echo "ROUNDCHECK: FAILURES (see above)"; fi
+exit $fail
