@@ -7,12 +7,17 @@ only the standard library + numpy:
 - PNG (ISO/IEC 15948): IHDR/IDAT/IEND chunk walk, zlib inflate, and full
   scanline unfiltering (filter types 0-4 incl. Paeth) for 8-bit gray,
   gray+alpha, RGB, RGBA and palette images.
+- JPEG (ITU-T T.81 baseline sequential DCT): marker walk, canonical
+  Huffman entropy decode, dequantize + 8x8 IDCT, 4:4:4/4:2:2/4:2:0
+  chroma upsampling, restart markers — the format crawled image corpora
+  are mostly made of. Progressive/arithmetic streams raise ValueError
+  into the quarantine path.
 - WAV (RIFF/WAVE): `wave` module framing + numpy PCM interpretation for
   8/16/32-bit integer samples, normalized to float32 in [-1, 1].
 
 Matching encoders exist so tests and queries can synthesize REAL files
-deterministically (PNG filter-0 scanlines; PCM16 WAV) without any binary
-fixtures checked in.
+deterministically (PNG filter-0 scanlines; baseline JPEG with the Annex K
+example tables; PCM16 WAV) without any binary fixtures checked in.
 
 If Pillow IS available (production clusters), ``decode_image`` prefers it
 and falls back here — so the operator behavior is identical everywhere,
@@ -46,6 +51,8 @@ def sniff_format(data: bytes) -> str:
         return "audio/wav"
     if data[:2] == b"BM":
         return "image/bmp"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
     return "application/octet-stream"
 
 
@@ -257,17 +264,24 @@ def resize_gray(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     out = np.empty((target_h, target_w), dtype=np.uint8)
     f = img.astype(np.float64)
     for ty in range(target_h):
-        y0, y1 = ys[ty], max(ys[ty + 1], ys[ty] + 1)
+        # Clamp to the source extent so every cell averages >=1 real pixel
+        # even when upscaling (target dim > source dim), where rounded grid
+        # boundaries can land at or past h/w and would yield an empty slice.
+        y0 = min(int(ys[ty]), h - 1)
+        y1 = min(max(int(ys[ty + 1]), y0 + 1), h)
         for tx in range(target_w):
-            x0, x1 = xs[tx], max(xs[tx + 1], xs[tx] + 1)
+            x0 = min(int(xs[tx]), w - 1)
+            x1 = min(max(int(xs[tx + 1]), x0 + 1), w)
             out[ty, tx] = int(round(f[y0:y1, x0:x1].mean()))
     return out
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode image bytes to (H, W, C) uint8. Prefers Pillow when
-    installed (any format it knows); falls back to the stdlib decoders
-    (PNG, BMP) dispatched by magic bytes."""
+    """Decode image bytes to (H, W, C) uint8 with C in {3, 4}. Prefers
+    Pillow when installed (any format it knows); falls back to the stdlib
+    decoders (JPEG, PNG, BMP) dispatched by magic bytes. Gray / gray+alpha
+    sources are expanded to RGB / RGBA so consumers see identical shapes
+    whether or not Pillow is present on the cluster."""
     try:  # pragma: no cover - Pillow absent in this container
         from PIL import Image
 
@@ -276,8 +290,19 @@ def decode_image(data: bytes) -> np.ndarray:
         return arr if arr.ndim == 3 else arr[:, :, None]
     except ImportError:
         if data[:2] == b"BM":
-            return decode_bmp(data)
-        return decode_png(data)
+            arr = decode_bmp(data)
+        elif data[:2] == b"\xff\xd8":
+            arr = decode_jpeg(data)
+        else:
+            arr = decode_png(data)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] == 1:  # gray -> RGB
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 2:  # gray+alpha -> RGBA
+            arr = np.concatenate([np.repeat(arr[:, :, :1], 3, axis=2),
+                                  arr[:, :, 1:]], axis=2)
+        return arr
 
 
 # --------------------------------------------------------------------------
@@ -328,3 +353,583 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81 / ISO 10918-1)
+# --------------------------------------------------------------------------
+# Stdlib+numpy baseline JPEG codec, same spirit as the PNG/WAV pair above:
+# the decoder handles the format a real crawled corpus is mostly made of
+# (SOF0 baseline, 8-bit, grayscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0,
+# restart markers, 8- and 16-bit quant tables); the encoder emits baseline
+# 4:4:4 (or single-component grayscale) JPEG with the Annex K example
+# quantization + Huffman tables so tests can synthesize REAL JPEG bytes
+# deterministically with no binary fixtures. Progressive (SOF2),
+# arithmetic-coded, and 12-bit streams raise ValueError -> the standard
+# corrupt-blob quarantine path. JPEG is lossy: round-trip tests assert
+# bounded pixel error + decode determinism, never byte equality.
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K example quantization tables (raster order).
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K example Huffman tables: (BITS counts for lengths 1..16, HUFFVAL).
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: forward F = M @ A @ M.T, inverse
+    A = M.T @ F @ M."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    m = 0.5 * np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table (T.81 F.2.2.3 DECODE procedure)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+    def __init__(self, counts: list, values: list) -> None:
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            self.valptr[length] = k
+            self.mincode[length] = code
+            code += counts[length - 1]
+            k += counts[length - 1]
+            self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed scan segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan data exhausted mid-block")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if code <= table.maxcode[length]:
+                return table.values[table.valptr[length] + code - table.mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the raw SIZE-bit value to its signed level."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _split_scan_segments(data: bytes, start: int) -> tuple[list, int]:
+    """Split entropy-coded data into restart segments with 0xFF00
+    unstuffing removed; returns (segments, position of the terminating
+    marker's 0xFF byte)."""
+    segments = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker (EOI, next SOS, ...): scan ends
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes to (H, W) uint8 grayscale or
+    (H, W, 3) uint8 RGB (JFIF full-range BT.601). Raises ValueError on
+    progressive/arithmetic/12-bit or malformed streams (quarantine path)."""
+    if data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        seg_len = struct.unpack(">H", data[i:i + 2])[0]
+        seg = data[i + 2:i + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq_id = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                qt[tq_id] = tbl  # zigzag order as stored
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1:p + 17])
+                nv = sum(counts)
+                values = list(seg[p + 17:p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(counts, values)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h_img, w_img = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c:3 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
+            segments, _ = _split_scan_segments(data, i + seg_len)
+            return _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
+                                restart_interval, segments)
+        # APPn / COM / others: skip
+        i += seg_len
+    raise ValueError("JPEG contained no SOS scan")
+
+
+def _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
+                 restart_interval, segments) -> np.ndarray:
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    planes = {}
+    deq = {}
+    for cid, ch, cv, tq_id in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        if tq_id not in qt:
+            raise ValueError(f"JPEG missing quant table {tq_id}")
+        deq[cid] = qt[tq_id].astype(np.float64)
+    total_mcus = mcus_x * mcus_y
+    mcu_index = 0
+    block = np.empty(64, dtype=np.float64)
+    for seg_i, seg in enumerate(segments):
+        reader = _BitReader(seg)
+        pred = {cid: 0 for cid, *_ in comps}
+        seg_mcus = (restart_interval if restart_interval
+                    and seg_i < len(segments) - 1
+                    else total_mcus - mcu_index)
+        for _ in range(seg_mcus):
+            if mcu_index >= total_mcus:
+                break
+            my, mx = divmod(mcu_index, mcus_x)
+            for cid, ch, cv, _tq in comps:
+                dc_t, ac_t = scan_tables[cid]
+                if dc_t not in huff_dc or ac_t not in huff_ac:
+                    raise ValueError("JPEG missing Huffman table for scan")
+                for by in range(cv):
+                    for bx in range(ch):
+                        block[:] = 0.0
+                        size = reader.decode_huff(huff_dc[dc_t])
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[cid] += diff
+                        block[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(huff_ac[ac_t])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            block[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_ZIGZAG] = block * deq[cid]
+                        px = _DCT_M.T @ coeffs.reshape(8, 8) @ _DCT_M + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_index += 1
+    if mcu_index < total_mcus:
+        raise ValueError("JPEG scan ended early "
+                         f"({mcu_index}/{total_mcus} MCUs)")
+    # Upsample to full resolution and crop.
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, value: int, size: int) -> None:
+        self.acc = (self.acc << size) | (value & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write_bits((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _huff_encode_table(counts: list, values: list) -> dict:
+    """Symbol -> (code, length) from canonical (BITS, HUFFVAL)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of an Annex K table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _encode_block(writer: _BitWriter, block: np.ndarray, qt_zz: np.ndarray,
+                  dc_tab: dict, ac_tab: dict, pred: int) -> int:
+    """Huffman-encode one level-shifted 8x8 pixel block; returns the
+    updated DC predictor."""
+    f = _DCT_M @ block @ _DCT_M.T
+    # Both coefficient vector and quant table in ZIGZAG order.
+    zz = np.round(f.reshape(64)[_ZIGZAG] / qt_zz).astype(np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size = abs(diff).bit_length()
+    code, length = dc_tab[size]
+    writer.write_bits(code, length)
+    if size:
+        writer.write_bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    k = 1
+    while k <= last_nz:
+        run = 0
+        while zz[k] == 0:
+            run += 1
+            k += 1
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            writer.write_bits(code, length)
+            run -= 16
+        v = int(zz[k])
+        size = abs(v).bit_length()
+        code, length = ac_tab[(run << 4) | size]
+        writer.write_bits(code, length)
+        writer.write_bits(v if v >= 0 else v + (1 << size) - 1, size)
+        k += 1
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        writer.write_bits(code, length)
+    return pred
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """Encode (H, W) gray or (H, W, 3) RGB uint8 as baseline JPEG
+    (Annex K example quant/Huffman tables, libjpeg quality scaling).
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box-mean
+    chroma, the dominant shape in crawled corpora). ``restart_interval``
+    emits DRI + RSTn markers every N MCUs. Deterministic — same inputs
+    always give the same bytes — so tests synthesize real JPEG fixtures
+    in code."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (H, W) gray or (H, W, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    # Color convert; per-component sampling factors (h, v).
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        rgbf = arr.astype(np.float64)
+        r, g, b = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # 2x2 box-mean downsample of chroma (edge-pad odd dims first).
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def _down(p: np.ndarray) -> np.ndarray:
+                q = np.empty((eh, ew), dtype=np.float64)
+                q[:h, :w] = p
+                q[h:, :w] = p[h - 1:h, :]
+                q[:, w:] = q[:, w - 1:w]
+                return q.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+
+            planes = [y - 128.0, _down(cb) - 128.0, _down(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # Edge-replicate each plane out to its MCU-aligned extent.
+    padded = []
+    for p, (ch, cv) in zip(planes, samp):
+        sh, sw = p.shape
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        q = np.empty((th, tw), dtype=np.float64)
+        q[:sh, :sw] = p
+        q[sh:, :sw] = p[sh - 1:sh, :]
+        q[:, sw:] = q[:, sw - 1:sw]
+        padded.append(q)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF: version 1.1, no density units, 1x1 density, no thumbnail.
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    # DQT (zigzag order on the wire)
+    def _qt_seg(tid: int, tbl: np.ndarray) -> bytes:
+        zz = tbl.reshape(64)[_ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in zz)
+
+    out += _qt_seg(0, qt_l)
+    if not gray:
+        out += _qt_seg(1, qt_c)
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, (samp[0][0] << 4) | samp[0][1], 0])
+    if not gray:
+        sof += bytes([2, (samp[1][0] << 4) | samp[1][1], 1,
+                      3, (samp[2][0] << 4) | samp[2][1], 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+
+    def _dht_seg(tc: int, th: int, spec) -> bytes:
+        counts, values = spec
+        body = bytes([(tc << 4) | th]) + bytes(counts) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += _dht_seg(0, 0, _HUFF_DC_LUMA) + _dht_seg(1, 0, _HUFF_AC_LUMA)
+    if not gray:
+        out += _dht_seg(0, 1, _HUFF_DC_CHROMA) + _dht_seg(1, 1, _HUFF_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # Entropy-coded data, MCU-major: within an MCU each component
+    # contributes h*v blocks in raster order (T.81 A.2.3 interleaving).
+    dc_tabs = [_huff_encode_table(*_HUFF_DC_LUMA)]
+    ac_tabs = [_huff_encode_table(*_HUFF_AC_LUMA)]
+    qts = [qt_l[_ZIGZAG].astype(np.float64)]
+    if not gray:
+        dc_tabs += [_huff_encode_table(*_HUFF_DC_CHROMA)] * 2
+        ac_tabs += [_huff_encode_table(*_HUFF_AC_CHROMA)] * 2
+        qts += [qt_c[_ZIGZAG].astype(np.float64)] * 2
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    rst_n = 0
+    since_restart = 0
+    total_mcus = mcus_x * mcus_y
+    for mcu in range(total_mcus):
+        if restart_interval and since_restart == restart_interval:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            since_restart = 0
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(ncomp):
+            ch, cv = samp[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    preds[ci] = _encode_block(
+                        writer, padded[ci][y0:y0 + 8, x0:x0 + 8],
+                        qts[ci], dc_tabs[ci], ac_tabs[ci], preds[ci])
+        since_restart += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -9,9 +9,12 @@ Two decode tiers, selected per call:
   Spark-side plumbing — schema, Arrow batch shape, partitioning, UDF
   signature — is exercised without real media bytes.
 - ``decode_stub=False``: REAL decoding via ``operators/codecs.py`` —
-  Pillow/soundfile when installed, else the stdlib-only PNG (zlib +
-  scanline unfiltering) and WAV (RIFF PCM) codecs. Tests feed genuine
-  PNG/WAV bytes through this path (tests/test_multimodal_real.py).
+  Pillow/soundfile when installed, else the stdlib-only JPEG (baseline
+  DCT), PNG (zlib + scanline unfiltering), BMP and WAV (RIFF PCM)
+  codecs. Tests feed genuine JPEG/PNG/WAV bytes through this path
+  (tests/test_multimodal_real.py). Every real-path operator shares one
+  corrupt-blob contract: an undecodable payload degrades to a tagged /
+  empty / NULL quarantine row, never a failed Arrow batch.
   Video keyframe extraction is the one stage that still requires ffmpeg;
   the real path accepts concatenated-PNG sequences (the shape a
   frame-dumped corpus lands in) and raises for true video containers.
@@ -106,6 +109,19 @@ def _real_features(payload: bytes) -> tuple[str, int, int, float]:
     return fmt, 0, 0, float(sum(payload)) / max(len(payload), 1)
 
 
+def _try_gray_resize(payload: bytes, w: int, h: int) -> bytes | None:
+    """Decode -> grayscale -> box-resample, or None when the payload
+    cannot be decoded. The same corrupt-blob quarantine contract as
+    ``_real_features``: one truncated/undecodable blob must degrade to a
+    tagged row, never fail the Arrow batch (and with it the task)."""
+    try:
+        return codecs.resize_gray(
+            codecs.to_grayscale(codecs.decode_image(payload)), w, h
+        ).tobytes()
+    except Exception:
+        return None
+
+
 def decode_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode payloads and extract features via Arrow-batched mapInPandas."""
 
@@ -166,12 +182,11 @@ def resize_images(
                     lambda b: bytes((b * (size // max(len(b), 1) + 1))[:size])
                 )
             else:
+                # Quarantine: undecodable payloads emit empty pixels
+                # (filter with length(pixels) = 0), never a failed task.
                 pixels = pdf["payload"].map(
-                    lambda b: codecs.resize_gray(
-                        codecs.to_grayscale(codecs.decode_image(bytes(b))),
-                        target_w,
-                        target_h,
-                    ).tobytes()
+                    lambda b: _try_gray_resize(bytes(b), target_w, target_h)
+                    or b""
                 )
             yield pd.DataFrame(
                 {
@@ -234,12 +249,22 @@ def sample_frames(df: DataFrame, every_n: int = 4, decode_stub: bool = True) -> 
                             bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
                         )
                 else:
-                    blobs = _split_png_sequence(bytes(payload))
-                    for i in range(0, len(blobs), every_n):
-                        gray = codecs.to_grayscale(codecs.decode_image(blobs[i]))
+                    # Quarantine: a payload that is not a decodable PNG
+                    # sequence emits one frame_idx=-1 tombstone row so it
+                    # stays countable without failing the batch.
+                    try:
+                        blobs = _split_png_sequence(bytes(payload))
+                        for i in range(0, len(blobs), every_n):
+                            gray = codecs.to_grayscale(
+                                codecs.decode_image(blobs[i])
+                            )
+                            out_ids.append(doc_id)
+                            out_idx.append(i)
+                            out_frames.append(gray.tobytes())
+                    except Exception:
                         out_ids.append(doc_id)
-                        out_idx.append(i)
-                        out_frames.append(gray.tobytes())
+                        out_idx.append(-1)
+                        out_frames.append(b"")
             yield pd.DataFrame(
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
             )
@@ -269,7 +294,16 @@ def audio_window_energy(
                 if decode_stub:
                     seq = payload
                 else:
-                    _, _, samples = codecs.decode_wav(bytes(payload))
+                    # Quarantine: undecodable audio emits one win_idx=-1
+                    # NaN-energy row instead of failing the batch.
+                    try:
+                        _, _, samples = codecs.decode_wav(bytes(payload))
+                    except Exception:
+                        out_ids.append(doc_id)
+                        out_idx.append(-1)
+                        out_n.append(0)
+                        out_e.append(float("nan"))
+                        continue
                     seq = samples.mean(axis=1)  # downmix to mono
                 n = len(seq)
                 for w, start in enumerate(range(0, max(n, 1), hop)):
@@ -320,26 +354,33 @@ def image_average_hash(
         weights = 1 << np.arange(size, dtype=np.uint64)
         for pdf in it:
             if decode_stub:
-                bufs = (
+                bufs = [
                     bytes((b * (size // max(len(b), 1) + 1))[:size])
                     for b in pdf["payload"]
-                )
+                ]
             else:
-                bufs = (
-                    codecs.resize_gray(
-                        codecs.to_grayscale(codecs.decode_image(bytes(b))),
-                        hash_w,
-                        hash_h,
-                    ).tobytes()
+                # Quarantine: undecodable images hash to NULL instead of
+                # failing the batch; hash arithmetic stays vectorized over
+                # the decodable rows.
+                bufs = [
+                    _try_gray_resize(bytes(b), hash_w, hash_h)
                     for b in pdf["payload"]
-                )
-            pix = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(
-                len(pdf), size
-            )
-            bits = pix > pix.mean(axis=1, keepdims=True)
-            hashes = (bits.astype(np.uint64) * weights).sum(axis=1)
+                ]
+            ok = [i for i, b in enumerate(bufs) if b is not None]
+            hashes: list = [None] * len(pdf)
+            if ok:
+                pix = np.frombuffer(
+                    b"".join(bufs[i] for i in ok), dtype=np.uint8
+                ).reshape(len(ok), size)
+                bits = pix > pix.mean(axis=1, keepdims=True)
+                packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+                for row, value in zip(ok, packed.astype(np.int64)):
+                    hashes[row] = int(value)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "ahash": hashes.astype(np.int64)}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
             )
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)

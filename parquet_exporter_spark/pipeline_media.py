@@ -16,9 +16,10 @@ One Spark job; the driver sees only the bounded per-format card.
 
 Scale: the binaryFile source splits by file; decode work is confined to
 Arrow batches (codec modules ship inside the task via cloudpickle
-by-value registration, so executors need no package install); dedup
-shuffles 8-byte aHash keys, never payloads; the card rides the write
-via observe() — no second scan of the media bytes.
+by-value registration, so executors need no package install); every
+post-decode frame is NARROW — payload bytes never enter a join or
+window, only 8-byte aHash / 32-byte sha keys plus metadata shuffle, and
+the written output carries metadata + provenance, not payloads.
 """
 
 from __future__ import annotations
@@ -58,26 +59,31 @@ def ingest_media(
     ``corrupt=true`` partition rather than silently dropped, so the
     quarantine is auditable."""
     media = scan_media(spark, input_dir)
-    feats = decode_features(media, decode_stub=False).alias("f")
-    enriched = feats.join(media.select("doc_id", "path", "payload"), "doc_id")
+    # Three NARROW frames, each produced map-side from the scan — payload
+    # bytes never enter a join or window shuffle, only 8-64 byte keys do:
+    #   feats   (doc_id, payload_bytes, format, width, height, feature_mean)
+    #   hashed  (doc_id, ahash)  — NULL for non-images/corrupt (quarantine)
+    #   digests (doc_id, path, sha) — exact-dup key for non-image media
+    feats = decode_features(media, decode_stub=False)
+    hashed = image_average_hash(
+        media.select("doc_id", "payload"), decode_stub=False
+    )
+    digests = media.select("doc_id", "path", F.sha2("payload", 256).alias("sha"))
+    enriched = feats.join(hashed, "doc_id").join(digests, "doc_id")
 
     is_corrupt = F.col("format").startswith("corrupt/")
-    is_image = F.col("format") == "image/png"
+    is_image = F.col("format").startswith("image/")
     too_small = is_image & (F.col("width") * F.col("height") < F.lit(min_pixels))
 
     # aHash only means something for decodable images; other media dedup
     # by exact payload digest.
-    imgs = enriched.filter(is_image & ~too_small)
-    hashed = image_average_hash(
-        imgs.select("doc_id", "payload"), decode_stub=False
+    kept_candidates = enriched.filter(~is_corrupt & ~too_small).withColumn(
+        "dedup_key",
+        F.when(
+            is_image & F.col("ahash").isNotNull(),
+            F.conv(F.col("ahash").cast("string"), 10, 16),
+        ).otherwise(F.col("sha")),
     )
-    img_keyed = imgs.join(hashed, "doc_id").withColumn(
-        "dedup_key", F.conv(F.col("ahash").cast("string"), 10, 16)
-    )
-    rest = enriched.filter(~is_image & ~is_corrupt).withColumn(
-        "dedup_key", F.sha2("payload", 256)
-    )
-    kept_candidates = img_keyed.drop("ahash").unionByName(rest)
 
     w = Window.partitionBy("dedup_key").orderBy("path")
     deduped = (

@@ -60,25 +60,10 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `TZ=America/New_York python tools/verify_priority.py` to replay the
 # driver's exact check on the new front window.
 #
-# ROUND-5 SUGGESTION (assuming CORRECTNESS_r04 lands green on the current
-# PRIORITY): the self-healing reorder already presents these next — a
-# hand-picked PRIORITY just controls the order. Strong picks, one per
-# still-unstamped family: join_lateral_df_api, sql_transpose_summary,
-# funnel_time_bounded, dq_file_row_distribution, dedup_exact_normalized,
-# text_ngram_novelty, analytics_event_regex_match,
-# stream_record_highs_twin, outlier_zscore, window_rolling_corr,
-# window_ignore_nulls, window_index_to_first, window_lag_defaults,
-# sql_in_subquery, sql_distribute_by, sql_parameterized,
-# sql_identifier_template, setop_union_all, setop_union_distinct,
-# setop_intersect, setop_except_all, setop_union_by_name, scan_parquet,
-# projection_compute, filter_conjunction, filter_like_rlike,
-# coalesce_defaults, case_when, distinct_values, sort_multi_key,
-# limit_rows, topk_global, count_star, ids_global_rownum, page_keyset,
-# climbs_region_filter, climbs_parent_fill, climbs_geojson_features,
-# geo_nearest_climbs, dedup_minhash_estimate_error, dedup_lsh_s_curve,
-# multimodal_dedup_exact, dedup_prefix_exact, dedup_blocking_stats,
-# text_pii_redaction, text_repetition_ratio, dedup_boilerplate_chunks,
-# text_contamination_check, emb_quantize_int8, text_bigrams.
+# ROUND-6 SUGGESTION (assuming CORRECTNESS_r05 lands green on the current
+# PRIORITY): the self-healing reorder keeps presenting never-stamped names
+# in module order; hand-pick the next ~50 from
+# `python tools/verify_priority.py --list-unstamped` one-per-family.
 
 
 def _load_driver_verified() -> frozenset:
@@ -109,67 +94,68 @@ def _load_driver_verified() -> frozenset:
 DRIVER_VERIFIED = _load_driver_verified()
 
 
-# Hand-picked front of the registry for the ROUND-4 driver check budget
-# (~50 queries), all oracle-backed and never driver-checked in r1-r3.
-# Ordered one-per-family first (graph, dedup/LSH, DSIR, similarity, as-of
-# and interval joins, windows, CDC/SCD2, recursive CTE, set ops,
-# percentiles, time series, analytics, DQ, embeddings, sampling,
-# streaming batch twins), then reference-parity (climbs_*/geo_*) and
-# high-value SQL-surface/UDF names.
+# Hand-picked front of the registry for the ROUND-5 driver check budget
+# (~50 queries), all never driver-checked in r1-r4 (CORRECTNESS_r04 landed
+# 50/50 green on the round-4 PRIORITY, which DRIVER_VERIFIED now folds in
+# automatically). Ordered one-per-family first (Spark-4 lateral join,
+# transpose, funnel, DQ file profiling, normalized dedup, n-gram novelty,
+# regex analytics, stateful-streaming batch twin), then the remaining
+# relational / set-op / reference-parity / text-pipeline names.
 PRIORITY = (
-    "graph_pagerank",
-    "graph_bfs_hops",
-    "dedup_semdedup_clustered",
-    "dedup_prefix_filter_jaccard",
-    "dsir_importance_weights",
-    "similarity_lsh_topk",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_interval_overlap",
-    "join_bucketed_no_shuffle",
-    "join_time_bucketed_range",
-    "window_count_distinct",
-    "window_topk_per_group",
-    "window_rolling_median",
-    "window_time_range_frame",
-    "cdc_merge_upsert",
-    "cdc_latest_snapshot",
-    "scd2_temporal_lookup",
-    "sql_recursive_cte_spine",
-    "sql_not_exists",
-    "sql_cte_multi_ref",
-    "sql_lateral_topn",
-    "sql_pivot_wide",
-    "setop_intersect_all",
-    "setop_except_distinct",
-    "agg_percentile_disc",
-    "agg_string_agg",
-    "timeseries_ewma",
-    "timeseries_downsample_ohlc",
-    "analytics_rfm_segmentation",
-    "analytics_pareto_share",
-    "dq_rule_engine",
-    "dq_drift_psi",
-    "emb_kmeans_cluster",
-    "emb_l2_normalize",
-    "sample_sequence_packing",
-    "sample_global_shuffle",
-    "stream_session_window",
-    "stream_tumbling_window",
-    "dedup_minhash_lsh_pairs_portable",
-    "dedup_containment_pairs",
-    "similarity_binary_quantized",
-    "similarity_range_search",
-    "text_bpe_token_estimate",
-    "text_chunk_sliding",
-    "climbs_reshape",
-    "geo_radius_join",
-    "udf_pandas_scalar",
-    # Real-codec round-trips (round 4): stdlib PNG/WAV decode proven
-    # against an arithmetic SQL oracle — driver-stamping these documents
-    # that the multimodal path runs on genuine media bytes.
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
+    "join_lateral_df_api",
+    "sql_transpose_summary",
+    "funnel_time_bounded",
+    "dq_file_row_distribution",
+    "dedup_exact_normalized",
+    "text_ngram_novelty",
+    "analytics_event_regex_match",
+    "stream_record_highs_twin",
+    "outlier_zscore",
+    "window_rolling_corr",
+    "window_ignore_nulls",
+    "window_index_to_first",
+    "window_lag_defaults",
+    "sql_in_subquery",
+    "sql_distribute_by",
+    "sql_parameterized",
+    "sql_identifier_template",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_union_by_name",
+    "scan_parquet",
+    "projection_compute",
+    "filter_conjunction",
+    "filter_like_rlike",
+    "coalesce_defaults",
+    "case_when",
+    "distinct_values",
+    "sort_multi_key",
+    "limit_rows",
+    "topk_global",
+    "count_star",
+    "ids_global_rownum",
+    "page_keyset",
+    "climbs_region_filter",
+    "climbs_parent_fill",
+    "climbs_geojson_features",
+    "geo_nearest_climbs",
+    "dedup_minhash_estimate_error",
+    "dedup_lsh_s_curve",
+    "multimodal_dedup_exact",
+    "dedup_prefix_exact",
+    "dedup_blocking_stats",
+    "text_pii_redaction",
+    "text_repetition_ratio",
+    "dedup_boilerplate_chunks",
+    "text_contamination_check",
+    "emb_quantize_int8",
+    # Round-5 addition: REAL baseline-JPEG codec round-trip, bounded-error
+    # verdict oracle — stamping it documents the dominant crawled-image
+    # format decodes on genuine bytes. (text_bigrams yields its slot; the
+    # self-healing reorder presents it next round.)
+    "multimodal_jpeg_roundtrip",
 )
 
 

@@ -671,9 +671,11 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str, n_buc
     import os
     import tempfile
 
+    # Sub-second mtime plus size: data regenerated within the same second
+    # as the previous generation must still produce a fresh tag.
     src_files = sorted(glob.glob(os.path.join(sf_dir, name + "*")))
     version = "|".join(
-        f"{p}:{os.path.getmtime(p):.0f}" for p in src_files
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src_files
     ) or sf_dir
     tag = hashlib.sha256(f"{sf_dir}|{version}".encode()).hexdigest()[:12]
     tbl = f"pes_bkt_{name}_{tag}"

@@ -119,12 +119,19 @@ def test_real_frame_sampling_concatenated_pngs(spark):
         assert bytes(r.frame) == gray.tobytes()
 
 
-def test_real_frame_sampling_rejects_true_video(spark):
+def test_real_frame_sampling_quarantines_true_video(spark):
+    # A true video container (needs ffmpeg, not shipped) must NOT fail the
+    # task: it degrades to one frame_idx=-1 tombstone row, and decodable
+    # rows in the same batch still produce their frames.
+    good = b"".join(_gradient_png(6, 4, phase=i * 10) for i in range(5))
     df = spark.createDataFrame(
-        [(7, b"\x00\x00\x00\x18ftypmp42 not a png")], "doc_id long, payload binary"
+        [(7, b"\x00\x00\x00\x18ftypmp42 not a png"), (8, good)],
+        "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="ffmpeg|concatenated-PNG"):
-        sample_frames(df, decode_stub=False).collect()
+    rows = sample_frames(df, every_n=4, decode_stub=False).collect()
+    bad = [r for r in rows if r.doc_id == 7]
+    assert [(r.frame_idx, bytes(r.frame)) for r in bad] == [(-1, b"")]
+    assert sorted(r.frame_idx for r in rows if r.doc_id == 8) == [0, 4]
 
 
 def test_real_audio_window_energy(spark):
@@ -225,3 +232,159 @@ def test_codec_decoders_match_spec_not_just_own_encoder():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(codecs.decode_png(data), img)
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, stdlib-only codec)
+# --------------------------------------------------------------------------
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = np.add.outer(np.arange(h) * 2, np.arange(w)) % 256
+    img[:, :, 1] = np.add.outer(np.arange(h), np.arange(w)) % 256
+    img[:, :, 2] = 100
+    return img
+
+
+def test_jpeg_roundtrip_bounded_error():
+    # JPEG is lossy: assert bounded pixel error, never byte equality.
+    img = _smooth_rgb(35, 51)
+    for sub in ("444", "420"):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, subsampling=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 2.0, (sub, err)
+
+
+def test_jpeg_gray_roundtrip_and_quality_monotonic():
+    img = (np.add.outer(np.arange(24), np.arange(40)) % 256).astype(np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, q))
+        assert dec.shape == img.shape
+        errs.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert errs[0] >= errs[-1]  # higher quality never increases error
+    assert errs[-1] < 1.0
+
+
+def test_jpeg_deterministic_and_sniffed():
+    img = _smooth_rgb(16, 16)
+    a = codecs.encode_jpeg(img, 85)
+    assert a == codecs.encode_jpeg(img, 85)
+    assert codecs.sniff_format(a) == "image/jpeg"
+    d1, d2 = codecs.decode_jpeg(a), codecs.decode_jpeg(a)
+    assert (d1 == d2).all()
+
+
+def test_jpeg_restart_markers_decode_identically():
+    img = _smooth_rgb(33, 49)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, 90))
+    rst = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, restart_interval=2))
+    assert (plain == rst).all()
+    assert b"\xff\xdd" in codecs.encode_jpeg(img, 90, restart_interval=2)
+
+
+def test_jpeg_odd_and_tiny_shapes():
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (7, 9), (8, 8), (9, 17)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert codecs.decode_jpeg(codecs.encode_jpeg(g, 95)).shape == shape
+        c = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(c, 95, subsampling="420"))
+        assert dec.shape == shape + (3,)
+
+
+def test_jpeg_corrupt_streams_raise_valueerror():
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    for blob in (jb[:40], b"\xff\xd8\xff\xc2" + jb[4:], b"not a jpeg"):
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(blob)
+
+
+def test_jpeg_through_decode_features(spark):
+    img = _smooth_rgb(20, 30)
+    jb = codecs.encode_jpeg(img, 95)
+    truncated = jb[: len(jb) // 2]
+    df = spark.createDataFrame(
+        [(1, jb), (2, truncated)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_features(df, decode_stub=False).collect()}
+    good = rows[1]
+    assert good.format == "image/jpeg"
+    assert (good.width, good.height) == (30, 20)
+    # feature_mean must track the true gray mean within JPEG loss
+    true_gray = float(codecs.to_grayscale(img).mean())
+    assert abs(good.feature_mean - true_gray) < 3.0
+    assert rows[2].format == "corrupt/jpeg"
+
+
+def test_jpeg_ahash_near_dup_detection(spark):
+    base = _smooth_rgb(32, 32)
+    noisy = base.copy()
+    noisy[0, 0] = [255, 255, 255]  # tiny perturbation
+    different = 255 - base
+    df = spark.createDataFrame(
+        [
+            (1, codecs.encode_jpeg(base, 90)),
+            (2, codecs.encode_jpeg(noisy, 90)),
+            (3, codecs.encode_jpeg(different, 90)),
+            (4, b"truncated \xff\xd8 garbage"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.ahash for r in
+            image_average_hash(df, decode_stub=False).collect()}
+    ham = bin((rows[1] ^ rows[2]) & (2**64 - 1)).count("1")
+    assert ham <= 4  # near-dup
+    ham_diff = bin((rows[1] ^ rows[3]) & (2**64 - 1)).count("1")
+    assert ham_diff > 16  # inverted image is far away
+    assert rows[4] is None  # quarantined, not failed
+
+
+def test_resize_gray_upscale_no_crash():
+    # Regression: upscaling past the source extent used to hit an empty
+    # slice (NaN mean) when rounded grid boundaries landed at/past h or w.
+    img = (np.add.outer(np.arange(4) * 40, np.arange(16) * 10) % 256).astype(
+        np.uint8
+    )
+    out = codecs.resize_gray(img, 8, 8)
+    assert out.shape == (8, 8)
+    const = codecs.resize_gray(np.full((2, 3), 77, np.uint8), 16, 16)
+    assert (const == 77).all()
+
+
+def test_resize_images_quarantines_bad_blob(spark):
+    good = codecs.encode_png(np.full((20, 30, 3), 200, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x89PNG\r\n\x1a\n truncated")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in
+            resize_images(df, 8, 8, decode_stub=False).collect()}
+    assert bytes(rows[1].pixels) == bytes([200] * 64)
+    assert bytes(rows[2].pixels) == b""
+
+
+def test_audio_energy_quarantines_bad_blob(spark):
+    sq = 0.75 * np.tile(np.repeat([1.0, -1.0], 4), 80)
+    df = spark.createDataFrame(
+        [(1, codecs.encode_wav(sq, 8000)), (2, b"RIFFxxxxWAVE broken")],
+        "doc_id long, payload binary",
+    )
+    rows = audio_window_energy(df, window=64, hop=64, decode_stub=False).collect()
+    good = [r for r in rows if r.doc_id == 1]
+    bad = [r for r in rows if r.doc_id == 2]
+    assert len(good) == 10 and all(abs(r.energy - 0.75) < 1e-3 for r in good)
+    # NaN energy -> null through Arrow
+    assert len(bad) == 1 and bad[0].win_idx == -1 and bad[0].energy is None
+
+
+def test_decode_image_channel_shape_uniform():
+    # Gray and gray+alpha PNGs must come back 3/4-channel so consumers see
+    # identical shapes with or without Pillow on the cluster.
+    gray = (np.add.outer(np.arange(5), np.arange(7)) % 256).astype(np.uint8)
+    png_gray = codecs.encode_png(gray)
+    arr = codecs.decode_image(png_gray)
+    assert arr.shape == (5, 7, 3)
+    assert (arr[:, :, 0] == gray).all() and (arr[:, :, 2] == gray).all()

@@ -27,6 +27,19 @@ import __spark_entry__ as e  # noqa: E402
 from harness import compare  # noqa: E402
 
 
+def list_unstamped() -> int:
+    """Print registry names with no green CORRECTNESS_r* row, in the
+    order the driver would check them (PRIORITY rotation candidates)."""
+    from parquet_exporter_spark.queries import DRIVER_VERIFIED
+    from parquet_exporter_spark.registry import REGISTRY
+
+    names = [k for k in REGISTRY if k not in DRIVER_VERIFIED]
+    for name in names:
+        print(name)
+    print(f"# {len(names)} unstamped of {len(REGISTRY)}", file=sys.stderr)
+    return 0
+
+
 def main(n: int = 50) -> int:
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     q, o = e.queries(), e.oracle_sql()
@@ -58,4 +71,6 @@ def main(n: int = 50) -> int:
 
 
 if __name__ == "__main__":
+    if "--list-unstamped" in sys.argv:
+        sys.exit(list_unstamped())
     sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 50))
