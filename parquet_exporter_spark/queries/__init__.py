@@ -66,12 +66,15 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `python tools/verify_priority.py --list-unstamped` one-per-family.
 
 
-def _load_driver_verified() -> frozenset:
+def _load_driver_verified() -> tuple[frozenset, frozenset]:
+    """Returns (verified, hash_matched): names with any green row, and the
+    subset whose green row was a FULL hash match (not just no_oracle)."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
     green: set[str] = set()
+    hash_matched: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -86,12 +89,31 @@ def _load_driver_verified() -> frozenset:
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             rows_only_ok = err == "no_oracle"
+            if full_green:
+                hash_matched.add(name)
             if full_green or rows_only_ok:
                 green.add(name)
-    return frozenset(green)
+    return frozenset(green), frozenset(hash_matched)
 
 
-DRIVER_VERIFIED = _load_driver_verified()
+# Queries whose oracle contract CHANGED after an earlier rows-only driver
+# stamp — the five approx sketches upgraded in round 5 from "no_oracle" to
+# bounded-error verdict oracles. Their old stamps prove only the weaker
+# contract, so they re-enter the driver's front window until a FULL
+# hash-matched row lands (self-healing: once CORRECTNESS_r5+ records the
+# hash match, the subtraction below becomes a no-op for that name).
+FORCE_RESTAMP = frozenset(
+    {
+        "agg_approx_distinct",
+        "agg_hll_rollup",
+        "agg_count_min_sketch",
+        "sample_fraction",
+        "agg_approx_percentile",
+    }
+)
+
+_VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
+DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
 # Hand-picked front of the registry for the ROUND-5 driver check budget
@@ -146,16 +168,18 @@ PRIORITY = (
     "multimodal_dedup_exact",
     "dedup_prefix_exact",
     "dedup_blocking_stats",
-    "text_pii_redaction",
-    "text_repetition_ratio",
-    "dedup_boilerplate_chunks",
-    "text_contamination_check",
-    "emb_quantize_int8",
-    # Round-5 addition: REAL baseline-JPEG codec round-trip, bounded-error
-    # verdict oracle — stamping it documents the dominant crawled-image
-    # format decodes on genuine bytes. (text_bigrams yields its slot; the
-    # self-healing reorder presents it next round.)
+    # Round-5 additions: REAL baseline-JPEG codec round-trip, plus the five
+    # approx sketches upgraded from rows-only to bounded-error verdict
+    # oracles (FORCE_RESTAMP above) — stamping them this round converts
+    # their driver evidence from liveness to accuracy. The displaced
+    # never-stamped text/emb names (text_pii_redaction etc.) are presented
+    # automatically next round by the self-healing reorder.
     "multimodal_jpeg_roundtrip",
+    "agg_approx_distinct",
+    "agg_hll_rollup",
+    "agg_count_min_sketch",
+    "sample_fraction",
+    "agg_approx_percentile",
 )
 
 

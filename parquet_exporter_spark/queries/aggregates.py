@@ -241,15 +241,38 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL estimate differs between engines: rows-only check;
-    # the exact-vs-approx error bound is asserted in tests/test_operators.py.
-    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct counts.",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol
+    FROM lineitem
+    """,
+    doc=(
+        "approx_count_distinct (HyperLogLog++) — the 100 TB path for "
+        "distinct counts — with a BOUNDED-ERROR VERDICT oracle: the HLL "
+        "estimate itself is engine-specific, so the query emits the exact "
+        "distinct counts plus booleans asserting the estimate lands "
+        "within 3x HLL's default 5%% rsd (15%%, robust at any SF). A hash "
+        "match therefore proves estimate ACCURACY, not just liveness."
+    ),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+    )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est) - F.col(exact)) / F.col(exact) <= F.lit(0.15)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("ao", "exact_orders").alias("orders_within_tol"),
+        within("ap", "exact_parts").alias("parts_within_tol"),
     )
 
 
@@ -353,32 +376,59 @@ def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_rollup",
-    oracle=None,  # DataSketches HLL binaries are engine-private; the
-    # estimate-vs-exact error bound is asserted in tests/test_operators.py.
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
     doc=(
         "Two-level distinct-count rollup via mergeable HLL sketches "
         "(DataSketches): per-nation customer sketches union-agg up to the "
         "region level without rescanning — THE pattern for distinct counts "
         "at 100 TB, where partial sketches merge across partitions/days "
-        "instead of reshuffling raw keys."
+        "instead of reshuffling raw keys. BOUNDED-ERROR VERDICT oracle: "
+        "the sketch binary is engine-private, so the query emits the "
+        "exact per-region distinct count plus a boolean asserting the "
+        "merged-sketch estimate lands within 5% of it — a hash match "
+        "proves the sketch MERGE path is accurate, not just alive."
     ),
 )
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     nation = read_table(spark, sf_dir, "nation")
-    per_nation = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     )
-    return (
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch")
+    )
+    approx = (
         per_nation.groupBy("n_regionkey")
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(
             "n_regionkey",
             F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        exact.join(approx, "n_regionkey")
+        .select(
+            "n_regionkey",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
         )
         .orderBy("n_regionkey")
     )
@@ -386,24 +436,61 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_count_min_sketch",
-    oracle=None,  # sketch binary is engine-private; over-estimate-only
-    # guarantee asserted in tests/test_operators.py.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           TRUE AS never_undercounts,
+           TRUE AS within_eps_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
     doc=(
         "Count-min sketch over order priorities: a fixed-size frequency "
         "summary (eps=0.001, conf=0.99) queried per key. Like HLL, the "
         "sketch is a mergeable partial aggregate — heavy-hitter tracking "
-        "at 100 TB without shuffling raw keys; estimates only ever "
-        "overcount."
+        "at 100 TB without shuffling raw keys. BOUNDED-ERROR VERDICT "
+        "oracle: the sketch binary is engine-private, so the query "
+        "aggregates the sketch distributedly, reads the BOUNDED collected "
+        "sketch (~100 KB, the serving-layer pattern for a published "
+        "sketch) back through the public CountMinSketch.readFrom API, and "
+        "emits per-key booleans for the CMS contract — estimates never "
+        "undercount and overcount by at most eps*N. A hash match proves "
+        "both guarantees per key."
     ),
 )
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    sketch = orders.agg(
-        F.count_min_sketch(
-            "o_orderpriority", F.lit(0.001), F.lit(0.99), F.lit(42)
-        ).alias("cms")
+    eps = 0.001
+    sketch_raw = bytes(
+        orders.agg(
+            F.count_min_sketch(
+                "o_orderpriority", F.lit(eps), F.lit(0.99), F.lit(42)
+            ).alias("cms")
+        ).collect()[0].cms
     )
-    return sketch.select(F.base64("cms").alias("sketch_b64"))
+    jsk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        sketch_raw
+    )
+    exact = [
+        (r[0], int(r[1]))
+        for r in orders.groupBy("o_orderpriority").count().collect()
+    ]
+    total = sum(n for _, n in exact)
+    rows = [
+        (
+            key,
+            n,
+            int(jsk.estimateCount(key)) >= n,
+            int(jsk.estimateCount(key)) <= n + eps * total,
+        )
+        for key, n in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, exact_count long, "
+        "never_undercounts boolean, within_eps_bound boolean",
+    )
 
 
 @query(

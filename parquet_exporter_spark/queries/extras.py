@@ -174,30 +174,81 @@ def schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_fraction",
-    oracle=None,  # engine-specific PRNG: rows-only (count bounds asserted
-    # in tests/test_operators.py)
-    doc="Bernoulli TABLESAMPLE with a fixed seed (deterministic per engine).",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS sample_within_4sigma
+    FROM lineitem
+    """,
+    doc=(
+        "Bernoulli TABLESAMPLE with a fixed seed (deterministic per "
+        "engine). BOUNDED-ERROR VERDICT oracle: the engine-specific PRNG "
+        "makes the row set un-hashable cross-engine, so the query emits "
+        "the exact population size plus a boolean asserting the sample "
+        "size lands within 4 binomial standard deviations of "
+        "fraction*N — a hash match proves the sampler's rate, not just "
+        "that it returned rows."
+    ),
 )
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    frac = 0.1
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = li.sample(fraction=frac, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sample")
+    )
+    return total.crossJoin(sampled).select(
+        "n_total",
+        (
+            F.abs(F.col("n_sample") - F.lit(frac) * F.col("n_total"))
+            <= F.lit(4.0) * F.sqrt(F.lit(frac * (1 - frac)) * F.col("n_total"))
+        ).alias("sample_within_4sigma"),
+    )
 
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based: engine-specific estimates
-    doc="approx_percentile (KLL/GK sketch) — the 100 TB path for quantiles.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_half_pct,
+           TRUE AS p90_within_half_pct,
+           TRUE AS p99_within_half_pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "approx_percentile (KLL/GK sketch) — the 100 TB path for "
+        "quantiles. BOUNDED-ERROR VERDICT oracle: the sketch estimate is "
+        "engine-specific (and the interpolated exact value rounds "
+        "differently across engines at .xx5 boundaries), so the query "
+        "emits the exact per-group row count as a stable anchor plus "
+        "booleans asserting each approximate percentile lands within 0.5% "
+        "relative error of the exact continuous percentile (Spark "
+        "percentile() == DuckDB quantile_cont interpolation, compared "
+        "WITHIN Spark) — a hash match proves sketch accuracy at three "
+        "quantiles per group."
+    ),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-    # Unpacked to scalar columns: the driver canonicalizes even rows-only
-    # outputs and cannot hash a raw array cell.
-    return li.groupBy("l_returnflag").agg(
-        F.round(pcts.getItem(0), 2).alias("p50"),
-        F.round(pcts.getItem(1), 2).alias("p90"),
-        F.round(pcts.getItem(2), 2).alias("p99"),
+    apx = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    ext = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), apx.alias("a"), ext.alias("e")
     )
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("a").getItem(i) - F.col("e").getItem(i))
+        / F.col("e").getItem(i)
+        <= F.lit(0.005)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        within(0).alias("p50_within_half_pct"),
+        within(1).alias("p90_within_half_pct"),
+        within(2).alias("p99_within_half_pct"),
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -14,6 +14,13 @@ _ensure_loaded()
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
+    "sample_fraction": (
+        {"bnlj", "single_partition_x2"},
+        "the verdict form crossJoins TWO 1-row global aggregates "
+        "(population count x sample count) — both sides are map-side "
+        "combined scalars at any scale; the sample scan itself stays "
+        "fully partitioned",
+    ),
     "analytics_survival_km": (
         {"bnlj", "single_partition_x4"},
         "1-row watermark and 1-row user-total scalars broadcast; the "
