@@ -569,6 +569,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG marker")
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -584,12 +589,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq_id = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
+                width = 128 if pq else 64
+                if p + width > len(seg):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq == 0:
                     tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
-                    p += 64
                 else:
                     tbl = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
-                    p += 128
+                p += width
                 qt[tq_id] = tbl  # zigzag order as stored
         elif marker == 0xC4:  # DHT
             p = 0
@@ -597,6 +604,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 counts = list(seg[p + 1:p + 17])
                 nv = sum(counts)
+                if len(counts) < 16 or p + 17 + nv > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 values = list(seg[p + 17:p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(counts, values)
                 p += 17 + nv
@@ -620,6 +629,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # A baseline stream may legally carry each component in its
+                # own scan (non-interleaved); this decoder handles only the
+                # single interleaved scan — keep the ValueError-only
+                # contract so callers quarantine instead of KeyError-ing.
+                raise ValueError("multi-scan baseline JPEG unsupported")
             scan_tables = {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]

@@ -65,11 +65,22 @@ def ingest_media(
     #   hashed  (doc_id, ahash)  — NULL for non-images/corrupt (quarantine)
     #   digests (doc_id, path, sha) — exact-dup key for non-image media
     feats = decode_features(media, decode_stub=False)
+    # aHash is only meaningful for image payloads: pre-filter map-side on
+    # the sniffed image magic bytes (PNG/JPEG/BMP) so audio/octet-stream
+    # blobs never enter the Arrow decode batch — at corpus scale that is
+    # the difference between hashing every byte ingested and only the
+    # image fraction. Rows filtered out rejoin with a NULL ahash via the
+    # left join, identical to the decoder's own non-image NULL verdict.
+    looks_image = (
+        F.expr("substring(payload, 1, 8) = X'89504E470D0A1A0A'")  # PNG
+        | F.expr("substring(payload, 1, 2) = X'FFD8'")  # JPEG
+        | F.expr("substring(payload, 1, 2) = X'424D'")  # BMP
+    )
     hashed = image_average_hash(
-        media.select("doc_id", "payload"), decode_stub=False
+        media.filter(looks_image).select("doc_id", "payload"), decode_stub=False
     )
     digests = media.select("doc_id", "path", F.sha2("payload", 256).alias("sha"))
-    enriched = feats.join(hashed, "doc_id").join(digests, "doc_id")
+    enriched = feats.join(hashed, "doc_id", "left").join(digests, "doc_id")
 
     is_corrupt = F.col("format").startswith("corrupt/")
     is_image = F.col("format").startswith("image/")

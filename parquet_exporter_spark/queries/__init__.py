@@ -97,11 +97,14 @@ def _load_driver_verified() -> tuple[frozenset, frozenset]:
 
 
 # Queries whose oracle contract CHANGED after an earlier rows-only driver
-# stamp — the five approx sketches upgraded in round 5 from "no_oracle" to
-# bounded-error verdict oracles. Their old stamps prove only the weaker
-# contract, so they re-enter the driver's front window until a FULL
-# hash-matched row lands (self-healing: once CORRECTNESS_r5+ records the
-# hash match, the subtraction below becomes a no-op for that name).
+# stamp — round 5 upgraded the five approx sketches from "no_oracle" to
+# bounded-error verdict oracles (all five hash-stamped green in
+# CORRECTNESS_r05, so their entries below are now self-healed no-ops);
+# round 6 did the same for the two MLlib LSH twins (exact-anchor verdict
+# oracles) and multimodal_binaryfile_scan (DuckDB read_blob oracle, commit
+# 49d0ff0, whose driver row was still the stale r01 no_oracle liveness
+# entry). Their old stamps prove only the weaker contract, so they re-enter
+# the driver's front window until a FULL hash-matched row lands.
 FORCE_RESTAMP = frozenset(
     {
         "agg_approx_distinct",
@@ -109,6 +112,9 @@ FORCE_RESTAMP = frozenset(
         "agg_count_min_sketch",
         "sample_fraction",
         "agg_approx_percentile",
+        "dedup_minhash_mllib",
+        "similarity_ann_mllib",
+        "multimodal_binaryfile_scan",
     }
 )
 
@@ -116,70 +122,66 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-5 driver check budget
-# (~50 queries), all never driver-checked in r1-r4 (CORRECTNESS_r04 landed
-# 50/50 green on the round-4 PRIORITY, which DRIVER_VERIFIED now folds in
-# automatically). Ordered one-per-family first (Spark-4 lateral join,
-# transpose, funnel, DQ file profiling, normalized dedup, n-gram novelty,
-# regex analytics, stateful-streaming batch twin), then the remaining
-# relational / set-op / reference-parity / text-pipeline names.
+# Hand-picked front of the registry for the ROUND-6 driver check budget
+# (~50 queries). CORRECTNESS_r05 landed 50/50 green on the round-5
+# PRIORITY (DRIVER_VERIFIED folds it in automatically); 206 registered
+# queries remained never-stamped. This window leads with the three
+# FORCE_RESTAMP oracle upgrades (the last no_oracle liveness rows in the
+# registry: binaryfile scan + the two MLlib LSH twins, all given full
+# verdict/hash oracles this round), then 47 never-stamped names picked
+# one-per-family first (streaming/CDC, UDF variants, graph, DQ profiling,
+# time series, sampling, analytics, scans, search, embeddings).
 PRIORITY = (
-    "join_lateral_df_api",
-    "sql_transpose_summary",
-    "funnel_time_bounded",
-    "dq_file_row_distribution",
-    "dedup_exact_normalized",
-    "text_ngram_novelty",
-    "analytics_event_regex_match",
-    "stream_record_highs_twin",
-    "outlier_zscore",
-    "window_rolling_corr",
-    "window_ignore_nulls",
-    "window_index_to_first",
-    "window_lag_defaults",
-    "sql_in_subquery",
-    "sql_distribute_by",
-    "sql_parameterized",
-    "sql_identifier_template",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_union_by_name",
-    "scan_parquet",
-    "projection_compute",
-    "filter_conjunction",
-    "filter_like_rlike",
-    "coalesce_defaults",
-    "case_when",
-    "distinct_values",
-    "sort_multi_key",
-    "limit_rows",
-    "topk_global",
-    "count_star",
-    "ids_global_rownum",
-    "page_keyset",
-    "climbs_region_filter",
-    "climbs_parent_fill",
-    "climbs_geojson_features",
-    "geo_nearest_climbs",
-    "dedup_minhash_estimate_error",
-    "dedup_lsh_s_curve",
-    "multimodal_dedup_exact",
-    "dedup_prefix_exact",
-    "dedup_blocking_stats",
-    # Round-5 additions: REAL baseline-JPEG codec round-trip, plus the five
-    # approx sketches upgraded from rows-only to bounded-error verdict
-    # oracles (FORCE_RESTAMP above) — stamping them this round converts
-    # their driver evidence from liveness to accuracy. The displaced
-    # never-stamped text/emb names (text_pii_redaction etc.) are presented
-    # automatically next round by the self-healing reorder.
-    "multimodal_jpeg_roundtrip",
-    "agg_approx_distinct",
-    "agg_hll_rollup",
-    "agg_count_min_sketch",
-    "sample_fraction",
-    "agg_approx_percentile",
+    "multimodal_binaryfile_scan",
+    "dedup_minhash_mllib",
+    "similarity_ann_mllib",
+    "text_pii_redaction",
+    "emb_quantize_int8",
+    "search_bm25",
+    "search_hybrid_rrf",
+    "udaf_grouped_pandas",
+    "udtf_split_priority",
+    "udf_cogrouped_pandas",
+    "udf_map_in_arrow",
+    "udf_pandas_grouped_agg",
+    "stream_sliding_window",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "sessionize_gaps_islands",
+    "cdc_apply_deletes",
+    "stream_session_window_dynamic",
+    "cdc_incremental_agg",
+    "stream_topk_per_window",
+    "cdc_snapshot_diff",
+    "stream_lateness_profile",
+    "stream_watermark_what_if",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_degree_distribution",
+    "graph_component_sizes",
+    "dedup_near_keep_canonical",
+    "dq_constraint_checks",
+    "profile_table_summary",
+    "profile_frequent_items",
+    "catalog_row_counts",
+    "profile_numeric_correlations",
+    "timeseries_interpolate_linear",
+    "timeseries_latency_percentiles",
+    "timeseries_hierarchical_rollup",
+    "timeseries_theil_sen_trend",
+    "timeseries_locf_bounded",
+    "timeseries_gapfill_locf",
+    "scd2_history_from_events",
+    "sample_stratified",
+    "sample_weighted",
+    "sample_domain_mixture",
+    "analytics_survival_km",
+    "feature_target_encode_loo",
+    "outlier_mad",
+    "ab_test_proportions",
+    "scan_xml",
+    "scan_partitioned_pruned",
+    "scan_orc",
 )
 
 

@@ -86,19 +86,58 @@ STRATA_FRACTIONS = {"src0": 0.2, "src1": 0.8, "src2": 0.5}
 
 @query(
     "sample_stratified",
-    oracle=None,  # seeded Bernoulli draws are engine-private: rows-only +
-    # per-stratum bounds and determinism asserted in tests/test_operators.py
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_population,
+           TRUE AS sample_within_4sigma
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY source
+    """,
     doc=(
         "Stratified (per-source) sampling with sampleBy: each stratum is "
         "kept at its recipe fraction via an independent Bernoulli draw — "
         "a narrow map over the scan, no shuffle, deterministic under a "
-        "fixed seed."
+        "fixed seed. BOUNDED-ERROR VERDICT oracle (the engine-private PRNG "
+        "makes the row set un-hashable cross-engine): emits each stratum's "
+        "exact population count plus a boolean asserting the seeded sample "
+        "size lands within 4 binomial standard deviations (+1 for tiny "
+        "strata) of fraction*n — a hash match proves per-stratum sampling "
+        "ACCURACY, not liveness. Exact-row determinism under the fixed "
+        "seed stays asserted in tests/test_operators.py."
     ),
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.sampleBy("source", STRATA_FRACTIONS, seed=42).select(
-        "doc_id", "source", "lang"
+    sampled = (
+        docs.sampleBy("source", STRATA_FRACTIONS, seed=42)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    pop = (
+        docs.filter(F.col("source").isin(*STRATA_FRACTIONS))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_population"))
+    )
+    frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in STRATA_FRACTIONS.items() for x in kv]
+        ),
+        F.col("source"),
+    )
+    joined = pop.join(sampled, "source", "left").select(
+        "source",
+        "n_population",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        frac.alias("f"),
+    )
+    bound = 4 * F.sqrt(F.col("n_population") * F.col("f") * (1 - F.col("f"))) + 1
+    return joined.select(
+        "source",
+        "n_population",
+        (
+            F.abs(F.col("n_sampled") - F.col("f") * F.col("n_population")) <= bound
+        ).alias("sample_within_4sigma"),
     )
 
 

@@ -302,6 +302,98 @@ def test_jpeg_corrupt_streams_raise_valueerror():
             codecs.decode_jpeg(blob)
 
 
+def _sos_offset(jb: bytes) -> int:
+    pos = jb.find(b"\xff\xda")
+    assert pos > 0
+    return pos
+
+
+def test_jpeg_hostile_truncated_entropy_stream_raises_valueerror():
+    # Cut INSIDE the entropy-coded data (past the SOS header): the bit
+    # reader must exhaust with ValueError, never IndexError.
+    jb = codecs.encode_jpeg(_smooth_rgb(24, 24), 90)
+    pos = _sos_offset(jb)
+    seg_len = int.from_bytes(jb[pos + 2:pos + 4], "big")
+    entropy_start = pos + 2 + seg_len
+    assert entropy_start + 4 < len(jb)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(jb[:entropy_start + 4])
+
+
+def test_jpeg_hostile_bad_dqt_length_raises_valueerror():
+    # Shrink the declared DQT length so the table is truncated: must be a
+    # clean ValueError, not a silent short-table misparse.
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    pos = jb.find(b"\xff\xdb")
+    assert pos > 0
+    hostile = jb[:pos + 2] + (20).to_bytes(2, "big") + jb[pos + 4:]
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(hostile)
+
+
+def test_jpeg_hostile_bad_dht_length_raises_valueerror():
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    pos = jb.find(b"\xff\xc4")
+    assert pos > 0
+    hostile = jb[:pos + 2] + (10).to_bytes(2, "big") + jb[pos + 4:]
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(hostile)
+
+
+def test_jpeg_fill_bytes_before_markers_are_legal():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    base = codecs.decode_jpeg(jb)
+    padded = jb[:2] + b"\xff\xff" + jb[2:]  # fill before the first segment
+    assert (codecs.decode_jpeg(padded) == base).all()
+    pos = jb.find(b"\xff\xdb")
+    padded2 = jb[:pos] + b"\xff\xff\xff" + jb[pos:]
+    assert (codecs.decode_jpeg(padded2) == base).all()
+
+
+def test_jpeg_skips_appn_exif_and_comment_segments():
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    base = codecs.decode_jpeg(jb)
+    exif = b"Exif\x00\x00" + bytes(range(16))
+    app1 = b"\xff\xe1" + (2 + len(exif)).to_bytes(2, "big") + exif
+    com = b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+    assert (codecs.decode_jpeg(jb[:2] + app1 + com + jb[2:]) == base).all()
+
+
+def test_jpeg_multiscan_baseline_raises_valueerror_not_keyerror():
+    # A non-interleaved (one component per scan) baseline stream is legal
+    # JPEG this decoder doesn't support: the contract is ValueError ->
+    # quarantine, never a KeyError escaping _decode_scan.
+    jb = codecs.encode_jpeg(_smooth_rgb(16, 16), 90)
+    pos = _sos_offset(jb)
+    seg_len = int.from_bytes(jb[pos + 2:pos + 4], "big")
+    comp1 = jb[pos + 5:pos + 7]  # first (cid, tables) pair of the 3-comp SOS
+    single = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + comp1 + b"\x00\x3f\x00"
+    hostile = jb[:pos] + single + jb[pos + 2 + seg_len:]
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(hostile)
+
+
+def test_jpeg_hostile_blobs_quarantine_through_spark(spark):
+    from parquet_exporter_spark.operators.multimodal import decode_features
+
+    jb = codecs.encode_jpeg(_smooth_rgb(24, 24), 95)
+    sos = _sos_offset(jb)
+    sos_len = int.from_bytes(jb[sos + 2:sos + 4], "big")
+    dqt = jb.find(b"\xff\xdb")
+    blobs = [
+        jb[:sos + 2 + sos_len + 4],                               # cut entropy
+        jb[:dqt + 2] + (20).to_bytes(2, "big") + jb[dqt + 4:],    # bad DQT len
+        b"\xff\xd8\xff\xc2" + jb[4:],                             # progressive
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "doc_id long, payload binary"
+    )
+    rows = decode_features(df, decode_stub=False).orderBy("doc_id").collect()
+    assert [r.format for r in rows] == ["corrupt/jpeg"] * 3
+    assert all(r.feature_mean is None for r in rows)
+
+
 def test_jpeg_through_decode_features(spark):
     img = _smooth_rgb(20, 30)
     jb = codecs.encode_jpeg(img, 95)

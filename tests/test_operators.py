@@ -142,16 +142,16 @@ def test_sample_stratified_bounds(spark, sf_dir):
     from parquet_exporter_spark.queries.sampling import STRATA_FRACTIONS
     from parquet_exporter_spark.tables import read_table
 
+    docs = read_table(spark, sf_dir, "documents")
     totals = {
         r["source"]: r["n"]
-        for r in read_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
     }
-    sampled = REGISTRY["sample_stratified"].fn(spark, sf_dir)
-    got = {r["source"]: r["n"] for r in sampled.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    sampled = docs.sampleBy("source", STRATA_FRACTIONS, seed=42)
+    got = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
     # only recipe strata survive, each within +/-60% relative of its fraction
     assert set(got) <= set(STRATA_FRACTIONS)
     for src, frac in STRATA_FRACTIONS.items():
@@ -160,10 +160,15 @@ def test_sample_stratified_bounds(spark, sf_dir):
         expect = totals[src] * frac
         assert 0.4 * expect <= got.get(src, 0) <= 1.6 * expect, (src, expect, got.get(src))
     # deterministic under the fixed seed
-    again = REGISTRY["sample_stratified"].fn(spark, sf_dir)
+    again = docs.sampleBy("source", STRATA_FRACTIONS, seed=42)
     assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+    # the registry query reduces the sample to the per-stratum verdict shape:
+    # every recipe stratum present, every 4-sigma bound met
+    verdict = REGISTRY["sample_stratified"].fn(spark, sf_dir).collect()
+    assert {r["source"] for r in verdict} == set(STRATA_FRACTIONS) & set(totals)
+    assert all(r["sample_within_4sigma"] for r in verdict)
 
 
 def test_cogrouped_pandas_matches_join_twin(spark, sf_dir):

@@ -83,6 +83,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         {"cartesian"},
         "4x6 literal design-table cross product — no data scan at all",
     ),
+    "similarity_ann_mllib": (
+        {"bnlj"},
+        "1-row top1-verdict crossJoin onto the 1-row recall aggregate — "
+        "both sides are bounded scalars; the ANN candidate generation "
+        "itself is MLlib's bucketed LSH, never all-pairs",
+    ),
     "dq_categorical_profile": (
         {"single_partition_x3"},
         "three 1-row per-column profile aggregates unioned, same bounded "

@@ -9,6 +9,7 @@
 # 3. full driver-contract replica, all queries, neutral cwd + hostile TZ
 # 4. full-registry hostile-data sweep
 # 5. bench.py single-JSON-line contract
+# 6. COVERAGE.md <-> registry zero-diff cross-check
 #
 # Steps 2-4 each take 5-15 min; do NOT run them concurrently (CPU
 # contention roughly doubles each). Total ~35-40 min.
@@ -16,13 +17,13 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 fail=0
 
-echo "== [1/5] driver-window replay (front 50, sf0.01, hostile TZ) =="
+echo "== [1/6] driver-window replay (front 50, sf0.01, hostile TZ) =="
 TZ=America/New_York python "$REPO/tools/verify_priority.py" || fail=1
 
-echo "== [2/5] full pytest suite =="
+echo "== [2/6] full pytest suite =="
 (cd "$REPO" && python -m pytest tests/ -q) || fail=1
 
-echo "== [3/5] full driver-contract replica =="
+echo "== [3/6] full driver-contract replica =="
 cd /tmp && TZ=America/New_York python - <<EOF || fail=1
 import sys
 sys.path.insert(0, "$REPO"); sys.path.insert(0, "$REPO/tests")
@@ -46,7 +47,7 @@ print("FAILED:", fails or "none")
 sys.exit(1 if fails else 0)
 EOF
 
-echo "== [4/5] hostile-data full-registry sweep =="
+echo "== [4/6] hostile-data full-registry sweep =="
 cd /tmp && python - <<EOF || fail=1
 import shutil, sys, tempfile
 sys.path.insert(0, "$REPO")
@@ -90,12 +91,15 @@ shutil.rmtree(out, ignore_errors=True)
 sys.exit(1 if fails else 0)
 EOF
 
-echo "== [5/5] bench contract =="
+echo "== [5/6] bench contract =="
 (cd "$REPO" && python bench.py | python -c "
 import json, sys
 d = json.loads(sys.stdin.readline())
 assert {'metric','value','unit','queries','sf'} <= set(d), d.keys()
 print('bench OK:', d['value'], d['unit'], 'sf', d['sf'])") || fail=1
+
+echo "== [6/6] COVERAGE.md <-> registry cross-check =="
+python "$REPO/tools/check_coverage.py" || fail=1
 
 echo
 if [ "$fail" -eq 0 ]; then echo "ROUNDCHECK: ALL GREEN"; else echo "ROUNDCHECK: FAILURES (see above)"; fi
