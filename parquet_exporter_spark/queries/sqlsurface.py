@@ -167,6 +167,45 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 2) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    ORDER BY revenue DESC
+    LIMIT 3
+    """,
+    doc=(
+        "SQL pipe syntax (Spark 4.0, the |> operator chain from the "
+        "GoogleSQL 'Pipe Syntax In SQL' design): FROM ... |> WHERE |> "
+        "AGGREGATE ... GROUP BY |> ORDER BY |> LIMIT, each stage reading "
+        "top-to-bottom like a DataFrame chain. Compiles to the identical "
+        "logical plan as the nested ANSI form — the pushed scan filter, "
+        "partial+final aggregate, and TakeOrdered are unchanged, which "
+        "the shared ANSI oracle asserts."
+    ),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     round(avg(l_quantity), 2) AS avg_qty,
+                     count(*) AS n_rows
+           GROUP BY l_returnflag
+        |> ORDER BY revenue DESC
+        |> LIMIT 3
+        """
+    )
+
+
+@query(
     "sql_pivot_wide",
     oracle="""
     SELECT o_orderpriority,

@@ -38,6 +38,41 @@ def test_minhash_lsh_finds_planted_dups(spark):
         assert not ((a in (4, 5)) ^ (b in (4, 5))), f"unrelated pair {a},{b}"
 
 
+def test_minhash_band_index_probe_and_append(spark, tmp_path):
+    """The persisted-index increment cycle: build the corpus index once,
+    probe a new batch (finds its near-dup of existing content), append
+    the deduplicated batch's bands, and verify a SECOND batch now matches
+    against the first batch's docs through the index alone."""
+    docs = _synthetic_near_dups(spark)
+    corpus = docs.filter(F.col("doc_id") <= 4)  # 1..4 stand as the corpus
+    batch1 = docs.filter(F.col("doc_id") == 6)  # exact dup of corpus doc 1
+    path = str(tmp_path / "band_index")
+    D.write_minhash_band_index(corpus, path, n_hashes=16, band_size=4)
+
+    hits = D.probe_minhash_band_index(
+        spark, path, batch1, corpus, n_hashes=16, band_size=4, jaccard_threshold=0.3
+    ).collect()
+    found = {(r.new_id, r.corpus_id): r.jaccard for r in hits}
+    assert (6, 1) in found and found[(6, 1)] == 1.0  # exact dup of doc 1
+    # doc 6 may legitimately also match 1's near-dups (2, 3) — never 4/5
+    assert {c for _, c in found} <= {1, 2, 3}
+
+    # Maintenance half: fold batch1's bands in, then a near-dup of doc 6
+    # arriving later must be caught via the APPENDED index rows.
+    D.write_minhash_band_index(batch1, path, n_hashes=16, band_size=4, mode="append")
+    batch2 = spark.createDataFrame(
+        [(7, docs.filter(F.col("doc_id") == 6).collect()[0].text.replace("dog", "hound"))],
+        "doc_id long, text string",
+    )
+    hits2 = D.probe_minhash_band_index(
+        spark, path, batch2, docs, n_hashes=16, band_size=4, jaccard_threshold=0.3
+    ).collect()
+    assert {r.corpus_id for r in hits2} >= {6}  # matched through appended rows
+    # the index holds bands only — (id, band, band_sig), no text column
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"doc_id", "band", "band_sig"}
+
+
 def test_minhash_signature_matches_bruteforce_jaccard_ordering(spark):
     """Signature agreement rate approximates Jaccard: the planted dup pair
     must agree on more hashes than an unrelated pair."""

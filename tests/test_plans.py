@@ -63,6 +63,15 @@ def test_aggregation_has_map_side_combine(spark, sf_dir):
     assert has_partial_aggregation(df)
 
 
+def test_pipe_syntax_compiles_to_ansi_plan(spark, sf_dir):
+    # |> chains are surface syntax only: the plan must still show the
+    # pushed scan filter, map-side partial agg, and top-k heap.
+    df = q("sql_pipe_syntax", spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert has_partial_aggregation(df)
+    assert uses_take_ordered(df)
+
+
 def test_exists_decorrelates_to_semi_join(spark, sf_dir):
     df = q("sql_exists_correlated", spark, sf_dir)
     plan = physical_plan(df)
