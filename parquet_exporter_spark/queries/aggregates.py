@@ -456,7 +456,12 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch) back through the public CountMinSketch.readFrom API, and "
         "emits per-key booleans for the CMS contract — estimates never "
         "undercount and overcount by at most eps*N. A hash match proves "
-        "both guarantees per key."
+        "both guarantees per key. CLASSIC-ONLY: the verdict runs eagerly "
+        "in the builder (two bounded collects + the py4j "
+        "CountMinSketch.readFrom gateway), so this query requires a "
+        "classic local/cluster session — under Spark Connect, where no "
+        "py4j gateway exists, the sketch read-back would need a pandas "
+        "UDF host instead (documented constraint, per-harness contract)."
     ),
 )
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:

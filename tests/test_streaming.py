@@ -467,3 +467,62 @@ def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir, events_dir):
         for r in REGISTRY["stream_session_window_dynamic"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_ingest_grows_index_across_batches(spark, tmp_path):
+    """The incremental-dedup steady state as a STREAM: batch 1 seeds the
+    corpus + band index; batch 2 (arriving later) is rejected where it
+    near-duplicates batch-1 content it has never been co-scanned with —
+    the match happens purely through the persisted index."""
+    from parquet_exporter_spark.streaming.dedup_ingest import ingest_dedup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    other = "completely different content about spark sql query planning and shuffles"
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    index_path = str(tmp_path / "band_index")
+    corpus_path = str(tmp_path / "corpus")
+    rejects_path = str(tmp_path / "rejects")
+
+    def _write_docs(rows, filename):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = os.path.join(watch, f"__staging_{filename}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(watch, filename))
+        shutil.rmtree(staging)
+
+    # batch 1: one doc + its exact dup (intra-batch loser) + one unrelated
+    _write_docs([(1, base), (2, base), (3, other)], "b1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(watch)
+    )
+    q = ingest_dedup_stream(
+        stream, index_path, corpus_path, rejects_path=rejects_path,
+        n_hashes=16, band_size=4, jaccard_threshold=0.5,
+    )
+    try:
+        q.processAllAvailable()
+        accepted1 = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+        assert accepted1 == {1, 3}  # 2 lost intra-batch to 1 (keep-smallest)
+
+        # batch 2: near-dup of doc 1 (cross-batch, caught via the INDEX)
+        # plus one genuinely new doc
+        _write_docs(
+            [(10, base.replace("quick", "swift")),
+             (11, "a fresh document mentioning embeddings and tokenizers only")],
+            "b2.parquet",
+        )
+        q.processAllAvailable()
+        accepted2 = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+        assert accepted2 == {1, 3, 11}  # 10 rejected through the index
+        rejects = {r.doc_id for r in spark.read.parquet(rejects_path).collect()}
+        assert rejects == {2, 10}
+        # the index now carries bands for every ACCEPTED doc (and only those)
+        idx_ids = {r.doc_id for r in spark.read.parquet(index_path).collect()}
+        assert idx_ids == {1, 3, 11}
+    finally:
+        q.stop()
