@@ -63,6 +63,11 @@ EXTRA = [
     "timeseries_locf_bounded",
     "text_decontaminate_corpus",
     "join_lateral_df_api",
+    # round-6 additions
+    "sql_pipe_syntax",
+    "dedup_incremental_index",
+    "dedup_minhash_mllib",
+    "similarity_ann_mllib",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
