@@ -60,10 +60,11 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `TZ=America/New_York python tools/verify_priority.py` to replay the
 # driver's exact check on the new front window.
 #
-# ROUND-6 SUGGESTION (assuming CORRECTNESS_r05 lands green on the current
-# PRIORITY): the self-healing reorder keeps presenting never-stamped names
-# in module order; hand-pick the next ~50 from
-# `python tools/verify_priority.py --list-unstamped` one-per-family.
+# ROUND-7 SUGGESTION (assuming CORRECTNESS_r06 lands green on the current
+# PRIORITY): hand-pick the next ~50 from
+# `python tools/verify_priority.py --list-unstamped` one-per-family,
+# leading with the round-6 additions sql_pipe_syntax and
+# dedup_incremental_index (registered after the rotation, never stamped).
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
