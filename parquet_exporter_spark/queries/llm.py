@@ -1054,6 +1054,77 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_W = 15  # exact-span window length in tokens
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    eligible AS (SELECT doc_id, t FROM toks WHERE len(t) >= {_SPAN_W}),
+    wins AS (
+        SELECT doc_id,
+               list_distinct([md5(array_to_string(
+                   list_slice(t, i, i + {_SPAN_W - 1}), ' '))
+                   for i in generate_series(1, len(t) - {_SPAN_W - 1})]) AS whs
+        FROM eligible
+    ),
+    ex AS (SELECT doc_id, unnest(whs) AS wh FROM wins)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM ex a JOIN ex b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        f"Exact duplicate-SPAN detection: doc pairs sharing at least one "
+        f"identical {_SPAN_W}-token window (every window, stride 1), with "
+        f"the count of shared distinct windows — the span-level exact "
+        f"substring-dedup signal (the 'deduplicating training data' "
+        f"target: long verbatim overlaps that whole-doc Jaccard dilutes "
+        f"and MinHash may miss when the rest of the docs differ). Each "
+        f"window reduces to one md5, so candidate generation is a "
+        f"hash-keyed equi-join — window text never joins. At corpus scale "
+        f"the production knob is a document-frequency cap on hot windows "
+        f"(boilerplate shares the most windows); kept uncapped here so "
+        f"the DuckDB replica is exact."
+    ),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= _SPAN_W
+    )
+    # greatest(..., 1) keeps the expression TOTAL: constraint inference
+    # can evaluate it on pre-filter rows (Catalyst folds an inferred
+    # non-empty-array predicate into the scan filter), where a <W-token
+    # doc would otherwise drive sequence() descending through slice
+    # start 0 and abort the job. Filtered rows never surface the bogus
+    # single short window.
+    wins = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - (_SPAN_W - 1), F.lit(1))
+                ),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, _SPAN_W))),
+            )
+        ).alias("whs"),
+    )
+    ex = wins.select("doc_id", F.explode("whs").alias("wh"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "wh")
+    b = ex.select(F.col("doc_id").alias("id_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
 def _minhash_est_oracle(n_hashes: int = 16) -> str:
     """Full-SQL replica of the minhash estimator: same shingles, same
     md5-derived base hash, same (a,b) universal family as literals."""
