@@ -233,3 +233,192 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("f.r"), F.lit(0)).cast("long").alias("fz_r"),
     )
     return joined.orderBy(F.col("rrf").desc(), "doc_id").limit(TOP_N)
+
+
+# ------------------------------------------------------- MMR reranking
+
+MMR_N_QUERIES = 3   # probes: vec_id < 3
+MMR_CAND = 20       # relevance shortlist per probe
+MMR_K = 5           # diverse picks per probe
+MMR_LAMBDA = 0.5    # relevance / diversity tradeoff
+
+
+def _mmr_oracle() -> str:
+    """DuckDB replica of the MMR loop with the K selection rounds
+    UNROLLED as CTE stages (deterministic: 6-decimal rounded cosines,
+    neighbor_id tiebreaks), so the WHOLE greedy rerank hash-matches."""
+    from parquet_exporter_spark.functions.similarity import sql_cosine
+
+    cos_qc = sql_cosine("q.qe", "c.embedding")
+    cos_ab = sql_cosine("ea.embedding", "eb.embedding")
+    stages = ["""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 3
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(""" + cos_qc + f""", 6) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({cos_qc}, 6) DESC, c.vec_id) AS rnk
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ) WHERE rnk <= {MMR_CAND}
+    ),
+    pair AS (
+        SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+               round({cos_ab}, 6) AS sim
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id
+                   AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id, 1 AS pick_order, cos_sim AS mmr_score
+        FROM (SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM cand) WHERE rn = 1
+    )"""]
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM sel{i}" for i in range(1, r)
+        )
+        stages.append(f""",
+    seldone{r} AS ({prev}),
+    rem{r} AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM seldone{r} s
+                          WHERE s.query_id = c.query_id
+                            AND s.neighbor_id = c.neighbor_id)
+    ),
+    ms{r} AS (
+        SELECT p.query_id, p.id_a AS neighbor_id, max(p.sim) AS max_sim
+        FROM pair p JOIN seldone{r} s
+          ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+        GROUP BY 1, 2
+    ),
+    sel{r} AS (
+        SELECT query_id, neighbor_id, {r} AS pick_order, mmr_score
+        FROM (SELECT rm.query_id, rm.neighbor_id,
+                     round({MMR_LAMBDA} * rm.cos_sim
+                           - {1 - MMR_LAMBDA} * m.max_sim, 6) AS mmr_score,
+                     row_number() OVER (PARTITION BY rm.query_id
+                         ORDER BY round({MMR_LAMBDA} * rm.cos_sim
+                               - {1 - MMR_LAMBDA} * m.max_sim, 6) DESC,
+                               rm.neighbor_id) AS rn
+              FROM rem{r} rm
+              JOIN ms{r} m ON m.query_id = rm.query_id
+                          AND m.neighbor_id = rm.neighbor_id)
+        WHERE rn = 1
+    )""")
+    union_all = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
+    return "".join(stages) + f"""
+    SELECT query_id, neighbor_id, CAST(pick_order AS BIGINT) AS pick_order,
+           mmr_score
+    FROM ({union_all})
+    """
+
+
+@query(
+    "search_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=(
+        "Maximal Marginal Relevance reranking (Carbonell & Goldstein "
+        "1998), the diversity stage of a RAG serving stack: from each "
+        "probe's exact top-20 cosine shortlist, greedily pick 5 results "
+        "maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+        "already-picked. Everything is relational: the shortlist is the "
+        "brute-force top-k, candidate-candidate similarities are one "
+        "bounded self-join (20x19 pairs per probe), and the K greedy "
+        "rounds unroll into a fixed-depth plan of anti-join + max-agg + "
+        "argmax-window stages — no UDF, no driver loop over data. "
+        "6-decimal rounded scores with neighbor_id tiebreaks make the "
+        "greedy argmax deterministic, so the ENTIRE rerank hash-matches "
+        "the unrolled DuckDB CTE replica. Scale: candidates per probe "
+        "are bounded (20), so every stage is |probes|-proportional; the "
+        "corpus appears only in the shortlist scan."
+    ),
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.functions.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < MMR_N_QUERIES)
+    cand = brute_force_topk(probes, emb, k=MMR_CAND).drop("rnk")
+
+    # candidate-candidate cosine within each probe's shortlist (bounded)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b"))
+    va = F.col("__ea").cast("array<double>")
+    vb = F.col("__eb").cast("array<double>")
+    pair = (
+        ca.join(cb, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(
+                dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb))), 6
+            ).alias("sim"),
+        )
+    )
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).cast("long").alias("pick_order"),
+            F.col("cos_sim").alias("mmr_score"),
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            pair.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("id_b")
+                ),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", F.col("id_a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        mmr = F.round(
+            MMR_LAMBDA * F.col("cos_sim") - (1 - MMR_LAMBDA) * F.col("max_sim"), 6
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.col("neighbor_id")
+        )
+        pick = (
+            rem.join(ms, ["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).cast("long").alias("pick_order"),
+                mmr.alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

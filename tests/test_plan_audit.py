@@ -89,6 +89,13 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "both sides are bounded scalars; the ANN candidate generation "
         "itself is MLlib's bucketed LSH, never all-pairs",
     ),
+    "search_mmr_rerank": (
+        {"bnlj"},
+        "the relevance shortlist is the brute-force oracle baseline: a "
+        "bounded 3-probe set broadcast against the corpus scan (linear, "
+        "same shape as similarity_topk_bruteforce); every MMR stage after "
+        "it operates on <= 20 candidates per probe",
+    ),
     "dq_categorical_profile": (
         {"single_partition_x3"},
         "three 1-row per-column profile aggregates unioned, same bounded "
