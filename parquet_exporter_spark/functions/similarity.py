@@ -300,6 +300,61 @@ def write_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    refit: assign each new (unit-normalized) vector to its nearest
+    EXISTING centroid and append under that cell's partition directory.
+
+    The maintenance half of the serving index (mirrors the dedup band
+    index's append): ingest batches keep landing in the right cells at
+    O(batch x n_centroids) assignment cost — the bounded centroid table
+    broadcasts, the argmin is one max_by-style aggregate, and probes are
+    unchanged because the layout contract (vectors/cell=<i>) is
+    preserved. Centroids drift as data grows; the production knob is a
+    periodic refit (write_ivf_index) when cell-occupancy skew crosses a
+    threshold, exactly like ANN-index rebuild schedules."""
+    import os
+
+    spark = df.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec).alias("v0"),
+        norm(F.col(vec)).alias("__n"),
+    ).select(
+        "id",
+        F.transform("v0", lambda x: x.cast("double") / F.col("__n")).alias("v"),
+    )
+    # unit query vs centroid: ranking by |c|^2 - 2 v.c matches probe_ivf_index
+    d2 = (
+        F.aggregate(
+            F.transform("centroid", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        - 2.0 * dot(F.col("v"), F.col("centroid"))
+    )
+    assigned = (
+        normed.join(F.broadcast(cents))
+        .select("id", "v", "cell", d2.alias("__d2"))
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "v"), F.struct(F.col("__d2"), F.col("cell"))
+            ).alias("b")
+        )
+        .select("id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
 def probe_ivf_index(
     spark,
     path: str,

@@ -618,6 +618,57 @@ def test_ivf_index_layout_prunes_partitions_and_matches_bruteforce(
     assert all_probed == expected
 
 
+def test_ivf_index_append_serves_new_vectors_without_refit(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: vectors appended after the build land
+    in their nearest existing cell (layout contract preserved — no new
+    cell directories) and are immediately served by unchanged probes; an
+    appended copy of the query vector comes back as the top hit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.functions.similarity import (
+        append_ivf_index,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(emb, path, n_centroids=8)
+    cells_before = {
+        d for d in os.listdir(os.path.join(path, "vectors")) if d.startswith("cell=")
+    }
+
+    qrow = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow.embedding]
+    new_id = 9_900_001
+    batch = spark.createDataFrame(
+        [(new_id, qvec)], "vec_id long, embedding array<double>"
+    )
+    append_ivf_index(batch, path)
+
+    cells_after = {
+        d for d in os.listdir(os.path.join(path, "vectors")) if d.startswith("cell=")
+    }
+    assert cells_after == cells_before  # no new cells: layout contract holds
+    appended = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("id") == new_id)
+        .collect()
+    )
+    assert len(appended) == 1
+    # the appended exact copy of the probe vector serves at cos 1.0 — tied
+    # with the original vector it copies (id tiebreak puts the original
+    # first), so the top-2 is exactly {original, appended} at 1.0
+    top2 = probe_ivf_index(spark, path, qvec, k=2, n_probes=2).collect()
+    assert {(r.neighbor_id, r.cos_sim) for r in top2} == {
+        (qrow.vec_id, 1.0),
+        (new_id, 1.0),
+    }
+
+
 def test_pq_codes_deterministic_in_range_and_compressive(spark, sf_dir):
     """PQ invariants: codes live in [0, K); two runs produce identical
     codes (deterministic init + fixed iterations + snapping); and the
