@@ -24,28 +24,11 @@ echo "== [2/6] full pytest suite =="
 (cd "$REPO" && python -m pytest tests/ -q) || fail=1
 
 echo "== [3/6] full driver-contract replica =="
-cd /tmp && TZ=America/New_York python - <<EOF || fail=1
-import sys
-sys.path.insert(0, "$REPO"); sys.path.insert(0, "$REPO/tests")
-from pyspark.sql import SparkSession
-import __spark_entry__ as e
-from harness import compare
-spark = SparkSession.builder.master("local[8]").getOrCreate()
-q, o = e.queries(), e.oracle_sql()
-sf = "/root/testdata/sf0.01"
-fails = []
-print("entry rows:", e.entry(spark).count())
-for name, fn in sorted(q.items()):
-    if name not in o:
-        fn(spark, sf).count(); continue
-    try:
-        probs = compare(spark, name, sf, o[name], fn)
-    except Exception as ex:
-        probs = [f"EXC {ex}"]
-    if probs: fails.append(name); print("FAIL", name, probs[0][:200])
-print("FAILED:", fails or "none")
-sys.exit(1 if fails else 0)
-EOF
+# tools/verify_full.py replays the driver's per-query compare over the
+# WHOLE registry with full-sweep session sizing (4g heap + periodic
+# broadcast release — the bare 1g default OOMs around query ~350 and
+# false-fails everything after). Round arg 0 = check only, no artifact.
+TZ=America/New_York python "$REPO/tools/verify_full.py" 0 || fail=1
 
 echo "== [4/6] hostile-data full-registry sweep =="
 cd /tmp && python - <<EOF || fail=1

@@ -30,7 +30,18 @@ from harness import compare  # noqa: E402
 
 
 def main(round_no: int) -> int:
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # The per-query oracle compare is identical to the driver's; only the
+    # session SIZING differs from the bare default. The driver checks a
+    # ~50-query window per round — this tool replays ALL ~400, and the
+    # default 1g driver heap eventually OOMs on accumulated broadcasts
+    # (observed at ~350 queries: TorrentBroadcast store failures, then the
+    # py4j bridge dies and every later query false-fails). 4g + a
+    # periodic plan-cache/broadcast release keeps the full sweep honest.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
     q, o = e.queries(), e.oracle_sql()
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
     sf_name = os.path.basename(sf.rstrip("/"))
@@ -60,6 +71,15 @@ def main(round_no: int) -> int:
         lines.append(f"{status:16s} {name:44s} {sf_name} {ts}")
         if (i + 1) % 50 == 0:
             print(f"... {i + 1}/{len(q)} checked ({time.time() - t0:.0f}s)", flush=True)
+            # release the executed plans' broadcasts/caches so the heap
+            # doesn't accumulate across ~400 queries (see sizing note)
+            from parquet_exporter_spark.registry import _plan_cache
+
+            _plan_cache.clear()
+            spark.catalog.clearCache()
+    if round_no == 0:  # roundcheck mode: verify only, no committed artifact
+        print(f"checked {len(q)}; FAILED: {fails or 'none'}")
+        return 1 if fails else 0
     header = (
         f"# VERIFY_FULL round {round_no}: {len(q)} registered queries "
         f"({len(o)} oracled, {len(q) - len(o)} rows-only) at {sf_name}, "
