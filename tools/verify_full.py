@@ -83,8 +83,8 @@ def main(round_no: int) -> int:
     header = (
         f"# VERIFY_FULL round {round_no}: {len(q)} registered queries "
         f"({len(o)} oracled, {len(q) - len(o)} rows-only) at {sf_name}, "
-        f"driver-replica conditions (bare session, TZ="
-        f"{os.environ.get('TZ', 'inherit')}, cwd=/tmp)\n"
+        f"driver-replica conditions (no engine confs; 4g full-sweep "
+        f"heap, TZ={os.environ.get('TZ', 'inherit')}, cwd=/tmp)\n"
         f"# generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} "
         f"in {time.time() - t0:.0f}s\n"
         f"# FAILED: {', '.join(fails) if fails else 'none'}\n"
