@@ -526,3 +526,53 @@ def test_streaming_dedup_ingest_grows_index_across_batches(spark, tmp_path):
         assert idx_ids == {1, 3, 11}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_ingest_checkpoint_restart(spark, tmp_path):
+    """Restartability of the dedup ingest: with a checkpoint dir, a
+    RESTARTED query processes only files that arrived while it was down —
+    committed batches are not replayed, and the restarted query still
+    rejects near-dups of pre-restart content through the persisted
+    index."""
+    from parquet_exporter_spark.streaming.dedup_ingest import ingest_dedup_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    watch = str(tmp_path / "incoming")
+    os.makedirs(watch)
+    index_path = str(tmp_path / "band_index")
+    corpus_path = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write_docs(rows, filename):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = os.path.join(watch, f"__staging_{filename}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(watch, filename))
+        shutil.rmtree(staging)
+
+    def _run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(watch)
+        q = ingest_dedup_stream(
+            stream, index_path, corpus_path, checkpoint_dir=ckpt,
+            n_hashes=16, band_size=4, jaccard_threshold=0.5,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_docs([(1, base), (2, "unrelated text about parquet and shuffles")], "b1.parquet")
+    _run()
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2}
+
+    # query is DOWN; two files arrive: a near-dup of doc 1 and a new doc
+    _write_docs([(10, base.replace("dog", "hound"))], "b2.parquet")
+    _write_docs([(11, "fresh content mentioning tokenizers and embeddings")], "b3.parquet")
+    _run()  # restart from the checkpoint
+
+    corpus_ids = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
+    # 10 rejected via the index built before the restart; 11 accepted;
+    # batch 1 NOT replayed (ids appear exactly once)
+    assert corpus_ids == [1, 2, 11]
