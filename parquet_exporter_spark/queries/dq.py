@@ -11,7 +11,7 @@ columns (verified by the fleet plan audit's ReadSchema assertions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.registry import query
@@ -1016,4 +1016,73 @@ def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_distinct",
         F.round(F.col("n_distinct") / F.col("n").cast("double"), 6).alias("uniqueness"),
+    )
+
+
+SKEW_PARTS = 32  # assumed shuffle-partition count for the salt advice
+
+
+@query(
+    "dq_join_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM per_key)
+    SELECT k.user_id AS key, CAST(k.n AS BIGINT) AS n_rows,
+           round(k.n / CAST(t.total AS DOUBLE), 6) AS share,
+           floor(k.n * t.n_keys * 100.0 / CAST(t.total AS DOUBLE) + 0.5)
+               / 100.0 AS x_mean,
+           CAST(greatest(1, ceil(k.n * {SKEW_PARTS} / CAST(t.total AS DOUBLE)))
+                AS BIGINT) AS suggested_salts,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+          FROM per_key) k, tot t
+    WHERE rnk <= 10
+    """,
+    doc=(
+        "Join-key skew profiler: the pre-join diagnostic for THE classic "
+        "100 TB shuffle failure (one hot key pins one reducer while the "
+        "fleet idles). Per candidate join key (events.user_id): the 10 "
+        "heaviest keys with row count, share of the table, multiple of "
+        "the mean key size, and a suggested per-key salt fan-out = "
+        "ceil(share x shuffle partitions) — the factor that spreads that "
+        "key back to average-sized reduce tasks (operators/skew.py "
+        "implements the salted exec; this op tells you WHERE and HOW "
+        "MUCH). One keyed aggregate + a bounded top-10 over the per-key "
+        "table; the 1-row total/mean scalar joins broadcast."
+    ),
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # mean multiple via floor(x*100 + 0.5)/100 over the exact integer
+    # product (n * n_keys): engine round() half-way semantics differ on
+    # exact .5 boundaries (Spark HALF_UP on the shortest decimal repr,
+    # DuckDB on the binary value), while floor(+0.5) is identical math
+    tot = per_key.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    ranked = per_key.select(
+        "user_id",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("user_id")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    return ranked.join(F.broadcast(tot)).select(
+        F.col("user_id").alias("key"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        (
+            F.floor(F.col("n") * F.col("n_keys") * 100.0 / F.col("total") + 0.5)
+            / 100.0
+        ).alias("x_mean"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("n") * SKEW_PARTS / F.col("total")).cast("long"),
+        ).alias("suggested_salts"),
+        F.col("rnk").cast("long").alias("rnk"),
     )
