@@ -1065,13 +1065,17 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("double").alias("total"),
         F.count(F.lit(1)).alias("n_keys"),
     )
-    ranked = per_key.select(
+    # top-10 via TakeOrdered (distributed heap), THEN rank the bounded
+    # 10-row result — a global row_number window over per_key would
+    # single-partition-sort the whole key table
+    top10 = per_key.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
+    ranked = top10.select(
         "user_id",
         "n",
         F.row_number()
         .over(Window.orderBy(F.col("n").desc(), F.col("user_id")))
         .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
+    )
     return ranked.join(F.broadcast(tot)).select(
         F.col("user_id").alias("key"),
         F.col("n").cast("long").alias("n_rows"),

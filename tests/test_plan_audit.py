@@ -89,6 +89,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "both sides are bounded scalars; the ANN candidate generation "
         "itself is MLlib's bucketed LSH, never all-pairs",
     ),
+    "dq_join_key_skew": (
+        {"bnlj"},
+        "1-row total/key-count scalar broadcast onto the bounded top-10 "
+        "key list (TakeOrdered reduces the per-key table; no global sort, "
+        "no single-partition exchange)",
+    ),
     "search_mmr_rerank": (
         {"bnlj"},
         "the relevance shortlist is the brute-force oracle baseline: a "
