@@ -948,3 +948,77 @@ def sql_transpose_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_items"),
     )
     return agg.transpose()
+
+
+SNM_WINDOW = 5       # sorted-neighborhood window (positions apart)
+SNM_MAX_DIST = 3     # verify threshold on name edit distance
+
+
+@query(
+    "linkage_sorted_neighborhood",
+    oracle=f"""
+    WITH pos AS (
+        SELECT c_custkey, c_name,
+               row_number() OVER (ORDER BY c_name, c_custkey) AS p
+        FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(b.p - a.p AS BIGINT) AS pos_gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM pos a JOIN pos b
+      ON b.p - a.p BETWEEN 1 AND {SNM_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= {SNM_MAX_DIST}
+    """,
+    doc=(
+        "Sorted-neighborhood record linkage (Hernandez & Stolfo 1995), "
+        "the complement of hash blocking: sort the table on the linkage "
+        "key, then compare only rows within a fixed WINDOW of positions — "
+        "near-misses that land in different hash blocks (typo in the "
+        "block field) still sort adjacently. Positions come from the "
+        "global contiguous row-id operator (operators/ids.py — range "
+        "shuffle + per-partition offsets, NO single-partition sort), and "
+        "the position-window self-join is a lossless banded equi-join "
+        "(band = pos div W; a pair within W positions shares a band or "
+        "sits in adjacent bands), so the candidate stage is linear in "
+        "table size with W-bounded fan-out. Survivors verify with exact "
+        "edit distance."
+    ),
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.ids import global_row_number
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pos = global_row_number(c, ["c_name", "c_custkey"], id_col="p")
+    band = F.floor((F.col("p") - 1) / SNM_WINDOW)
+    a = pos.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("p").alias("p_a"),
+        band.alias("band_a"),
+    )
+    b = pos.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("p").alias("p_b"),
+        band.alias("band_b"),
+    )
+    # lossless banding: 1 <= p_b - p_a <= W implies band_b in {band_a, band_a+1}
+    expanded = a.select(
+        "cust_a", "name_a", "p_a",
+        F.explode(F.array(F.col("band_a"), F.col("band_a") + 1)).alias("band_b"),
+    )
+    return (
+        expanded.join(b, "band_b")
+        .filter(
+            (F.col("p_b") - F.col("p_a") >= 1)
+            & (F.col("p_b") - F.col("p_a") <= SNM_WINDOW)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= SNM_MAX_DIST)
+        .select(
+            "cust_a",
+            "cust_b",
+            (F.col("p_b") - F.col("p_a")).cast("long").alias("pos_gap"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

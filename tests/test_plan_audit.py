@@ -89,6 +89,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "both sides are bounded scalars; the ANN candidate generation "
         "itself is MLlib's bucketed LSH, never all-pairs",
     ),
+    "linkage_sorted_neighborhood": (
+        {"single_partition_x2"},
+        "the global-row-id operator's per-partition OFFSET table: a "
+        "|partitions|-row aggregate (one count per task, ~dozens of rows "
+        "at any scale) cumulated in one partition then broadcast — the "
+        "data itself never leaves its range partitions; referenced twice "
+        "(both join sides) hence x2",
+    ),
     "dq_join_key_skew": (
         {"bnlj"},
         "1-row total/key-count scalar broadcast onto the bounded top-10 "
