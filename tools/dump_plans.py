@@ -68,6 +68,11 @@ EXTRA = [
     "dedup_incremental_index",
     "dedup_minhash_mllib",
     "similarity_ann_mllib",
+    "dedup_duplicate_spans",
+    "linkage_fellegi_sunter",
+    "linkage_sorted_neighborhood",
+    "search_mmr_rerank",
+    "dq_join_key_skew",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
