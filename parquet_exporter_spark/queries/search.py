@@ -347,7 +347,16 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < MMR_N_QUERIES)
-    cand = brute_force_topk(probes, emb, k=MMR_CAND).drop("rnk")
+    # cand and pair are BOUNDED (20 rows and 20x19 pairs per probe) but
+    # feed every greedy round: localCheckpoint them once so the K rounds
+    # reference materialized blocks instead of re-deriving the corpus
+    # scan per round — without it the unrolled plan duplicates the
+    # shortlist subtree ~2^K times (a 28k-line physical plan at K=5).
+    cand = (
+        brute_force_topk(probes, emb, k=MMR_CAND)
+        .drop("rnk")
+        .localCheckpoint(eager=True)
+    )
 
     # candidate-candidate cosine within each probe's shortlist (bounded)
     dot = lambda a, b: F.aggregate(  # noqa: E731
@@ -372,7 +381,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb))), 6
             ).alias("sim"),
         )
-    )
+    ).localCheckpoint(eager=True)
 
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -420,5 +429,8 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mmr.alias("mmr_score"),
             )
         )
-        selected = selected.unionByName(pick)
+        # selected is <= 3*r rows but feeds the next round's anti-join and
+        # max-sim stages: checkpoint per round so plan depth stays linear
+        # in K instead of the union lineage re-deriving every prior round
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected

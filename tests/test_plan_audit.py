@@ -103,13 +103,10 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "key list (TakeOrdered reduces the per-key table; no global sort, "
         "no single-partition exchange)",
     ),
-    "search_mmr_rerank": (
-        {"bnlj"},
-        "the relevance shortlist is the brute-force oracle baseline: a "
-        "bounded 3-probe set broadcast against the corpus scan (linear, "
-        "same shape as similarity_topk_bruteforce); every MMR stage after "
-        "it operates on <= 20 candidates per probe",
-    ),
+# search_mmr_rerank needs no waiver: its bounded shortlist/pair tables
+# (and per-round selections) are localCheckpoint-ed, so the returned
+# plan reads materialized blocks — the broadcast shortlist scan executes
+# once at build time inside the checkpoint (see the query docstring).
     "dq_categorical_profile": (
         {"single_partition_x3"},
         "three 1-row per-column profile aggregates unioned, same bounded "
