@@ -66,15 +66,26 @@ def ingest_media(
     #   digests (doc_id, path, sha) — exact-dup key for non-image media
     feats = decode_features(media, decode_stub=False)
     # aHash is only meaningful for image payloads: pre-filter map-side on
-    # the sniffed image magic bytes (PNG/JPEG/BMP) so audio/octet-stream
-    # blobs never enter the Arrow decode batch — at corpus scale that is
-    # the difference between hashing every byte ingested and only the
-    # image fraction. Rows filtered out rejoin with a NULL ahash via the
-    # left join, identical to the decoder's own non-image NULL verdict.
+    # image magic bytes so audio/octet-stream blobs never enter the Arrow
+    # decode batch — at corpus scale that is the difference between
+    # hashing every byte ingested and only the image fraction. The magic
+    # list is a SUPERSET of what any decode path can handle: PNG/JPEG/BMP
+    # (stdlib decoders) plus GIF/WebP/TIFF (decodable when Pillow is on
+    # the cluster). Rows filtered out — and rows passed through that the
+    # present decoder cannot decode — both land on a NULL ahash, so the
+    # filter's verdict provably agrees with the decoder's regardless of
+    # which decode path is installed.
     looks_image = (
         F.expr("substring(payload, 1, 8) = X'89504E470D0A1A0A'")  # PNG
         | F.expr("substring(payload, 1, 2) = X'FFD8'")  # JPEG
         | F.expr("substring(payload, 1, 2) = X'424D'")  # BMP
+        | F.expr("substring(payload, 1, 3) = X'474946'")  # GIF8[79]a
+        | F.expr(  # RIFF....WEBP
+            "substring(payload, 1, 4) = X'52494646'"
+            " AND substring(payload, 9, 4) = X'57454250'"
+        )
+        | F.expr("substring(payload, 1, 4) = X'49492A00'")  # TIFF LE
+        | F.expr("substring(payload, 1, 4) = X'4D4D002A'")  # TIFF BE
     )
     hashed = image_average_hash(
         media.filter(looks_image).select("doc_id", "payload"), decode_stub=False

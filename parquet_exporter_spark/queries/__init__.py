@@ -60,11 +60,12 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `TZ=America/New_York python tools/verify_priority.py` to replay the
 # driver's exact check on the new front window.
 #
-# ROUND-7 SUGGESTION (assuming CORRECTNESS_r06 lands green on the current
+# ROUND-8 SUGGESTION (assuming CORRECTNESS_r07 lands green on the current
 # PRIORITY): hand-pick the next ~50 from
-# `python tools/verify_priority.py --list-unstamped` one-per-family,
-# leading with the round-6 additions sql_pipe_syntax and
-# dedup_incremental_index (registered after the rotation, never stamped).
+# `python tools/verify_priority.py --list-unstamped` one-per-family —
+# the remaining backlog after this round is mostly the emb_* profile
+# suite, the text_* lexical suite, the remaining analytics_* /
+# timeseries_* diagnostics, and the fn_* function suites.
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
@@ -123,66 +124,69 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-6 driver check budget
-# (~50 queries). CORRECTNESS_r05 landed 50/50 green on the round-5
-# PRIORITY (DRIVER_VERIFIED folds it in automatically); 206 registered
-# queries remained never-stamped. This window leads with the three
-# FORCE_RESTAMP oracle upgrades (the last no_oracle liveness rows in the
-# registry: binaryfile scan + the two MLlib LSH twins, all given full
-# verdict/hash oracles this round), then 47 never-stamped names picked
-# one-per-family first (streaming/CDC, UDF variants, graph, DQ profiling,
-# time series, sampling, analytics, scans, search, embeddings).
+# Hand-picked front of the registry for the ROUND-7 driver check budget
+# (~50 queries). CORRECTNESS_r06 landed 50/50 green on the round-6
+# PRIORITY (DRIVER_VERIFIED folds it in automatically); 166 registered
+# queries remained never-stamped. This window leads with the round-6
+# additions that have never seen a driver window (pipe syntax, the
+# incremental dedup index, duplicate spans, both record-linkage ops, MMR
+# rerank, the join-key skew profiler) plus this round's new
+# similarity_ivf_incremental, then never-stamped names one-per-family
+# (SQL surface, DQ, time series, sampling, analytics, text quality,
+# embeddings, aggregates, multimodal).
 PRIORITY = (
-    "multimodal_binaryfile_scan",
-    "dedup_minhash_mllib",
-    "similarity_ann_mllib",
-    "text_pii_redaction",
-    "emb_quantize_int8",
-    "search_bm25",
-    "search_hybrid_rrf",
-    "udaf_grouped_pandas",
-    "udtf_split_priority",
-    "udf_cogrouped_pandas",
-    "udf_map_in_arrow",
-    "udf_pandas_grouped_agg",
-    "stream_sliding_window",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "sessionize_gaps_islands",
-    "cdc_apply_deletes",
-    "stream_session_window_dynamic",
-    "cdc_incremental_agg",
-    "stream_topk_per_window",
-    "cdc_snapshot_diff",
-    "stream_lateness_profile",
-    "stream_watermark_what_if",
-    "graph_triangle_count",
-    "graph_label_propagation",
-    "graph_degree_distribution",
-    "graph_component_sizes",
-    "dedup_near_keep_canonical",
-    "dq_constraint_checks",
-    "profile_table_summary",
-    "profile_frequent_items",
-    "catalog_row_counts",
-    "profile_numeric_correlations",
-    "timeseries_interpolate_linear",
-    "timeseries_latency_percentiles",
-    "timeseries_hierarchical_rollup",
-    "timeseries_theil_sen_trend",
-    "timeseries_locf_bounded",
-    "timeseries_gapfill_locf",
-    "scd2_history_from_events",
-    "sample_stratified",
-    "sample_weighted",
-    "sample_domain_mixture",
-    "analytics_survival_km",
-    "feature_target_encode_loo",
-    "outlier_mad",
-    "ab_test_proportions",
-    "scan_xml",
-    "scan_partitioned_pruned",
-    "scan_orc",
+    "sql_pipe_syntax",
+    "dedup_incremental_index",
+    "dedup_duplicate_spans",
+    "linkage_fellegi_sunter",
+    "linkage_sorted_neighborhood",
+    "search_mmr_rerank",
+    "dq_join_key_skew",
+    "similarity_ivf_incremental",
+    "text_decontaminate_corpus",
+    "multimodal_audio_energy",
+    "multimodal_image_ahash",
+    "text_type_token_ratio",
+    "filter_domain_blocklist",
+    "text_unigram_logprob",
+    "text_stopword_fraction",
+    "text_gopher_quality_filter",
+    "text_build_vocab",
+    "text_quality_logreg_score",
+    "text_boilerplate_strip_rebuild",
+    "split_kfold_assign",
+    "agg_mode_deterministic",
+    "sql_group_by_all",
+    "window_ratio_to_report",
+    "sql_udf_scalar",
+    "sql_session_variable",
+    "fn_collated_compare",
+    "join_existence_flag",
+    "agg_winsorize",
+    "join_fuzzy_string",
+    "sql_unpivot_clause",
+    "sql_execute_immediate",
+    "sql_select_star_except",
+    "sql_values_inline",
+    "sql_qualify_emulation",
+    "dq_freshness_lag",
+    "dq_sequence_gaps",
+    "dq_benford_first_digit",
+    "dq_outlier_iqr",
+    "dq_null_fractions",
+    "timeseries_cusum_shift",
+    "timeseries_autocorr",
+    "timeseries_seasonal_baseline",
+    "timeseries_rate_of_change",
+    "sample_mixture_temperature",
+    "sample_interleave_sources",
+    "sample_balanced_classes",
+    "event_transition_matrix",
+    "event_longest_streak",
+    "analytics_market_basket",
+    "agg_bitmap_exact_distinct",
+    "agg_geometric_mean",
+    "agg_count_min_portable",
 )
 
 

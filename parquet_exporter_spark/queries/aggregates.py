@@ -460,8 +460,9 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in the builder (two bounded collects + the py4j "
         "CountMinSketch.readFrom gateway), so this query requires a "
         "classic local/cluster session — under Spark Connect, where no "
-        "py4j gateway exists, the sketch read-back would need a pandas "
-        "UDF host instead (documented constraint, per-harness contract)."
+        "py4j gateway exists, use agg_count_min_portable: the same CMS "
+        "shape as a pure-expression (depth x width) counter table, no "
+        "gateway, and a full hash-match oracle."
     ),
 )
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +496,102 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "o_orderpriority string, exact_count long, "
         "never_undercounts boolean, within_eps_bound boolean",
+    )
+
+
+_CMS_W = 64  # portable sketch width (buckets per depth)
+_CMS_D = 4  # portable sketch depth (hash functions)
+
+
+def _cms_oracle() -> str:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    coeffs = _D.hash_coefficients(_CMS_D)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    bh = _D.sql_base_hash_31("CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT o_custkey, {bh} AS h FROM orders),
+    buck AS (
+        SELECT o_custkey, seed AS depth, ((a * h + b) % {_D.MERSENNE_31}) % {_CMS_W} AS bucket
+        FROM h CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)
+    ),
+    sketch AS (
+        SELECT depth, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM buck GROUP BY depth, bucket
+    ),
+    keys AS (SELECT DISTINCT o_custkey, depth, bucket FROM buck),
+    est AS (
+        SELECT k.o_custkey, min(s.c) AS cms_estimate
+        FROM keys k JOIN sketch s ON s.depth = k.depth AND s.bucket = k.bucket
+        GROUP BY k.o_custkey
+    ),
+    exact AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_count
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT e.o_custkey, x.exact_count, e.cms_estimate,
+           e.cms_estimate >= x.exact_count AS never_undercounts
+    FROM est e JOIN exact x USING (o_custkey)
+    """
+
+
+@query(
+    "agg_count_min_portable",
+    oracle=_cms_oracle(),
+    doc=(
+        "Count-min sketch with NO engine-private binary and NO py4j "
+        "gateway — the Connect-safe twin of agg_count_min_sketch: the "
+        "sketch is a (depth x width) counter table built as ONE hash "
+        "aggregate over (depth, bucket) keys (map-side combinable and "
+        "mergeable across partitions/batches exactly like the library "
+        "sketch — union = counter add), estimates are min-over-depths "
+        "per key, and because the d=4 hash family is the engine-portable "
+        "(a*h+b) mod p construction the ENTIRE sketch pipeline — build, "
+        "serve, CMS never-undercount guarantee — hash-matches a DuckDB "
+        "replica, a stronger check than the library path's verdict "
+        "booleans. Keyed on o_custkey (~1k distinct vs width 64) so bucket "
+        "collisions actually occur and the min-over-depths does real "
+        "work. At 100 TB the sketch table is d*w rows regardless of "
+        "input size; keys shuffle as 31-bit hashes."
+    ),
+)
+def agg_count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    orders = read_table(spark, sf_dir, "orders")
+    coeffs = _D.hash_coefficients(_CMS_D)
+    h = orders.select("o_custkey", _D.base_hash_31(F.col("o_custkey").cast("string")).alias("h"))
+    buck = h.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (
+                            (F.lit(a) * F.col("h") + F.lit(b))
+                            % _D.MERSENNE_31
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("db"),
+    ).select("o_custkey", F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+    sketch = buck.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = buck.distinct()
+    est = (
+        keys.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("o_custkey")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "o_custkey").select(
+        "o_custkey",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
     )
 
 

@@ -337,6 +337,110 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, k=5, n_centroids=16, n_probes=4, queries=queries_df)
 
 
+def _ivf_scratch_path(sf_dir: str) -> str:
+    """Versioned scratch path for the persisted incremental IVF index
+    (same freshness contract as the band-index scratch: keyed on source
+    file mtimes+sizes so regenerated testdata never reuses a stale
+    index)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = sorted(glob.glob(os.path.join(sf_dir, "embeddings*")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src
+    ) or sf_dir
+    tag = hashlib.sha256(f"{sf_dir}|{version}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_ivf_inc_{tag}")
+
+
+@query(
+    "similarity_ivf_incremental",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+    u AS (
+        SELECT vec_id,
+               list_transform(ed, x -> x / sqrt(list_dot_product(ed, ed))) AS v
+        FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, c.v), 6) AS cos_sim
+        FROM q CROSS JOIN u c
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc=(
+        "Incremental IVF serving-index maintenance, end-to-end oracled: "
+        "the corpus (vec_id %% 10 != 0) is built into a persisted "
+        "cell-partitioned IVF index (functions/similarity.py:"
+        "write_ivf_index), the remaining vectors are APPENDED without a "
+        "refit (append_ivf_index — nearest-existing-centroid broadcast "
+        "assignment, O(batch x n_centroids), layout contract preserved), "
+        "and 3 query vectors are served from the combined index probing "
+        "ALL cells — which is exactly brute-force cosine top-5 over "
+        "corpus+batch regardless of where k-means drew its cells, so the "
+        "whole build+append+probe pipeline hash-matches a DuckDB replica "
+        "(unit-normalize per element, then sequential dot — the same "
+        "arithmetic order the index stores and the probe computes). "
+        "Partition-pruned sub-all-cells probes are covered by property "
+        "tests (tests/test_scale_ops.py); the 3-row query gather and the "
+        "n_centroids-row centroid read are bounded driver reads by "
+        "design (index-header-sized)."
+    ),
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    n_centroids = 8
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = _ivf_scratch_path(sf_dir)
+    # Atomic build-or-reuse (same protocol as the band index): reuse only
+    # a COMPLETE index (our _COMPLETE sentinel, written after the append
+    # finishes — the per-job _SUCCESS markers land before the append);
+    # publish fresh builds via private temp dir + os.rename.
+    if not os.path.isfile(os.path.join(path, "_COMPLETE")):
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
+        try:
+            S.write_ivf_index(corpus, tmp, n_centroids=n_centroids)
+            S.append_ivf_index(batch, tmp)
+            with open(os.path.join(tmp, "_COMPLETE"), "w"):
+                pass
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_COMPLETE")):
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(tmp, path)
+                # else: lost the publish race to an equivalent build
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    parts = [
+        S.probe_ivf_index(
+            spark, path, [float(x) for x in r.embedding], k=5, n_probes=n_centroids
+        ).select(
+            F.lit(r.vec_id).alias("query_id"), "neighbor_id", "cos_sim", "rnk"
+        )
+        for r in sorted(qrows, key=lambda r: r.vec_id)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ----------------------------------------------------------- text analysis
 
 
@@ -1029,20 +1133,39 @@ def _incremental_index_path(sf_dir: str) -> str:
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    import shutil
+    import uuid
+
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     path = _incremental_index_path(sf_dir)
-    if not os.path.isdir(path):
+    # Atomic build-or-reuse: reuse only a COMPLETE index (the _SUCCESS
+    # marker Spark's committer writes last), and publish a fresh build by
+    # writing to a private temp dir then os.rename-ing into place — a
+    # concurrent writer can never expose a half-written directory (Spark
+    # creates the output dir before job commit, so a bare isdir probe
+    # races), and a failed build is torn down and re-raised rather than
+    # left behind to be silently reused forever.
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
         try:
             D.write_minhash_band_index(
-                corpus, path, n_hashes=_LSH_P_HASHES, band_size=_LSH_P_BAND
+                corpus, tmp, n_hashes=_LSH_P_HASHES, band_size=_LSH_P_BAND
             )
-        except Exception:
-            # Lost a create race to a parallel worker: the winner's index
-            # is equivalent (path encodes the source version).
-            if not os.path.isdir(path):
-                raise
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    # Not a lost race — a corrupt leftover (e.g. an old
+                    # crashed build with no marker) is squatting on the
+                    # path: clear it and publish this complete build.
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(tmp, path)
+                # else: lost the publish race; the winner's index is
+                # equivalent (the path is keyed on the source version).
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return D.probe_minhash_band_index(
         spark,
         path,
@@ -1087,42 +1210,16 @@ _SPAN_W = 15  # exact-span window length in tokens
         f"and MinHash may miss when the rest of the docs differ). Each "
         f"window reduces to one md5, so candidate generation is a "
         f"hash-keyed equi-join — window text never joins. At corpus scale "
-        f"the production knob is a document-frequency cap on hot windows "
-        f"(boilerplate shares the most windows); kept uncapped here so "
-        f"the DuckDB replica is exact."
+        f"the production knob is the df_cap document-frequency cap on hot "
+        f"windows (functions/dedup.py:duplicate_span_pairs — bounds any "
+        f"single window's pair fan-out to df_cap^2/2, exercised on a "
+        f"crafted skewed fixture in tests/test_llm.py); kept uncapped "
+        f"here so the DuckDB replica is exact."
     ),
 )
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).filter(
-        F.size("t") >= _SPAN_W
-    )
-    # greatest(..., 1) keeps the expression TOTAL: constraint inference
-    # can evaluate it on pre-filter rows (Catalyst folds an inferred
-    # non-empty-array predicate into the scan filter), where a <W-token
-    # doc would otherwise drive sequence() descending through slice
-    # start 0 and abort the job. Filtered rows never surface the bogus
-    # single short window.
-    wins = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("t") - (_SPAN_W - 1), F.lit(1))
-                ),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, _SPAN_W))),
-            )
-        ).alias("whs"),
-    )
-    ex = wins.select("doc_id", F.explode("whs").alias("wh"))
-    a = ex.select(F.col("doc_id").alias("id_a"), "wh")
-    b = ex.select(F.col("doc_id").alias("id_b"), "wh")
-    return (
-        a.join(b, "wh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
-    )
+    return D.duplicate_span_pairs(docs, span_w=_SPAN_W, df_cap=None)
 
 
 def _minhash_est_oracle(n_hashes: int = 16) -> str:

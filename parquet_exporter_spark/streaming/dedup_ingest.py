@@ -5,29 +5,30 @@ arrive as a stream; each micro-batch is (a) probed against the PERSISTED
 LSH band index of everything accepted so far (functions/dedup.py:
 probe_minhash_band_index — signs only the batch, equi-joins the index,
 exact-verifies candidates), (b) greedily deduplicated within itself, and
-(c) appended — accepted docs to the corpus store, their band signatures
+(c) written — accepted docs to the corpus store, their band signatures
 to the index — so the NEXT batch dedups against this one without any
 corpus re-pairing. Per-batch cost is O(batch + candidates), never
 O(corpus).
 
-foreachBatch is the right host: index probe + two appends are a
-multi-sink transaction per micro-batch, which no single file sink
-expresses. With a checkpoint dir the query restarts after the last
-committed batch; a re-run batch re-probes the index and its docs are
-already present, so the exact-dup probe rejects them — the appends are
-effectively idempotent at the batch level for near-dup purposes (the
-corpus store may hold a re-run batch's rows twice; dedup consumers key
-on doc_id).
+foreachBatch is the right host: index probe + multi-sink writes are one
+transaction per micro-batch, which no single file sink expresses.
+Exactly-once across restarts: every sink write lands under an
+``ingest_batch=<batchId>`` partition directory in OVERWRITE mode, so a
+replayed micro-batch (crash after some writes committed but before the
+checkpoint offset did) rewrites its own partitions byte-for-byte instead
+of double-appending — the standard foreachBatch batchId idempotence
+pattern. Readers of the corpus/index/rejects roots see ``ingest_batch``
+as an ordinary hive partition column.
 
 Scale note: the corpus store and index are plain parquet here; at
 100 TB both would be a transactional table format (Delta/Iceberg/Hudi)
-so concurrent readers never see a half-appended batch — the streaming
-wiring is identical.
+so concurrent readers never see a half-overwritten batch — the
+streaming wiring is identical. Path existence is resolved through the
+Hadoop FileSystem API, so the same code runs against HDFS/S3 URIs, not
+only the local filesystem.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,8 +36,40 @@ from pyspark.sql import functions as F
 from parquet_exporter_spark.functions.dedup import (
     minhash_lsh_pairs_portable,
     probe_minhash_band_index,
-    write_minhash_band_index,
+    _banded_from_shingled,
+    _shingled_docs,
 )
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists, resolved via the Hadoop FileSystem for
+    the path's scheme — correct for hdfs://, s3a://, file:/ and bare
+    local paths alike (a driver-local os.path.isdir silently reports
+    False for every remote URI). Falls back to a read-probe under Spark
+    Connect, where the py4j gateway is unavailable."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
+
+
+def _readable_parquet(spark, path: str) -> DataFrame | None:
+    """The path's parquet DataFrame, or None when the path is absent or
+    holds no readable footers yet (e.g. an all-empty first batch left
+    only _SUCCESS markers)."""
+    if not _hadoop_path_exists(spark, path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
 
 
 def dedup_batch_against_index(
@@ -48,6 +81,8 @@ def dedup_batch_against_index(
     jaccard_threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_handles: list | None = None,
+    exclude_ingest_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One increment: returns (accepted, rejected) for a batch.
 
@@ -55,11 +90,34 @@ def dedup_batch_against_index(
     index) plus within-batch near-dup losers (the greedy keep-smallest-id
     rule: in every colliding pair the larger id loses, so each near-dup
     family's minimum id survives).
+
+    ``persist_handles``: pass a list to collect the DataFrames the dedup
+    machinery persists internally, for explicit unpersist() once the
+    verdicts are materialized — required in per-micro-batch callers so a
+    long-running stream does not accumulate cache entries without bound.
+
+    ``exclude_ingest_batch``: a REPLAYED micro-batch must not probe the
+    rows its own earlier (partially committed) run wrote, or it would
+    self-reject every doc it previously accepted; passing the batch id
+    filters that ``ingest_batch=`` partition out of both the corpus and
+    the index view, so the replay recomputes its verdicts from exactly
+    the state the original run saw. The filter is on the partition
+    column, so the excluded partition's files are pruned, never read.
     """
     spark = batch_df.sparkSession
-    cross_hits = None
-    if os.path.isdir(index_path) and os.path.isdir(corpus_path):
-        corpus = spark.read.parquet(corpus_path)
+
+    def _without_own_batch(df: DataFrame | None) -> DataFrame | None:
+        if (
+            df is not None
+            and exclude_ingest_batch is not None
+            and "ingest_batch" in df.columns
+        ):
+            return df.filter(F.col("ingest_batch") != exclude_ingest_batch)
+        return df
+
+    corpus = _without_own_batch(_readable_parquet(spark, corpus_path))
+    index_df = _without_own_batch(_readable_parquet(spark, index_path))
+    if corpus is not None and index_df is not None:
         cross_hits = probe_minhash_band_index(
             spark,
             index_path,
@@ -70,6 +128,8 @@ def dedup_batch_against_index(
             jaccard_threshold=jaccard_threshold,
             id_col=id_col,
             text_col=text_col,
+            persist_handles=persist_handles,
+            index_df=index_df,
         )
         dup_ids = cross_hits.select(F.col("new_id").alias(id_col)).distinct()
         survivors = batch_df.join(dup_ids, id_col, "left_anti")
@@ -82,12 +142,78 @@ def dedup_batch_against_index(
         jaccard_threshold=jaccard_threshold,
         id_col=id_col,
         text_col=text_col,
+        persist_handles=persist_handles,
     )
     losers = intra.select(F.col("id_b").alias(id_col)).distinct()
     accepted = survivors.join(losers, id_col, "left_anti")
     rejected_ids = batch_df.select(id_col).exceptAll(accepted.select(id_col))
     rejected = batch_df.join(rejected_ids.distinct(), id_col, "semi")
     return accepted, rejected
+
+
+def make_ingest_batch_handler(
+    index_path: str,
+    corpus_path: str,
+    rejects_path: str | None = None,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The foreachBatch handler, exposed so its exactly-once contract is
+    directly testable: calling it twice with the SAME batch_id (a replay)
+    leaves every store identical to calling it once, because each sink
+    write overwrites that batch's own ingest_batch= partition."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        handles: list = [batch_df]
+        try:
+            accepted, rejected = dedup_batch_against_index(
+                batch_df,
+                index_path,
+                corpus_path,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                jaccard_threshold=jaccard_threshold,
+                id_col=id_col,
+                text_col=text_col,
+                persist_handles=handles,
+                exclude_ingest_batch=batch_id,
+            )
+            # Materialize BOTH verdicts before any write, with lineage
+            # TRUNCATED (localCheckpoint, not persist): their plans read
+            # the corpus/index parquet this batch is about to write to,
+            # and writing under a path invalidates+recomputes any cache
+            # whose plan scans it (CacheManager recache-by-path) — a
+            # recomputed verdict would see the batch's own rows and
+            # self-reject them. Checkpointed blocks have no lineage to
+            # recompute, so they are immune.
+            accepted = accepted.localCheckpoint(eager=True)
+            rejected = rejected.localCheckpoint(eager=True)
+            batch_dir = f"ingest_batch={batch_id}"
+            accepted.write.mode("overwrite").parquet(
+                f"{corpus_path}/{batch_dir}"
+            )
+            banded = _banded_from_shingled(
+                _shingled_docs(accepted, id_col, text_col),
+                n_hashes,
+                band_size,
+                id_col,
+            )
+            banded.write.mode("overwrite").partitionBy("band").parquet(
+                f"{index_path}/{batch_dir}"
+            )
+            if rejects_path is not None:
+                rejected.write.mode("overwrite").parquet(
+                    f"{rejects_path}/{batch_dir}"
+                )
+        finally:
+            for h in handles:
+                h.unpersist()
+
+    return _ingest
 
 
 def ingest_dedup_stream(
@@ -103,46 +229,17 @@ def ingest_dedup_stream(
     text_col: str = "text",
 ):
     """Start the foreachBatch ingest query; returns the StreamingQuery."""
-
-    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            accepted, rejected = dedup_batch_against_index(
-                batch_df,
-                index_path,
-                corpus_path,
-                n_hashes=n_hashes,
-                band_size=band_size,
-                jaccard_threshold=jaccard_threshold,
-                id_col=id_col,
-                text_col=text_col,
-            )
-            # Materialize BOTH verdicts before any write, with lineage
-            # TRUNCATED (localCheckpoint, not persist): their plans read
-            # the corpus/index parquet this batch is about to append to,
-            # and appending to a path invalidates+recomputes any cache
-            # whose plan scans it (CacheManager recache-by-path) — a
-            # recomputed verdict would see the batch's own rows and
-            # self-reject them. Checkpointed blocks have no lineage to
-            # recompute, so they are immune.
-            accepted = accepted.localCheckpoint(eager=True)
-            rejected = rejected.localCheckpoint(eager=True)
-            accepted.write.mode("append").parquet(corpus_path)
-            write_minhash_band_index(
-                accepted,
-                index_path,
-                n_hashes=n_hashes,
-                band_size=band_size,
-                id_col=id_col,
-                text_col=text_col,
-                mode="append",
-            )
-            if rejects_path is not None:
-                rejected.write.mode("append").parquet(rejects_path)
-        finally:
-            batch_df.unpersist()
-
-    writer = stream_docs.writeStream.foreachBatch(_ingest).outputMode("append")
+    handler = make_ingest_batch_handler(
+        index_path,
+        corpus_path,
+        rejects_path=rejects_path,
+        n_hashes=n_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    writer = stream_docs.writeStream.foreachBatch(handler).outputMode("append")
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -338,3 +338,44 @@ def test_binary_quantized_shortlist_recall(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in shortlist.collect()}
     recall = len(exact_pairs & got) / len(exact_pairs)
     assert recall >= 0.5, f"hamming shortlist recall too low: {recall}"
+
+
+def test_duplicate_spans_df_cap_bounds_hot_window_blowup(spark):
+    """The df_cap production knob on duplicate_span_pairs: a boilerplate
+    window shared by N docs alone contributes N*(N-1)/2 candidate pairs;
+    capping its document frequency drops it BEFORE the self-join while
+    genuine rare-window overlaps survive untouched."""
+    from parquet_exporter_spark.functions.dedup import duplicate_span_pairs
+
+    w = 15
+    boiler = " ".join(f"b{i}" for i in range(w))  # the hot window
+    rare = " ".join(f"r{i}" for i in range(w))  # a genuine 2-doc overlap
+    rows = [
+        # 12 docs all carrying the SAME boilerplate window + unique tails
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(3)))
+        for i in range(12)
+    ] + [
+        # 2 docs sharing a rare window nothing else has
+        (100, rare + " tail100a tail100b"),
+        (101, rare + " tail101a tail101b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = duplicate_span_pairs(docs, span_w=w).collect()
+    uncapped_pairs = {(r.id_a, r.id_b) for r in uncapped}
+    # the hot window alone produces all 12*11/2 boilerplate pairs
+    assert len([p for p in uncapped_pairs if p[0] < 100]) == 66
+    assert (100, 101) in uncapped_pairs
+
+    capped = duplicate_span_pairs(docs, span_w=w, df_cap=5).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    # windows with df > 5 are gone: no boilerplate pair survives ...
+    assert not [p for p in capped_pairs if p[0] < 100]
+    # ... but the rare-window pair (df=2 <= cap) is untouched, with the
+    # same shared-window count as the uncapped run
+    assert capped_pairs == {(100, 101)}
+    n_shared = {(r.id_a, r.id_b): r.n_shared_windows for r in capped}
+    n_shared_uncapped = {
+        (r.id_a, r.id_b): r.n_shared_windows for r in uncapped
+    }
+    assert n_shared[(100, 101)] == n_shared_uncapped[(100, 101)]

@@ -576,3 +576,58 @@ def test_streaming_dedup_ingest_checkpoint_restart(spark, tmp_path):
     # 10 rejected via the index built before the restart; 11 accepted;
     # batch 1 NOT replayed (ids appear exactly once)
     assert corpus_ids == [1, 2, 11]
+
+
+def test_streaming_dedup_ingest_replayed_batch_is_exactly_once(spark, tmp_path):
+    """The foreachBatch exactly-once contract: a REPLAYED micro-batch
+    (same batch_id delivered twice — the crash-between-sink-commit-and-
+    checkpoint-commit case) leaves zero duplicate doc_ids in the corpus,
+    index, and rejects stores, because every sink write overwrites that
+    batch's own ingest_batch= partition instead of appending."""
+    from parquet_exporter_spark.streaming.dedup_ingest import (
+        make_ingest_batch_handler,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    index_path = str(tmp_path / "band_index")
+    corpus_path = str(tmp_path / "corpus")
+    rejects_path = str(tmp_path / "rejects")
+    handler = make_ingest_batch_handler(
+        index_path, corpus_path, rejects_path=rejects_path,
+        n_hashes=16, band_size=4, jaccard_threshold=0.5,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, "unrelated text about shuffles")],
+        "doc_id long, text string",
+    )
+    handler(b1, 0)
+    handler(b1, 0)  # forced replay of the SAME committed batch
+    b2 = spark.createDataFrame(
+        [(10, base.replace("quick", "swift")), (11, "fresh tokenizer text")],
+        "doc_id long, text string",
+    )
+    handler(b2, 1)
+    handler(b2, 1)  # and of the second batch
+
+    corpus_ids = [r.doc_id for r in spark.read.parquet(corpus_path).collect()]
+    assert sorted(corpus_ids) == [1, 3, 11]  # exactly once each
+    idx_ids = [
+        r.doc_id
+        for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()
+    ]
+    assert sorted(idx_ids) == [1, 3, 11]
+    # every (doc_id, band) appears exactly once despite the replays
+    idx = spark.read.parquet(index_path)
+    dup_bands = (
+        idx.groupBy("doc_id", "band")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_bands == 0
+    reject_ids = [r.doc_id for r in spark.read.parquet(rejects_path).collect()]
+    assert sorted(reject_ids) == [2, 10]

@@ -1,36 +1,65 @@
 #!/bin/bash
 # End-of-round verification protocol — runs every gate the round driver
-# and judge will apply, in the cheapest order that still catches
-# everything. Usage:  bash tools/roundcheck.sh   (from anywhere)
+# and judge will apply. Usage:  bash tools/roundcheck.sh   (from anywhere)
 #
-# 1. front-window driver replay (fast; the queries CORRECTNESS_r{N} will
+# ORDER MATTERS FOR THE BENCH: timing measurements taken while the box
+# is still cooling from a multi-minute Spark sweep read 10-30% slow
+# (BASELINE.md documents this; BENCH_r06 recorded a +22.6% phantom
+# regression by running bench minutes after the 463 s full verify).
+# So the bench contract runs FIRST, behind an idle-box gate, before any
+# long sweep heats the machine:
+#
+# 1. idle-box gate + bench.py single-JSON-line contract (the ONLY timed
+#    step; everything after is pass/fail)
+# 2. front-window driver replay (fast; the queries CORRECTNESS_r{N} will
 #    actually stamp)
-# 2. full pytest suite
-# 3. full driver-contract replica, all queries, neutral cwd + hostile TZ
-# 4. full-registry hostile-data sweep
-# 5. bench.py single-JSON-line contract
-# 6. COVERAGE.md <-> registry zero-diff cross-check
+# 3. COVERAGE.md <-> registry zero-diff cross-check (fast)
+# 4. full pytest suite
+# 5. full driver-contract replica, all queries, neutral cwd + hostile TZ
+# 6. full-registry hostile-data sweep
 #
-# Steps 2-4 each take 5-15 min; do NOT run them concurrently (CPU
+# Steps 4-6 each take 5-15 min; do NOT run them concurrently (CPU
 # contention roughly doubles each). Total ~35-40 min.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 fail=0
 
-echo "== [1/6] driver-window replay (front 50, sf0.01, hostile TZ) =="
+echo "== [1/6] bench contract (idle-box gated) =="
+# Idle-box gate: wait (up to 5 min) until no residual Spark JVM from a
+# previous sweep is still running — a cooling box inflates timings.
+for i in $(seq 1 60); do
+  if pgrep -f "org.apache.spark.deploy.SparkSubmit|pyspark-shell" >/dev/null 2>&1; then
+    [ "$i" -eq 1 ] && echo "  waiting for residual Spark JVMs to exit..."
+    sleep 5
+  else
+    break
+  fi
+done
+pgrep -f "org.apache.spark.deploy.SparkSubmit|pyspark-shell" >/dev/null 2>&1 && \
+  echo "  WARNING: residual JVM still alive after 5 min; bench timing may read slow"
+(cd "$REPO" && python bench.py | python -c "
+import json, sys
+d = json.loads(sys.stdin.readline())
+assert {'metric','value','unit','queries','sf'} <= set(d), d.keys()
+print('bench OK:', d['value'], d['unit'], 'sf', d['sf'])") || fail=1
+
+echo "== [2/6] driver-window replay (front 50, sf0.01, hostile TZ) =="
 TZ=America/New_York python "$REPO/tools/verify_priority.py" || fail=1
 
-echo "== [2/6] full pytest suite =="
+echo "== [3/6] COVERAGE.md <-> registry cross-check =="
+python "$REPO/tools/check_coverage.py" || fail=1
+
+echo "== [4/6] full pytest suite =="
 (cd "$REPO" && python -m pytest tests/ -q) || fail=1
 
-echo "== [3/6] full driver-contract replica =="
+echo "== [5/6] full driver-contract replica =="
 # tools/verify_full.py replays the driver's per-query compare over the
 # WHOLE registry with full-sweep session sizing (4g heap + periodic
 # broadcast release — the bare 1g default OOMs around query ~350 and
 # false-fails everything after). Round arg 0 = check only, no artifact.
 TZ=America/New_York python "$REPO/tools/verify_full.py" 0 || fail=1
 
-echo "== [4/6] hostile-data full-registry sweep =="
+echo "== [6/6] hostile-data full-registry sweep =="
 cd /tmp && python - <<EOF || fail=1
 import shutil, sys, tempfile
 sys.path.insert(0, "$REPO")
@@ -73,16 +102,6 @@ print("hostile FAILED:", fails or "none")
 shutil.rmtree(out, ignore_errors=True)
 sys.exit(1 if fails else 0)
 EOF
-
-echo "== [5/6] bench contract =="
-(cd "$REPO" && python bench.py | python -c "
-import json, sys
-d = json.loads(sys.stdin.readline())
-assert {'metric','value','unit','queries','sf'} <= set(d), d.keys()
-print('bench OK:', d['value'], d['unit'], 'sf', d['sf'])") || fail=1
-
-echo "== [6/6] COVERAGE.md <-> registry cross-check =="
-python "$REPO/tools/check_coverage.py" || fail=1
 
 echo
 if [ "$fail" -eq 0 ]; then echo "ROUNDCHECK: ALL GREEN"; else echo "ROUNDCHECK: FAILURES (see above)"; fi
