@@ -561,19 +561,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    # Repartition the TOKEN stream by term up front: HashPartitioning on
+    # a SUBSET of the grouping keys satisfies ClusteredDistribution, so
+    # this single exchange serves BOTH the (doc_id, term) tf aggregate
+    # and the df window over term — 2 shuffles total instead of 3
+    # (tf-keyed, then a full re-shuffle+sort of tf by term). The trade is
+    # shuffling raw token occurrences instead of map-side-combined tf
+    # pairs; measured (tools/tfidf_variants.py, idle box): wins 18% at
+    # sf0.1 and 30% at sf1. The df-as-partial-agg+join form loses at both
+    # scales (extra exchange + SMJ sort), and a broadcast-df variant was
+    # measured slower earlier and is an unbounded-vocabulary size risk.
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).repartition("term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # Corpus cardinality comes from catalog statistics (parquet footer
     # row counts — identical to what count(*) answers) and is embedded as
     # a literal: no extra count job, exchange, or broadcast in the plan.
     n_docs = tables.table_rowcount(sf_dir, "documents")
-    # tf already has one row per (doc, term), so document frequency is a
-    # count over tf's term partitions: one shuffle of the small tf table
-    # instead of a second tokenize+explode pass over the corpus. A
-    # broadcast-df variant was measured slower here (per-execution
-    # vocabulary collect + broadcast) and is a size risk at corpus scale
-    # (the vocabulary is unbounded); the co-shuffled window IS the
-    # shuffled-hash-join shape you'd run at 100 TB.
     df_w = Window.partitionBy("term")
     scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
         "doc_id",
