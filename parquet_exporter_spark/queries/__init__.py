@@ -143,6 +143,8 @@ PRIORITY = (
     "search_mmr_rerank",
     "dq_join_key_skew",
     "similarity_ivf_incremental",
+    "agg_bloom_filter_portable",
+    "agg_histogram_quantile_sketch",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

@@ -595,6 +595,270 @@ def agg_count_min_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_WORDS = 256  # bitmap words (~2 KB — sized ~10 bits/key for ~1% fp)
+_BLOOM_BITS_PER_WORD = 62  # avoid the BIGINT sign bit in both engines
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD  # 15872 bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_oracle() -> str:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    coeffs = _D.hash_coefficients(_BLOOM_K, seed=11)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    bh_build = _D.sql_base_hash_31("CAST(o_custkey AS VARCHAR)")
+    bh_probe = _D.sql_base_hash_31("CAST(probe_key AS VARCHAR)")
+    p = _D.MERSENNE_31
+    return f"""
+    WITH seeds AS (SELECT * FROM (VALUES {seeds}) AS t(j, a, b)),
+    bkeys AS (SELECT DISTINCT o_custkey, {bh_build} AS h FROM orders),
+    bpos AS (
+        SELECT ((a * h + b) % {p}) % {_BLOOM_M} AS pos
+        FROM bkeys CROSS JOIN seeds
+    ),
+    bitmap AS (
+        SELECT pos // {_BLOOM_BITS_PER_WORD} AS word,
+               bit_or(1::BIGINT << CAST(pos % {_BLOOM_BITS_PER_WORD} AS INTEGER)) AS bm
+        FROM bpos GROUP BY 1
+    ),
+    pk AS (SELECT c_custkey AS probe_key FROM customer
+           UNION ALL SELECT c_custkey + 1000000 FROM customer),
+    probe AS (SELECT DISTINCT probe_key, {bh_probe} AS h FROM pk),
+    ppos AS (
+        SELECT probe_key,
+               ((a * h + b) % {p}) % {_BLOOM_M} AS pos
+        FROM probe CROSS JOIN seeds
+    ),
+    hits AS (
+        SELECT probe_key,
+               (COALESCE(bm, 0)
+                & (1::BIGINT << CAST(pos % {_BLOOM_BITS_PER_WORD} AS INTEGER))) <> 0 AS hit
+        FROM ppos LEFT JOIN bitmap
+          ON bitmap.word = pos // {_BLOOM_BITS_PER_WORD}
+    ),
+    verdict AS (
+        SELECT probe_key, bool_and(hit) AS bloom_present
+        FROM hits GROUP BY probe_key
+    )
+    SELECT v.probe_key, v.bloom_present,
+           EXISTS (SELECT 1 FROM orders WHERE o_custkey = v.probe_key)
+               AS actually_present,
+           (v.bloom_present
+            OR NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = v.probe_key))
+               AS no_false_negative
+    FROM verdict v
+    """
+
+
+@query(
+    "agg_bloom_filter_portable",
+    oracle=_bloom_oracle(),
+    doc=(
+        "Portable Bloom filter — the runtime-filter / join-pruning sketch "
+        "at 100 TB (ship a KB-scale bitmap of the dim side's keys to the "
+        "fact scan so non-matching rows die before the shuffle), built "
+        "with NO engine-private BloomFilter binary: the filter is a "
+        "16-word bitmap from ONE bit_or aggregate over k=3 portable hash "
+        "positions (62 usable bits per word keeps the BIGINT sign bit out "
+        "of play in both engines; mergeable — union = bitwise OR), the "
+        "probe side checks its k bits against the broadcast bitmap, and "
+        "the whole build+probe pipeline INCLUDING the no-false-negative "
+        "guarantee hash-matches a DuckDB replica. The probe set is every "
+        "customer key plus a shifted definitely-absent copy (key + 1e6), "
+        "so at m~10.6 bits/key a ~1.5%% false-positive band actually "
+        "shows up in the bloom_present/actually_present columns — the "
+        "filter is doing probabilistic work, not echoing the semi-join."
+    ),
+)
+def agg_bloom_filter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    coeffs = _D.hash_coefficients(_BLOOM_K, seed=11)
+
+    def positions(df: DataFrame, key_col: str) -> DataFrame:
+        h = df.select(
+            F.col(key_col),
+            _D.base_hash_31(F.col(key_col).cast("string")).alias("h"),
+        ).distinct()
+        return h.select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        ((F.lit(a) * F.col("h") + F.lit(b)) % _D.MERSENNE_31)
+                        % _BLOOM_M
+                        for a, b in coeffs
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    word = (F.col("pos") / _BLOOM_BITS_PER_WORD).cast("long")
+    # shiftleft with a COLUMN bit count needs the SQL form (the pyspark
+    # wrapper only takes a literal int numBits)
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_BITS_PER_WORD} AS INT))"
+    )
+    bitmap = (
+        positions(orders, "o_custkey")
+        .select(word.alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bm"))
+    )
+    probes = cust.select(F.col("c_custkey").alias("probe_key")).unionAll(
+        cust.select((F.col("c_custkey") + 1000000).alias("probe_key"))
+    )
+    hits = (
+        positions(probes, "probe_key")
+        .select("probe_key", word.alias("word"), mask.alias("m"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "probe_key",
+            (
+                F.coalesce(F.col("bm"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+            ).alias("hit"),
+        )
+    )
+    verdict = hits.groupBy("probe_key").agg(F.bool_and("hit").alias("bloom_present"))
+    present = (
+        probes.distinct()
+        .join(
+            orders.select(F.col("o_custkey").alias("probe_key")), "probe_key", "semi"
+        )
+        .withColumn("__present", F.lit(True))
+    )
+    return (
+        verdict.join(present, "probe_key", "left")
+        .select(
+            "probe_key",
+            "bloom_present",
+            F.coalesce("__present", F.lit(False)).alias("actually_present"),
+            (
+                F.col("bloom_present") | ~F.coalesce("__present", F.lit(False))
+            ).alias("no_false_negative"),
+        )
+    )
+
+
+_HQ_LO = 900.0  # sketch domain (fixed config, like any sketch's params)
+_HQ_HI = 105000.0
+_HQ_NB = 256  # buckets
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_NB
+
+
+@query(
+    "agg_histogram_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               least(greatest(CAST(floor((l_extendedprice - {_HQ_LO!r}) / {_HQ_W!r}) AS BIGINT),
+                              0), {_HQ_NB - 1}) AS bucket
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, bucket,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+               sum(c) OVER (PARTITION BY l_returnflag) AS total
+        FROM hist
+    ),
+    cross_b AS (
+        SELECT l_returnflag,
+               min(CASE WHEN cum >= 0.5 * total THEN bucket END) AS b50,
+               min(CASE WHEN cum >= 0.95 * total THEN bucket END) AS b95
+        FROM cum GROUP BY l_returnflag
+    ),
+    exact AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS e50,
+               quantile_cont(l_extendedprice, 0.95) AS e95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           round({_HQ_LO!r} + (c.b50 + 1) * {_HQ_W!r}, 4) AS approx_p50,
+           round(e.e50, 4) AS exact_p50,
+           abs(({_HQ_LO!r} + (c.b50 + 1) * {_HQ_W!r}) - e.e50)
+               <= {2 * _HQ_W!r} + 1e-9 AS p50_within_two_bins,
+           round({_HQ_LO!r} + (c.b95 + 1) * {_HQ_W!r}, 4) AS approx_p95,
+           round(e.e95, 4) AS exact_p95,
+           abs(({_HQ_LO!r} + (c.b95 + 1) * {_HQ_W!r}) - e.e95)
+               <= {2 * _HQ_W!r} + 1e-9 AS p95_within_two_bins
+    FROM cross_b c JOIN exact e USING (l_returnflag)
+    """,
+    doc=(
+        "Mergeable quantile sketch via a fixed-grid histogram — the "
+        "one-pass bounded-memory alternative to an exact global sort "
+        "when percentile dashboards run over 100 TB: the sketch is a "
+        "256-bucket equi-width histogram (one map-side-combinable "
+        "aggregate; merging sketches = adding counts, so it composes "
+        "across partitions, days, and streaming micro-batches), and "
+        "P50/P95 are read off the cumulative histogram as the first "
+        "bucket whose running count crosses q*N. Estimates carry the "
+        "CDF guarantee |approx - exact| <= 2 bucket widths, emitted as "
+        "verdict booleans next to the exact quantile_cont values — all "
+        "arithmetic is engine-portable doubles, so the entire "
+        "build+serve+error-bound pipeline hash-matches DuckDB. "
+        "Contrast with agg_approx_percentile (engine-private GK sketch, "
+        "bounded-error verdict only) and agg_ntile_histogram (exact but "
+        "1-partition global sort)."
+    ),
+)
+def agg_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - _HQ_LO) / _HQ_W).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(_HQ_NB - 1).cast("long"),
+    )
+    hist = li.groupBy("l_returnflag", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bucket")
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    crossings = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("bucket"))
+        ).alias("b50"),
+        F.min(
+            F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bucket"))
+        ).alias("b95"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+    )
+
+    def edge(b):  # upper edge of bucket b
+        return F.lit(_HQ_LO) + (F.col(b) + 1) * F.lit(_HQ_W)
+
+    return crossings.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.round(edge("b50"), 4).alias("approx_p50"),
+        F.round("e50", 4).alias("exact_p50"),
+        (F.abs(edge("b50") - F.col("e50")) <= 2 * _HQ_W + 1e-9).alias(
+            "p50_within_two_bins"
+        ),
+        F.round(edge("b95"), 4).alias("approx_p95"),
+        F.round("e95", 4).alias("exact_p95"),
+        (F.abs(edge("b95") - F.col("e95")) <= 2 * _HQ_W + 1e-9).alias(
+            "p95_within_two_bins"
+        ),
+    )
+
+
 @query(
     "agg_ntile_histogram",
     oracle="""

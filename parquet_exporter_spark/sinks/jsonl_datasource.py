@@ -1,0 +1,131 @@
+"""A Spark Python DataSource WRITER (Spark 4 API) — the sink-side twin of
+the GraphQL reader datasource (sources/graphql_datasource.py covers the
+read/stream-read half of the API surface; this covers `DataSourceWriter`).
+
+`df.write.format("jsonl_dir").mode(...).save(path)` writes one JSON-lines
+file per input partition with the two-phase commit contract a distributed
+sink needs at scale:
+
+- each task writes its partition to a uniquely-named `part-*.jsonl` and
+  returns a `WriterCommitMessage` naming the file and its row count;
+- `commit()` runs ONCE on the driver after every task succeeded and
+  publishes `_MANIFEST.json` listing exactly the committed files (readers
+  that honor the manifest never see output from failed/speculative task
+  attempts — the same job-commit discipline as Hadoop committers);
+- `abort()` removes any files the failed attempt left behind.
+
+Rows serialize with a deterministic field order (the schema's), ISO text
+for datetimes, and None -> null, so a JSONL round-trip through
+`spark.read.schema(...).json(path)` reproduces the input exactly — pinned
+by tests/test_sources.py.
+
+Scale shape: serialization is per-partition streaming (no driver gather,
+no per-row py4j); the driver sees only one tiny commit message per task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+def _to_jsonable(value):
+    """JSON-safe value: datetimes/dates/decimals/bytes to text/number,
+    containers recursively."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat(sep=" ") if isinstance(value, datetime.datetime) else value.isoformat()
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    if isinstance(value, (bytes, bytearray)):
+        return base64.b64encode(bytes(value)).decode("ascii")
+    if isinstance(value, dict):
+        return {k: _to_jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_to_jsonable(v) for v in value]
+    return value
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w", encoding="utf-8") as f:
+            for row in iterator:
+                rec = {k: _to_jsonable(v) for k, v in zip(self.fields, row)}
+                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+                n += 1
+        return _FileCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, f"._manifest.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlDirDataSource(DataSource):
+    """Register with ``spark.dataSource.register(JsonlDirDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, schema, overwrite)
+
+
+def _ship_code_by_value() -> None:
+    """Executors may not have the repo on sys.path (the driver harness
+    runs from a neutral cwd with no PYTHONPATH): serialize this module by
+    VALUE so the writer class travels inside the pickled DataSource
+    instead of being re-imported by name on the worker."""
+    import sys
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+    except ImportError:  # pragma: no cover - ancient pyspark
+        return
+    register_pickle_by_value(sys.modules[__name__])
+
+
+_ship_code_by_value()
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)
