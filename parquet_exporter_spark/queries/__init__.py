@@ -145,6 +145,8 @@ PRIORITY = (
     "similarity_ivf_incremental",
     "agg_bloom_filter_portable",
     "agg_histogram_quantile_sketch",
+    "analytics_bootstrap_ci",
+    "sql_range_tvf_spine",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

@@ -1941,3 +1941,85 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_events"),
         F.round(F.exp(F.sum(hazard_ln).over(w_cum)), 6).alias("survival"),
     )
+
+
+# Poisson(1) inverse CDF thresholds (cumulative e^-1 * sum 1/k!), embedded
+# as identical literals in both engines so replica draws are bit-equal.
+import math as _math
+
+_BOOT_THRESH = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(6):
+    _acc += _term
+    _BOOT_THRESH.append(_acc)
+    _term /= _k + 1
+_BOOT_B = 16  # bootstrap replicas
+
+
+def _bootstrap_oracle() -> str:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    key = "concat(CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))"
+    # base_hash_31 is 28 bits (7 hex digits), so 2^28 is the right uniform
+    # denominator — dividing by the Mersenne prime would cap u at 0.125
+    u = f"({_D.sql_base_hash_31(key)} / {float(1 << 28)!r})"
+    case = "CASE " + " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH reps AS (SELECT CAST(unnest(range(0, {_BOOT_B})) AS BIGINT) AS b),
+    draws AS (
+        SELECT b, {case} AS k, o_totalprice
+        FROM orders CROSS JOIN reps
+    )
+    SELECT b AS replica,
+           round(sum(k * o_totalprice), 2) AS boot_total,
+           CAST(sum(k) AS BIGINT) AS boot_rows
+    FROM draws GROUP BY b
+    """
+
+
+@query(
+    "analytics_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    doc=(
+        "Poisson bootstrap — THE resampling scheme that works on "
+        "distributed data (Chamandy et al., Google 2012): classic "
+        "bootstrap needs n draws WITH replacement from the whole dataset "
+        "(a global operation), but Poisson(1) per-row weights approximate "
+        "it with a purely ROW-LOCAL draw, so B=16 resampled totals of "
+        "o_totalprice come from one scan + one 16-group aggregate — no "
+        "shuffle of data, no driver loop, embarrassingly parallel at "
+        "100 TB. Draws are deterministic md5 uniforms pushed through the "
+        "Poisson(1) inverse CDF as shared literal thresholds, so every "
+        "replica hash-matches the DuckDB twin. Downstream CI = "
+        "percentiles of the B boot_total values (a 16-row driver-side "
+        "readout); the per-replica table is the checkable artifact."
+    ),
+)
+def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    orders = read_table(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    drawn = orders.select("o_orderkey", "o_totalprice", reps)
+    u = _D.base_hash_31(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    ) / float(1 << 28)
+    k = F.lit(6)
+    for kk in range(len(_BOOT_THRESH) - 1, -1, -1):
+        k = F.when(u < _BOOT_THRESH[kk], F.lit(kk)).otherwise(k)
+    return (
+        drawn.select(F.col("b").cast("long").alias("replica"),
+                     (k * F.col("o_totalprice")).alias("w"),
+                     k.alias("k"))
+        .groupBy("replica")
+        .agg(
+            F.round(F.sum("w"), 2).alias("boot_total"),
+            F.sum("k").cast("long").alias("boot_rows"),
+        )
+    )

@@ -1022,3 +1022,56 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("long").alias("dist"),
         )
     )
+
+
+@query(
+    "sql_range_tvf_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT CAST(DATE '2024-01-01' + INTERVAL (d) DAY AS DATE) AS day
+        FROM (SELECT CAST(unnest(range(0, 45)) AS INTEGER) AS d)
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.total_value, 0.0) AS total_value,
+           d.n IS NULL AS gap_filled
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    doc=(
+        "Table-valued-function SQL surface + the zero-filled calendar "
+        "spine every dashboard needs: range() generates the 45-day spine "
+        "(a TVF producing rows from nothing — no table scan, no driver "
+        "createDataFrame), daily aggregates LEFT JOIN onto it, and days "
+        "with no events surface as explicit zero rows flagged gap_filled "
+        "instead of silently missing. At 100 TB the spine stays "
+        "|days| rows (broadcast side) regardless of event volume; the "
+        "events side is one partial-agg shuffle on day."
+    ),
+)
+def sql_range_tvf_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH spine AS (
+            SELECT CAST(date_add(DATE '2024-01-01', CAST(id AS INT)) AS DATE) AS day
+            FROM range(0, 45)
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
+        )
+        SELECT s.day,
+               COALESCE(d.n, 0) AS n,
+               COALESCE(d.total_value, 0.0) AS total_value,
+               d.n IS NULL AS gap_filled
+        FROM spine s LEFT JOIN daily d USING (day)
+        """
+    )

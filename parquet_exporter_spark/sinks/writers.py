@@ -77,3 +77,30 @@ def write_compacted(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    compression: str = "snappy",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in `df`, leaving every other partition of the target untouched — the
+    incremental-backfill write mode (recompute one day/source and land it
+    without rewriting, or worse truncating, the rest of the table).
+
+    Spark's static overwrite mode (the default) would TRUNCATE the whole
+    table first; partitionOverwriteMode=dynamic scopes the delete to the
+    partitions the job actually emits. The option is set per-write (not
+    session-wide) so concurrent full-overwrite jobs keep their semantics.
+    At 100 TB this is the difference between an O(changed-partition)
+    backfill and an O(table) rewrite.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

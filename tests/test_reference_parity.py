@@ -371,3 +371,48 @@ def test_jsonl_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in src.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    """overwrite_partitions replaces exactly the partitions in the
+    incoming frame: other partitions' rows (and files) survive, the
+    rewritten partition's old rows are gone, and plain static overwrite
+    (the default) would have truncated them — pinned by contrast."""
+    from parquet_exporter_spark.sinks.writers import (
+        overwrite_partitions,
+        write_parquet,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = str(tmp_path / "dyn")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    before = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(out).groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert len(before) >= 2
+
+    # backfill ONE partition with a recomputed (here: halved) slice
+    target = sorted(before)[0]
+    backfill = orders.filter(F.col("o_orderstatus") == target).limit(
+        before[target] // 2
+    )
+    overwrite_partitions(backfill, out, partition_by=["o_orderstatus"])
+
+    after = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(out).groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert after[target] == before[target] // 2  # rewritten
+    for k in before:
+        if k != target:
+            assert after[k] == before[k]  # untouched
