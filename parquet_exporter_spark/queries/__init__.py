@@ -147,6 +147,8 @@ PRIORITY = (
     "agg_histogram_quantile_sketch",
     "analytics_bootstrap_ci",
     "sql_range_tvf_spine",
+    "udf_apply_in_arrow",
+    "agg_grouping_sets_df_api",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

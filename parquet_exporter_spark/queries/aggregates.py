@@ -1215,3 +1215,36 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(inside, F.col("o_totalprice"))), 6).alias("trimmed_mean_10"),
         F.count(F.when(~inside, 1)).cast("long").alias("n_trimmed"),
     )
+
+
+@query(
+    "agg_grouping_sets_df_api",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc=(
+        "GROUPING SETS through the Spark 4 DataFrame API "
+        "(DataFrame.groupingSets) rather than SQL text — the last "
+        "multi-level-totals spelling the inventory lacked (SQL clause, "
+        "rollup(), cube() are covered by agg_grouping_sets / agg_rollup / "
+        "agg_cube). Same single-input-scan expansion: each input row "
+        "feeds every grouping set via Expand, one shuffle total."
+    ),
+)
+def agg_grouping_sets_df_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            rmoney(F.sum("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

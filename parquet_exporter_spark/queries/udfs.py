@@ -212,3 +212,53 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         wdisc("l_discount", "l_extendedprice").alias("weighted_discount")
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+               AS centered
+    FROM orders
+    """,
+    doc=(
+        "groupBy().applyInArrow (Spark 4): grouped-map compute handed to "
+        "the UDF as a pyarrow.Table — zero pandas materialization, the "
+        "lowest-overhead Python escape hatch (the Arrow RecordBatches "
+        "cross the JVM/Python boundary and are computed on with "
+        "pyarrow.compute kernels directly). Completes the Arrow UDF "
+        "matrix next to pandas_udf / applyInPandas / mapInPandas / "
+        "mapInArrow / cogrouped pandas. Per-status price centering, "
+        "value-checked against the window-function oracle. Scale note: "
+        "grouped-map shuffles each group to one task — fine for bounded "
+        "group counts like status codes; per-key state at unbounded "
+        "cardinality belongs in window functions instead."
+    ),
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def center(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean = pc.mean(t.column("o_totalprice"))
+        centered = pc.round(
+            pc.subtract(t.column("o_totalprice"), mean), ndigits=4
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "centered": centered,
+            }
+        )
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .applyInArrow(
+            center, schema="o_orderkey long, o_orderstatus string, centered double"
+        )
+    )

@@ -104,3 +104,39 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_atomic_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Publish a parquet dataset ATOMICALLY: write to a private sibling
+    temp directory, then rename into place, so concurrent readers of
+    `path` see either the complete old dataset or the complete new one —
+    never a half-written directory (Spark's committer creates the output
+    dir and files before job commit, so a plain overwrite exposes
+    partial state to any reader that lists mid-job).
+
+    Local/HDFS-style semantics (rename is atomic on one filesystem). On
+    object stores rename is copy+delete, so there the same contract
+    comes from a transactional table format instead; this is the plain-
+    parquet equivalent the scratch indexes already use."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}.publish-{uuid.uuid4().hex}"
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    try:
+        writer = df.write.mode("overwrite").option("compression", compression)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

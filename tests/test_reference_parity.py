@@ -416,3 +416,28 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     for k in before:
         if k != target:
             assert after[k] == before[k]  # untouched
+
+
+def test_atomic_parquet_publish_swaps_complete_datasets(spark, sf_dir, tmp_path):
+    """write_atomic_parquet: the target path flips between complete
+    datasets (old rows fully replaced by new rows, no temp/old residue
+    left beside the target)."""
+    import os
+
+    from parquet_exporter_spark.sinks.writers import write_atomic_parquet
+    from parquet_exporter_spark.tables import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "atomic" / "nations")
+    os.makedirs(os.path.dirname(out))
+    write_atomic_parquet(nation.filter("n_nationkey < 5"), out)
+    assert spark.read.parquet(out).count() == 5
+    write_atomic_parquet(nation.filter("n_nationkey >= 5"), out)
+    back = spark.read.parquet(out)
+    assert back.count() == nation.count() - 5
+    assert back.filter("n_nationkey < 5").count() == 0  # fully swapped
+    residue = [
+        d for d in os.listdir(os.path.dirname(out))
+        if d != os.path.basename(out)
+    ]
+    assert residue == []  # no temp/old dirs left behind
