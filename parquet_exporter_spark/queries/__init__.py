@@ -149,6 +149,10 @@ PRIORITY = (
     "sql_range_tvf_spine",
     "udf_apply_in_arrow",
     "agg_grouping_sets_df_api",
+    "analytics_diff_in_diff",
+    "sample_systematic_every_k",
+    "dedup_minhash_bbit_estimate",
+    "similarity_recall_eval",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

@@ -2023,3 +2023,80 @@ def analytics_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("boot_rows"),
         )
     )
+
+
+@query(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH treat AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT (t.user_id IS NOT NULL) AS treated,
+               (e.ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+               avg(e.value) AS mean_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e LEFT JOIN treat t USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT treated, post, round(mean_value, 6) AS mean_value, n,
+           round(
+               (SELECT (max(CASE WHEN treated AND post THEN mean_value END)
+                        - max(CASE WHEN treated AND NOT post THEN mean_value END))
+                       - (max(CASE WHEN NOT treated AND post THEN mean_value END)
+                          - max(CASE WHEN NOT treated AND NOT post THEN mean_value END))
+                FROM cells), 6) AS did_estimate
+    FROM cells
+    """,
+    doc=(
+        "Difference-in-differences readout — the workhorse quasi-"
+        "experimental estimator when randomization isn't available: "
+        "treated = users who ever purchased, pre/post split at a fixed "
+        "calendar cutoff, outcome = mean event value per (treated, post) "
+        "cell; DiD = (T_post - T_pre) - (C_post - C_pre) strips both the "
+        "group baseline and the common time trend. One scan + one "
+        "4-group aggregate (the treated flag is a semi-join-shaped "
+        "broadcast against the distinct purchaser set); the 4-cell table "
+        "plus the scalar estimate are emitted together so the whole "
+        "readout hash-matches. Pairs with ab_test_proportions (the "
+        "randomized-experiment readout)."
+    ),
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    treat = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("__t", F.lit(True))
+    )
+    cells = (
+        events.join(F.broadcast(treat), "user_id", "left")
+        .groupBy(
+            F.coalesce("__t", F.lit(False)).alias("treated"),
+            (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+                "post"
+            ),
+        )
+        .agg(F.avg("value").alias("mv"), F.count(F.lit(1)).alias("n"))
+    )
+    one = F.first  # 4-row input; each cell key appears once
+    did = cells.agg(
+        F.round(
+            (
+                one(F.when(F.col("treated") & F.col("post"), F.col("mv")), True)
+                - one(F.when(F.col("treated") & ~F.col("post"), F.col("mv")), True)
+            )
+            - (
+                one(F.when(~F.col("treated") & F.col("post"), F.col("mv")), True)
+                - one(F.when(~F.col("treated") & ~F.col("post"), F.col("mv")), True)
+            ),
+            6,
+        ).alias("did_estimate")
+    )
+    return cells.select(
+        "treated",
+        "post",
+        F.round("mv", 6).alias("mean_value"),
+        "n",
+    ).crossJoin(F.broadcast(did))

@@ -1602,3 +1602,189 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+def _bbit_oracle(n_hashes: int = 16, b_mod: int = 4) -> str:
+    """b-bit minhash replica: same signatures as the estimator query,
+    compared on only the low b bits (mod 2^b), with the Li-Konig
+    collision correction as shared literal arithmetic."""
+    coeffs = D.hash_coefficients(n_hashes)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    sh = D.sql_char_shingles("text")
+    bh = D.sql_base_hash_31("x")
+    c = 1.0 / b_mod
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 30
+    ),
+    hashed AS (
+        SELECT doc_id, sh, [{bh} for x in sh] AS hs
+        FROM docs WHERE len(sh) > 0
+    ),
+    sig AS (
+        SELECT doc_id, sh, seed,
+               list_min([(a * h + b) % {D.MERSENNE_31} for h in hs]) AS mh
+        FROM hashed CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)
+    ),
+    agree AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(CASE WHEN a.mh % {b_mod} = b.mh % {b_mod} THEN 1 ELSE 0 END)
+                   / CAST({n_hashes} AS DOUBLE) AS bbit_frac,
+               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                   / CAST({n_hashes} AS DOUBLE) AS full_frac
+        FROM sig a JOIN sig b ON a.seed = b.seed AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))
+                   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS tj
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+    SELECT g.id_a, g.id_b,
+           round(g.bbit_frac, 6) AS bbit_match_frac,
+           round(greatest((g.bbit_frac - {c!r}) / (1 - {c!r}), 0.0), 6)
+               AS est_bbit_corrected,
+           round(g.full_frac, 6) AS est_full,
+           round(t.tj, 6) AS true_jaccard
+    FROM agree g JOIN truth t ON t.id_a = g.id_a AND t.id_b = g.id_b
+    WHERE g.full_frac > 0 OR t.tj > 0
+    """
+
+
+@query(
+    "dedup_minhash_bbit_estimate",
+    oracle=_bbit_oracle(),
+    doc=(
+        "b-bit minhash (Li & Konig 2010): store only the lowest b=2 bits "
+        "of each minhash — a 64x signature-storage cut vs 64-bit values, "
+        "THE knob when the dedup index for a 100 TB corpus must itself "
+        "stay cheap (2 bits x 16 hashes = 4 bytes/doc). Random b-bit "
+        "collisions inflate raw agreement, so the estimator subtracts "
+        "the known collision floor C=1/2^b: J_hat = (frac - C)/(1 - C), "
+        "clamped at 0. Emits the raw b-bit fraction, the corrected "
+        "estimate, the full-width estimate, and true Jaccard side by "
+        "side for the same bounded pair sample as "
+        "dedup_minhash_estimate_error — the whole calibration "
+        "hash-matches the DuckDB replica."
+    ),
+)
+def dedup_minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_hashes, b_mod = 16, 4
+    c = 1.0 / b_mod
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = docs.select("doc_id", D.char_shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    coeffs = D.hash_coefficients(n_hashes)
+    hashed = sh.withColumn("hs", F.transform("sh", D.base_hash_31))
+
+    def seed_min(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % D.MERSENNE_31
+
+    wide = hashed.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(F.transform("hs", seed_min(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    a = wide.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    bbit = sum(
+        F.when(F.col(f"a_{i}") % b_mod == F.col(f"b_{i}") % b_mod, 1).otherwise(0)
+        for i in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    full = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    ) / F.lit(float(n_hashes))
+    true_j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(bbit, 6).alias("bbit_match_frac"),
+        F.round(
+            F.greatest((bbit - F.lit(c)) / (1 - c), F.lit(0.0)), 6
+        ).alias("est_bbit_corrected"),
+        F.round(full, 6).alias("est_full"),
+        F.round(true_j, 6).alias("true_jaccard"),
+    )
+    return pairs.filter((F.col("est_full") > 0) | (F.col("true_jaccard") > 0))
+
+
+def _recall_eval_oracle(k: int = 5, n_queries: int = 20) -> str:
+    cos = S.sql_cosine("q.qe", "c.embedding")
+    return f"""
+    WITH lsh AS ({_lsh_topk_oracle(k=k)}),
+    brute AS (
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < {n_queries}),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round({cos}, 6) AS cos_sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    ),
+    l2 AS (SELECT query_id, neighbor_id FROM lsh WHERE query_id < {n_queries})
+    SELECT b.query_id,
+           CAST(count(l2.neighbor_id) AS BIGINT) AS hits,
+           round(count(l2.neighbor_id) / {float(k)!r}, 6) AS recall_at_k
+    FROM brute b LEFT JOIN l2
+      ON l2.query_id = b.query_id AND l2.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query(
+    "similarity_recall_eval",
+    oracle=_recall_eval_oracle(),
+    doc=(
+        "ANN quality evaluation as a first-class operator: per-query "
+        "recall@5 of the hyperplane-LSH path against exact brute force "
+        "for a bounded query sample — the measurement that decides "
+        "whether an approximate index is SERVABLE before it replaces the "
+        "exact path in production (run it per index build; alert when "
+        "recall drifts below target). Both legs are deterministic "
+        "(literal hyperplanes; rounded-cosine + id tiebreaks), so the "
+        "evaluation itself — hits and recall per query — hash-matches a "
+        "full DuckDB replica of BOTH pipelines. Scale: the brute leg is "
+        "|sample| x corpus with the sample broadcast, the LSH leg is "
+        "bucket-bounded; the sample size is the cost knob."
+    ),
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, n_queries = 5, 20
+    emb = read_table(spark, sf_dir, "embeddings")
+    lsh = (
+        S.lsh_topk(emb, k=k, n_planes=4, n_tables=8)
+        .filter(F.col("query_id") < n_queries)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    brute = S.brute_force_topk(emb.filter(F.col("vec_id") < n_queries), emb, k=k)
+    return (
+        brute.select("query_id", "neighbor_id")
+        .join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.round(F.count("__hit") / float(k), 6).alias("recall_at_k"),
+        )
+    )

@@ -401,3 +401,39 @@ def sample_hash_rate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rate")
     )
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM pos WHERE rn % 10 = 1
+    """,
+    doc=(
+        "Systematic (every-k-th) sampling: a deterministic hash order "
+        "gives an implicit shuffle, then rows at positions 1, k+1, 2k+1, "
+        "... are taken — the classic audit/QA draw (exactly ceil(N/k) "
+        "rows, evenly spread through the randomized order, reproducible "
+        "for review). Positions come from the global contiguous row-id "
+        "operator (operators/ids.py: range-partitioned offsets + "
+        "mapInPandas increments — NO single-partition global sort), so "
+        "the draw distributes; the oracle spells the same positions as a "
+        "window over the same md5 order."
+    ),
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.operators.ids import global_row_number
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    numbered = global_row_number(docs, sort_cols=["__h", "doc_id"], id_col="rn")
+    return numbered.filter(F.col("rn") % 10 == 1).select(
+        "doc_id", "source", "n_chars", "rn"
+    )

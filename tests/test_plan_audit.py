@@ -157,6 +157,24 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "estimate-vs-truth comparison; the production path is the LSH "
         "banded join, this query MEASURES its estimator",
     ),
+    "dedup_minhash_bbit_estimate": (
+        {"bnlj"},
+        "same bounded 30-doc calibration sample as "
+        "dedup_minhash_estimate_error — measures the b-bit estimator's "
+        "collision correction, not a production pair join",
+    ),
+    "similarity_recall_eval": (
+        {"bnlj"},
+        "the exact-baseline leg of the recall evaluation: 20-query "
+        "sample broadcast against the corpus (linear in corpus, the "
+        "same shape as similarity_topk_bruteforce); the LSH leg under "
+        "evaluation is bucket-bounded",
+    ),
+    "analytics_diff_in_diff": (
+        {"bnlj"},
+        "1-row DiD-estimate scalar broadcast onto the 4-cell table — "
+        "both sides bounded aggregates",
+    ),
     "text_collocations_pmi": (
         {"bnlj"},
         "1-row corpus-token-total scalar broadcast into the PMI "

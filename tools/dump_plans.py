@@ -73,6 +73,15 @@ EXTRA = [
     "linkage_sorted_neighborhood",
     "search_mmr_rerank",
     "dq_join_key_skew",
+    # round-7 additions
+    "similarity_ivf_incremental",
+    "agg_count_min_portable",
+    "agg_bloom_filter_portable",
+    "agg_histogram_quantile_sketch",
+    "analytics_bootstrap_ci",
+    "sql_range_tvf_spine",
+    "udf_apply_in_arrow",
+    "agg_grouping_sets_df_api",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
