@@ -53,6 +53,8 @@ def sniff_format(data: bytes) -> str:
         return "image/bmp"
     if data[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -279,7 +281,7 @@ def resize_gray(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes to (H, W, C) uint8 with C in {3, 4}. Prefers
     Pillow when installed (any format it knows); falls back to the stdlib
-    decoders (JPEG, PNG, BMP) dispatched by magic bytes. Gray / gray+alpha
+    decoders (JPEG, PNG, BMP, GIF) dispatched by magic bytes. Gray / gray+alpha
     sources are expanded to RGB / RGBA so consumers see identical shapes
     whether or not Pillow is present on the cluster."""
     try:  # pragma: no cover - Pillow absent in this container
@@ -293,6 +295,8 @@ def decode_image(data: bytes) -> np.ndarray:
             arr = decode_bmp(data)
         elif data[:2] == b"\xff\xd8":
             arr = decode_jpeg(data)
+        elif data[:6] in GIF_MAGICS:
+            arr = decode_gif(data)
         else:
             arr = decode_png(data)
         if arr.ndim == 2:
@@ -947,4 +951,257 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode + single-frame encode, stdlib-only
+# --------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate length-prefixed data sub-blocks starting at pos;
+    returns (payload, position after the 0 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF truncated inside sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(data):
+            raise ValueError("GIF truncated inside sub-blocks")
+        out += data[pos : pos + n]
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/END codes, 12-bit cap.
+    Returns exactly n_pixels palette indices (trailing surplus ignored,
+    shortfall raises)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    filled = 0
+
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_table() -> tuple[list[bytes], int, int]:
+        return ([bytes([i]) for i in range(clear)] + [b"", b""], end + 1, min_code_size + 1)
+
+    table, next_code, code_size = init_table()
+    prev: bytes | None = None
+    while filled < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream exhausted before raster complete")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table, next_code, code_size = init_table()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        take = min(len(entry), n_pixels - filled)
+        out[filled : filled + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        filled += take
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if filled < n_pixels:
+        raise ValueError("GIF raster short: LZW ended early")
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB —
+    or (H, W, 4) RGBA when a graphic-control extension marks a
+    transparent index. Handles global/local color tables, interlacing,
+    and sub-block framing; animation frames after the first are the
+    frame-sampling stage's business, not the still-decode contract."""
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("GIF truncated in header")
+    packed = data[10]
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct = np.frombuffer(data[pos : pos + 3 * gct_size], dtype=np.uint8)
+        if gct.size != 3 * gct_size:
+            raise ValueError("GIF truncated in global color table")
+        gct = gct.reshape(gct_size, 3)
+        pos += 3 * gct_size
+    transparent: int | None = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF truncated before image descriptor")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image block")
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("GIF truncated in extension")
+            label = data[pos]
+            pos += 1
+            payload, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(payload) >= 4 and payload[0] & 0x01:
+                transparent = payload[3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("GIF truncated in image descriptor")
+        w, h = struct.unpack_from("<HH", data, pos + 4)
+        ipacked = data[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            lct_size = 2 << (ipacked & 0x07)
+            table = np.frombuffer(data[pos : pos + 3 * lct_size], dtype=np.uint8)
+            if table.size != 3 * lct_size:
+                raise ValueError("GIF truncated in local color table")
+            table = table.reshape(lct_size, 3)
+            pos += 3 * lct_size
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(data):
+            raise ValueError("GIF truncated before LZW data")
+        min_code_size = data[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"GIF: bad LZW minimum code size {min_code_size}")
+        raster, pos = _gif_subblocks(data, pos)
+        idx = _lzw_decode(raster, min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                rows = range(start, h, step)
+                deinter[list(rows)] = idx[src : src + len(rows)]
+                src += len(rows)
+            idx = deinter
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        rgb = table[idx]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return np.ascontiguousarray(rgb)
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compression: dictionary growth to 12 bits, CLEAR
+    emitted when the table fills, LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prev = b""
+    for b in indices.tobytes():
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array with at
+    most 256 distinct colors as a single-frame GIF89a. Lossless for
+    paletted content (decode_gif round-trips it exactly); richer images
+    belong in PNG."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        indices = arr
+        n_colors = 256
+    else:
+        h, w, c = arr.shape
+        if c != 3:
+            raise ValueError("encode_gif takes gray or RGB input")
+        flat = arr.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError("encode_gif: more than 256 distinct colors")
+        n_colors = colors.shape[0]
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[:n_colors] = colors
+        indices = inverse.astype(np.uint8).reshape(h, w)
+    h, w = indices.shape
+    # color-table size field: entries = 2^(n+1) >= n_colors
+    n_field = max(1, (max(n_colors, 2) - 1).bit_length() - 1)
+    while (2 << n_field) < n_colors:
+        n_field += 1
+    entries = 2 << n_field
+    min_code_size = max(2, (entries - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | n_field)  # GCT present, size field
+    out += b"\x00\x00"  # bg index, aspect
+    out += palette[:entries].tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code_size)
+    lzw = _lzw_encode(indices, min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
     return bytes(out)

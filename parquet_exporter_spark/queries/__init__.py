@@ -153,6 +153,7 @@ PRIORITY = (
     "sample_systematic_every_k",
     "dedup_minhash_bbit_estimate",
     "similarity_recall_eval",
+    "multimodal_gif_roundtrip",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

@@ -480,3 +480,77 @@ def test_decode_image_channel_shape_uniform():
     arr = codecs.decode_image(png_gray)
     assert arr.shape == (5, 7, 3)
     assert (arr[:, :, 0] == gray).all() and (arr[:, :, 2] == gray).all()
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_gray_and_rgb():
+    g = ((np.arange(100) * 13 + 7) % 256).astype(np.uint8).reshape(10, 10)
+    back = codecs.decode_gif(codecs.encode_gif(g))
+    assert back.shape == (10, 10, 3)
+    assert (back[:, :, 0] == g).all() and (back[:, :, 2] == g).all()
+    rgb = np.zeros((6, 7, 3), np.uint8)
+    rgb[::2] = [255, 0, 0]
+    rgb[1::2] = [0, 128, 255]
+    assert (codecs.decode_gif(codecs.encode_gif(rgb)) == rgb).all()
+
+
+def test_gif_lzw_dictionary_growth_exercised():
+    # 64x64 gradient: 4096 pixels with long runs -> the LZW dict grows
+    # through several code sizes and (on repetitive content) wraps via
+    # CLEAR; the decode must still be bit-exact.
+    img = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    back = codecs.decode_gif(codecs.encode_gif(img))
+    assert (back[:, :, 1] == img).all()
+
+
+def test_gif_interlaced_decode_reorders_rows():
+    # Build an interlaced variant by hand: take a normal encode, set the
+    # interlace flag, and feed the rows in GIF's 4-pass order. The decoder
+    # must undo the pass ordering exactly.
+    h = 10
+    img = (np.arange(h, dtype=np.uint8)[:, None] * np.ones(4, np.uint8)[None, :])
+    pass_rows = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    permuted = img[pass_rows]
+    data = bytearray(codecs.encode_gif(permuted))
+    # image descriptor starts right after header+GCT: find 0x2C marker
+    idesc = data.index(0x2C, 13 + 768)
+    data[idesc + 9] |= 0x40  # set interlace flag
+    back = codecs.decode_gif(bytes(data))
+    assert (back[:, :, 0] == img).all()
+
+
+def test_gif_sniff_and_decode_image_dispatch():
+    g = np.full((3, 3), 9, np.uint8)
+    blob = codecs.encode_gif(g)
+    assert codecs.sniff_format(blob) == "image/gif"
+    assert (codecs.decode_image(blob)[:, :, 0] == g).all()
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:20],  # truncated in color table
+        lambda b: b[:-10],  # truncated raster sub-blocks
+        lambda b: b[:6] + b"\x00" * 7,  # gutted header
+        # insert an unknown block marker right after header+GCT (the gray
+        # encoder always writes a 256-entry table, so the offset is fixed;
+        # a blind replace of 0x2C would hit palette byte 44 instead)
+        lambda b: b[: 13 + 768] + b"\x7e" + b[13 + 768 :],
+    ],
+)
+def test_gif_hostile_blobs_quarantine_not_crash(spark, mutate):
+    g = ((np.arange(100) * 3) % 256).astype(np.uint8).reshape(10, 10)
+    bad = mutate(codecs.encode_gif(g))
+    with pytest.raises(Exception):
+        codecs.decode_gif(bad)
+    # through the pipeline the same blob must quarantine, not fail the task
+    from parquet_exporter_spark.operators.multimodal import decode_features
+
+    df = spark.createDataFrame([(1, bytes(bad))], "doc_id long, payload binary")
+    row = decode_features(df, decode_stub=False).collect()[0]
+    assert row.format.startswith("corrupt/") or row.format == "application/octet-stream"
