@@ -154,6 +154,9 @@ PRIORITY = (
     "dedup_minhash_bbit_estimate",
     "similarity_recall_eval",
     "multimodal_gif_roundtrip",
+    "window_rolling_regression",
+    "dq_distribution_ks",
+    "sample_neyman_allocation",
     "text_decontaminate_corpus",
     "multimodal_audio_energy",
     "multimodal_image_ahash",

@@ -1090,3 +1090,96 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("suggested_salts"),
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+@query(
+    "dq_distribution_ks",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in1,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS in2
+        FROM events
+    ),
+    per_value AS (
+        SELECT event_type, value,
+               CAST(sum(in1) AS BIGINT) AS c1, CAST(sum(in2) AS BIGINT) AS c2
+        FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS cum1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS cum2,
+               sum(c1) OVER (PARTITION BY event_type) AS n1,
+               sum(c2) OVER (PARTITION BY event_type) AS n2
+        FROM per_value
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           round(max(abs(CAST(cum1 AS DOUBLE) / n1
+                         - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_stat,
+           max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2))
+               > 1.358 * sqrt((max(n1) + max(n2))
+                              / CAST(max(n1) * max(n2) AS DOUBLE)) AS drift_at_5pct
+    FROM cum GROUP BY event_type
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift test between the first and "
+        "second half-month of events, per type: KS = max |F1(v) - F2(v)| "
+        "over the pooled value domain, with the 5% critical-value "
+        "verdict (c(alpha)=1.358 x sqrt((n1+n2)/(n1 n2))). The "
+        "DISTRIBUTION-shape complement to dq_drift_psi's binned "
+        "divergence: PSI needs a bin design and misses within-bin "
+        "shifts; KS is binning-free and distribution-free. Shape: one "
+        "(type, value) aggregate, then cumulative windows per type — "
+        "empirical CDFs never materialize per row against each other, "
+        "and the per-type result is 1 row. Integer cumulative counts "
+        "divided identically in both engines -> fully hash-matched."
+    ),
+)
+def dq_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in1"),
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("in2"),
+    )
+    per_value = tagged.groupBy("event_type", "value").agg(
+        F.sum("in1").alias("c1"), F.sum("in2").alias("c2")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
+    )
+    return (
+        cum.withColumn("gap", gap)
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.round(F.max("gap"), 6).alias("ks_stat"),
+            (
+                F.max("gap")
+                > 1.358
+                * F.sqrt(
+                    (F.max("n1") + F.max("n2"))
+                    / (F.max("n1") * F.max("n2")).cast("double")
+                )
+            ).alias("drift_at_5pct"),
+        )
+    )

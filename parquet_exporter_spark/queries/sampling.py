@@ -437,3 +437,90 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.filter(F.col("rn") % 10 == 1).select(
         "doc_id", "source", "n_chars", "rn"
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_pop,
+               round(stddev_pop(c_acctbal), 4) AS sigma
+        FROM customer GROUP BY 1
+    ),
+    w AS (
+        SELECT *, n_pop * sigma AS wt,
+               sum(n_pop * sigma) OVER () AS wt_total
+        FROM strata
+    ),
+    alloc AS (
+        SELECT c_mktsegment, n_pop, sigma,
+               round(wt / wt_total, 6) AS share,
+               CAST(floor(100 * wt / wt_total) AS BIGINT) AS base_n,
+               100 * wt / wt_total - floor(100 * wt / wt_total) AS rem,
+               CAST(100 - sum(CAST(floor(100 * wt / wt_total) AS BIGINT))
+                        OVER () AS BIGINT) AS leftover
+        FROM w
+    )
+    SELECT c_mktsegment, n_pop, sigma, share,
+           base_n + CASE WHEN row_number() OVER (
+                        ORDER BY rem DESC, c_mktsegment) <= leftover
+                    THEN 1 ELSE 0 END AS n_alloc
+    FROM alloc
+    """,
+    doc=(
+        "Neyman allocation for stratified sampling: a fixed budget of "
+        "n=100 draws split across strata proportionally to N_h * sigma_h "
+        "— the variance-optimal design (big AND volatile strata get more "
+        "samples; uniform or proportional allocation wastes budget on "
+        "homogeneous strata). Integer counts come from floor + "
+        "largest-remainder so allocations sum to exactly n. sigma is "
+        "rounded to 4dp BEFORE it enters the weights, so both engines "
+        "derive every downstream share/floor/rank from bit-identical "
+        "inputs (raw stddev differs in the last ulp between Welford and "
+        "co-moment accumulations, which could flip a knife-edge "
+        "remainder rank). One aggregate over the table; everything "
+        "after is a |strata|-row computation. Pairs with "
+        "sample_stratified (the executing sampler) and "
+        "sample_proportional_quota (the size-only variant)."
+    ),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    strata = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.round(F.stddev_pop("c_acctbal"), 4).alias("sigma"),
+    )
+    w_all = Window.partitionBy()
+    w = strata.select(
+        "*",
+        (F.col("n_pop") * F.col("sigma")).alias("wt"),
+    ).withColumn("wt_total", F.sum("wt").over(w_all))
+    alloc = w.select(
+        "c_mktsegment",
+        "n_pop",
+        "sigma",
+        F.round(F.col("wt") / F.col("wt_total"), 6).alias("share"),
+        F.floor(100 * F.col("wt") / F.col("wt_total"))
+        .cast("long")
+        .alias("base_n"),
+        (
+            100 * F.col("wt") / F.col("wt_total")
+            - F.floor(100 * F.col("wt") / F.col("wt_total"))
+        ).alias("rem"),
+    ).withColumn(
+        "leftover", (100 - F.sum("base_n").over(w_all)).cast("long")
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("c_mktsegment"))
+    )
+    return alloc.select(
+        "c_mktsegment",
+        "n_pop",
+        "sigma",
+        "share",
+        (
+            F.col("base_n")
+            + F.when(rnk <= F.col("leftover"), 1).otherwise(0)
+        ).alias("n_alloc"),
+    )

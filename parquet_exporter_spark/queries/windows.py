@@ -464,3 +464,77 @@ def window_lag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("value", 1, -1.0).over(w), 2).alias("next_value_or_neg1"),
         F.round(F.lag("value", 3, 0.0).over(w), 2).alias("value_3_back_or_zero"),
     )
+
+
+@query(
+    "window_rolling_regression",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, event_type, value,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS DOUBLE) AS x
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type, x,
+               avg(x) OVER f AS mx,
+               avg(value) OVER f AS my,
+               avg(x * value) OVER f AS mxy
+        FROM t
+        WINDOW f AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           round((mxy - mx * my) / 33.25, 6) AS rolling_slope
+    FROM w WHERE x >= 20
+    """,
+    doc=(
+        "Rolling OLS slope: per event type, the least-squares slope of "
+        "value against event time over a trailing 20-row frame — the "
+        "moving trend-RATE companion to window_rolling_corr's trend "
+        "strength (corr tells you whether the trend is real, the slope "
+        "tells you how fast it moves; units = value per observation "
+        "step). x is the per-series OBSERVATION INDEX, not wall time: "
+        "over any complete 20-row frame the x-moments are then exact "
+        "small integers and the denominator is the CONSTANT "
+        "Var(1..20) = 33.25 — both a time-x denominator (E[x^2]-E[x]^2 "
+        "over closely spaced timestamps, measured diverging in the 4th "
+        "decimal) and even a rebased one (knife-edge frames remained) "
+        "are catastrophic cancellations that amplify engine "
+        "summation-order noise; the index form leaves only the bounded "
+        "numerator noise, ~1e-10 of the 6dp round. Complete frames "
+        "only. One "
+        "shuffle on event_type, bounded ROWS frame — O(frame) state."
+    ),
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("double")
+        .alias("x"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    w = base.select(
+        "event_id",
+        "event_type",
+        "x",
+        F.avg("x").over(f).alias("mx"),
+        F.avg("value").over(f).alias("my"),
+        F.avg(F.col("x") * F.col("value")).over(f).alias("mxy"),
+    )
+    return w.filter(F.col("x") >= 20).select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("mxy") - F.col("mx") * F.col("my")) / F.lit(33.25), 6
+        ).alias("rolling_slope"),
+    )
