@@ -681,3 +681,55 @@ def test_bucketed_range_join_is_equi(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_runs_on_two_exchanges(spark, sf_dir):
+    """The round-7 TF-IDF re-plan: repartitioning the token stream by
+    term must satisfy BOTH the (doc_id, term) tf aggregate and the df
+    window (ClusteredDistribution subset rule), leaving exactly two
+    exchanges — the term repartition and the final doc_id window. A
+    third exchange means the re-shuffle+sort of tf regressed back in
+    (measured +18%/+30% at sf0.1/sf1)."""
+    df = q("text_tfidf_top_terms", spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan)) or plan.count(
+        "+- Exchange"
+    )
+    assert n_exchanges == 2, f"expected 2 exchanges, plan:\n{plan[:2000]}"
+
+
+def test_incremental_index_rebuilds_over_corrupt_leftover(spark, sf_dir, monkeypatch):
+    """Atomic scratch-index publish: a markerless (crashed-build) leftover
+    squatting on the band-index path must be cleared and replaced by a
+    complete build — not silently reused forever (the round-6 advisory)."""
+    import os
+    import shutil
+
+    from parquet_exporter_spark.queries import llm as llm_mod
+
+    path = llm_mod._incremental_index_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)  # corrupt leftover: directory with NO _SUCCESS marker
+    with open(os.path.join(path, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    out = q("dedup_incremental_index", spark, sf_dir)
+    out.count()  # must not raise on the garbage leftover
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "part-garbage.parquet"))
+
+
+def test_ivf_incremental_rebuilds_over_corrupt_leftover(spark, sf_dir):
+    """Same contract for the IVF scratch index (_COMPLETE sentinel)."""
+    import os
+    import shutil
+
+    from parquet_exporter_spark.queries import llm as llm_mod
+
+    path = llm_mod._ivf_scratch_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    out = q("similarity_ivf_incremental", spark, sf_dir)
+    assert out.count() == 15  # 3 queries x top-5
+    assert os.path.isfile(os.path.join(path, "_COMPLETE"))
