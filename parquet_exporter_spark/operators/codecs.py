@@ -1035,12 +1035,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB —
-    or (H, W, 4) RGBA when a graphic-control extension marks a
-    transparent index. Handles global/local color tables, interlacing,
-    and sub-block framing; animation frames after the first are the
-    frame-sampling stage's business, not the still-decode contract."""
+def _iter_gif_frames(data: bytes):
+    """Yield each image block of a GIF87a/89a as a standalone (H, W, 3|4)
+    uint8 array (RGBA when that frame's graphic-control extension marks a
+    transparent index). Frames come back at their OWN rect size with no
+    inter-frame compositing/disposal — frame-sampling pipelines treat
+    frames as independent stills; full animation playback is a renderer's
+    job, not a feature extractor's."""
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF: bad signature")
     if len(data) < 13:
@@ -1056,13 +1057,16 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = gct.reshape(gct_size, 3)
         pos += 3 * gct_size
     transparent: int | None = None
+    yielded = False
     while True:
         if pos >= len(data):
-            raise ValueError("GIF truncated before image descriptor")
+            raise ValueError("GIF truncated before trailer")
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image block")
+        if block == 0x3B:  # trailer
+            if not yielded:
+                raise ValueError("GIF contains no image block")
+            return
         if block == 0x21:  # extension
             if pos >= len(data):
                 raise ValueError("GIF truncated in extension")
@@ -1110,8 +1114,66 @@ def decode_gif(data: bytes) -> np.ndarray:
         rgb = table[idx]
         if transparent is not None:
             alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-            return np.dstack([rgb, alpha])
-        return np.ascontiguousarray(rgb)
+            yield np.dstack([rgb, alpha])
+        else:
+            yield np.ascontiguousarray(rgb)
+        transparent = None  # a GCE applies only to the image it precedes
+        yielded = True
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB —
+    or (H, W, 4) RGBA when a graphic-control extension marks a
+    transparent index. Handles global/local color tables, interlacing,
+    and sub-block framing; animation frames are decode_gif_frames'
+    business."""
+    return next(iter(_iter_gif_frames(data)))
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """All frames of an animated GIF as standalone arrays (bounded by
+    ``max_frames`` when the caller budgets decode work per payload)."""
+    out = []
+    for frame in _iter_gif_frames(data):
+        out.append(frame)
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
+    """Encode grayscale (H, W) frames as an animated GIF89a: one global
+    256-gray color table, a NETSCAPE2.0 loop extension, and per-frame
+    graphic-control delays. Lossless per frame (decode_gif_frames
+    round-trips each exactly)."""
+    if not frames:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(a.ndim != 2 for a in arrs):
+        raise ValueError("animation encoder takes grayscale (H, W) frames")
+    h, w = arrs[0].shape
+    palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x07)  # GCT present, 256 entries
+    out += b"\x00\x00"
+    out += palette.tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for arr in arrs:
+        fh, fw = arr.shape
+        # graphic control: delay, no transparency
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh) + b"\x00"
+        out.append(8)  # min LZW code size for the 256-entry table
+        lzw = _lzw_encode(arr, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

@@ -205,6 +205,27 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 FRAME_BYTES = 256  # stub: payload is a "video" of fixed-size frames
 
 
+def _decode_sampled_frames(payload: bytes, every_n: int) -> list:
+    """(frame_idx, grayscale array) for every ``every_n``-th frame of a
+    multi-frame payload: animated GIFs via the real LZW decoder (GIF's
+    LZW forces sequential decode, so skipped frames still stream through
+    the decoder), concatenated PNGs via the PNG path (skipped frames are
+    never decoded at all). Raises ValueError for anything else — true
+    video containers (mp4/webm) need ffmpeg, which this environment does
+    not ship."""
+    if payload[:6] in codecs.GIF_MAGICS:
+        return [
+            (i, codecs.to_grayscale(f))
+            for i, f in enumerate(codecs._iter_gif_frames(payload))
+            if i % every_n == 0
+        ]
+    blobs = _split_png_sequence(payload)
+    return [
+        (i, codecs.to_grayscale(codecs.decode_image(blobs[i])))
+        for i in range(0, len(blobs), every_n)
+    ]
+
+
 def _split_png_sequence(payload: bytes) -> list[bytes]:
     """Split a concatenated-PNG payload into individual PNG blobs (each
     starts with the 8-byte signature). Raises ValueError when the payload
@@ -212,8 +233,9 @@ def _split_png_sequence(payload: bytes) -> list[bytes]:
     environment does not ship."""
     if payload[:8] != codecs.PNG_MAGIC:
         raise ValueError(
-            "real frame sampling supports concatenated-PNG sequences; "
-            "true video containers (mp4/webm) require ffmpeg"
+            "real frame sampling supports animated GIFs and "
+            "concatenated-PNG sequences; true video containers "
+            "(mp4/webm) require ffmpeg"
         )
     frames = []
     start = 0
@@ -231,10 +253,10 @@ def sample_frames(df: DataFrame, every_n: int = 4, decode_stub: bool = True) -> 
     one output row per sampled frame — the 1->many mapInPandas shape that
     video pipelines need (output batch length is decoupled from input
     batch length). Stub path slices the payload into FRAME_BYTES chunks
-    and keeps every ``every_n``-th; the real path splits a
-    concatenated-PNG sequence, decodes every ``every_n``-th frame, and
-    emits its grayscale pixel buffer (keyframe seeking in true video
-    containers would be ffmpeg's job)."""
+    and keeps every ``every_n``-th; the real path decodes an animated
+    GIF or a concatenated-PNG sequence, keeps every ``every_n``-th
+    frame, and emits its grayscale pixel buffer (keyframe seeking in
+    true video containers would be ffmpeg's job)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -249,15 +271,13 @@ def sample_frames(df: DataFrame, every_n: int = 4, decode_stub: bool = True) -> 
                             bytes(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
                         )
                 else:
-                    # Quarantine: a payload that is not a decodable PNG
-                    # sequence emits one frame_idx=-1 tombstone row so it
-                    # stays countable without failing the batch.
+                    # Quarantine: a payload that is not a decodable GIF/
+                    # PNG sequence emits one frame_idx=-1 tombstone row
+                    # so it stays countable without failing the batch.
                     try:
-                        blobs = _split_png_sequence(bytes(payload))
-                        for i in range(0, len(blobs), every_n):
-                            gray = codecs.to_grayscale(
-                                codecs.decode_image(blobs[i])
-                            )
+                        for i, gray in _decode_sampled_frames(
+                            bytes(payload), every_n
+                        ):
                             out_ids.append(doc_id)
                             out_idx.append(i)
                             out_frames.append(gray.tobytes())

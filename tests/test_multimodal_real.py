@@ -554,3 +554,30 @@ def test_gif_hostile_blobs_quarantine_not_crash(spark, mutate):
     df = spark.createDataFrame([(1, bytes(bad))], "doc_id long, payload binary")
     row = decode_features(df, decode_stub=False).collect()[0]
     assert row.format.startswith("corrupt/") or row.format == "application/octet-stream"
+
+
+def test_gif_animation_roundtrip_and_frame_sampling(spark):
+    """Animated GIF: the multi-frame encoder round-trips each frame
+    exactly through decode_gif_frames, and the REAL frame-sampling stage
+    fans one GIF payload out to every 2nd frame's grayscale buffer."""
+    from parquet_exporter_spark.operators.multimodal import sample_frames
+
+    frames = [
+        np.full((4, 5), 10 * (i + 1), np.uint8) for i in range(7)
+    ]
+    blob = codecs.encode_gif_animation(frames, delay_cs=4)
+    back = codecs.decode_gif_frames(blob)
+    assert len(back) == 7
+    for orig, dec in zip(frames, back):
+        assert dec.shape == (4, 5, 3)
+        assert (dec[:, :, 0] == orig).all()
+    assert len(codecs.decode_gif_frames(blob, max_frames=3)) == 3
+    # decode_gif (still contract) = first frame
+    assert (codecs.decode_gif(blob)[:, :, 1] == frames[0]).all()
+
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    rows = {r.frame_idx: bytes(r.frame)
+            for r in sample_frames(df, every_n=2, decode_stub=False).collect()}
+    assert sorted(rows) == [0, 2, 4, 6]
+    for i in (0, 2, 4, 6):
+        assert rows[i] == frames[i].tobytes()
