@@ -1247,10 +1247,10 @@ def encode_gif(img: np.ndarray) -> bytes:
         palette[:n_colors] = colors
         indices = inverse.astype(np.uint8).reshape(h, w)
     h, w = indices.shape
-    # color-table size field: entries = 2^(n+1) >= n_colors
+    # color-table size field: entries = 2^(n_field+1) >= n_colors
+    # ((n-1).bit_length() is the bit width of n-1, so 2^width >= n for
+    # every n in 1..256 — no correction loop needed)
     n_field = max(1, (max(n_colors, 2) - 1).bit_length() - 1)
-    while (2 << n_field) < n_colors:
-        n_field += 1
     entries = 2 << n_field
     min_code_size = max(2, (entries - 1).bit_length())
     out = bytearray(b"GIF89a")

@@ -658,7 +658,7 @@ def _bloom_oracle() -> str:
         "at 100 TB (ship a KB-scale bitmap of the dim side's keys to the "
         "fact scan so non-matching rows die before the shuffle), built "
         "with NO engine-private BloomFilter binary: the filter is a "
-        "16-word bitmap from ONE bit_or aggregate over k=3 portable hash "
+        "256-word (~2 KB) bitmap from ONE bit_or aggregate over k=3 portable hash "
         "positions (62 usable bits per word keeps the BIGINT sign bit out "
         "of play in both engines; mergeable — union = bitwise OR), the "
         "probe side checks its k bits against the broadcast bitmap, and "

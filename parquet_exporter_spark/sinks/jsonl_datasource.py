@@ -68,6 +68,13 @@ class JsonlDirWriter(DataSourceWriter):
         self.path = options["path"]
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # Constructed DRIVER-side (DataSource.writer()), before any task
+        # runs: honor mode('overwrite') here by clearing previous output —
+        # executors must never do directory-wide deletes.
+        if overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
 
     def write(self, iterator) -> _FileCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -81,14 +88,22 @@ class JsonlDirWriter(DataSourceWriter):
         return _FileCommit(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "files": sorted(m.filename for m in messages),
-            "total_rows": sum(m.n_rows for m in messages),
-        }
+        files = sorted(m.filename for m in messages)
+        rows = sum(m.n_rows for m in messages)
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        # append mode FOLDS the new files into the existing manifest — a
+        # wholesale replace would orphan every earlier write's rows for
+        # manifest-honoring readers.
+        if not self.overwrite and os.path.isfile(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                prev = json.load(f)
+            files = sorted(set(prev.get("files", [])) | set(files))
+            rows += prev.get("total_rows", 0)
+        manifest = {"files": files, "total_rows": rows}
         tmp = os.path.join(self.path, f"._manifest.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -112,31 +112,45 @@ def write_atomic_parquet(
     compression: str = "snappy",
     partition_by: list[str] | None = None,
 ) -> None:
-    """Publish a parquet dataset ATOMICALLY: write to a private sibling
-    temp directory, then rename into place, so concurrent readers of
-    `path` see either the complete old dataset or the complete new one —
-    never a half-written directory (Spark's committer creates the output
-    dir and files before job commit, so a plain overwrite exposes
-    partial state to any reader that lists mid-job).
+    """Publish a parquet dataset ATOMICALLY via symlink swap: data lands
+    in a private versioned sibling directory (`<path>.v-<uuid>`), and
+    `path` is a SYMLINK flipped to it with one os.rename — the only
+    POSIX primitive that atomically replaces a name. Readers of `path`
+    therefore see either the complete old version or the complete new
+    one at every instant: there is no window where `path` is missing
+    (a rename-the-old-dir-away scheme has exactly that window, and a
+    crash inside it strands the only copy under a temp name).
 
-    Local/HDFS-style semantics (rename is atomic on one filesystem). On
-    object stores rename is copy+delete, so there the same contract
-    comes from a transactional table format instead; this is the plain-
-    parquet equivalent the scratch indexes already use."""
+    The previous version's directory is removed after the flip — already
+    -open readers keep their file handles (POSIX unlink semantics); new
+    readers resolve the new target. A pre-existing REAL directory at
+    `path` (e.g. from write_parquet) is migrated: moved aside and
+    re-pointed, which pays the non-atomic window once, on migration
+    only. Local/HDFS-style semantics; on object stores (no symlinks,
+    no atomic rename) this contract comes from a transactional table
+    format instead."""
     import os
     import shutil
     import uuid
 
-    tmp = f"{path}.publish-{uuid.uuid4().hex}"
-    old = f"{path}.old-{uuid.uuid4().hex}"
+    vdir = f"{path}.v-{uuid.uuid4().hex}"
     try:
         writer = df.write.mode("overwrite").option("compression", compression)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        writer.parquet(vdir)
+        old_target = None
+        if os.path.islink(path):
+            old_target = os.path.realpath(path)
+        elif os.path.isdir(path):
+            # one-time migration of a plain directory to the symlink scheme
+            old_target = f"{path}.v-migrated-{uuid.uuid4().hex}"
+            os.rename(path, old_target)
+        link_tmp = f"{path}.lnk-{uuid.uuid4().hex}"
+        os.symlink(os.path.abspath(vdir), link_tmp)
+        os.rename(link_tmp, path)  # atomic name replacement
+        if old_target and os.path.isdir(old_target):
+            shutil.rmtree(old_target, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise

@@ -52,24 +52,44 @@ def _hadoop_path_exists(spark, path: str) -> bool:
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(hpath))
-    except Exception:
+    except AttributeError:
+        # Spark Connect: no py4j gateway — probe with a read. Only a
+        # definite path-not-found maps to False; other failures re-raise
+        # (see _readable_parquet for why swallowing them corrupts).
         try:
             spark.read.parquet(path).schema
             return True
-        except Exception:
-            return False
+        except Exception as ex:
+            msg = str(ex)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return False
+            if "UNABLE_TO_INFER_SCHEMA" in msg:
+                return True  # exists, just empty
+            raise
 
 
 def _readable_parquet(spark, path: str) -> DataFrame | None:
-    """The path's parquet DataFrame, or None when the path is absent or
-    holds no readable footers yet (e.g. an all-empty first batch left
-    only _SUCCESS markers)."""
+    """The path's parquet DataFrame; None ONLY for the two expected
+    empty-store shapes — path absent (bootstrap) or present with no
+    readable footers yet (an all-empty first batch leaves only _SUCCESS
+    markers, surfacing as UNABLE_TO_INFER_SCHEMA). Any OTHER read
+    failure (throttling, expired credentials, a torn footer from a
+    crashed writer) RAISES so the micro-batch fails and retries:
+    swallowing it would silently disable cross-batch dedup for the
+    batch and permanently accept near-duplicates — corruption, not
+    degradation."""
     if not _hadoop_path_exists(spark, path):
         return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as ex:
+        name = type(ex).__name__
+        msg = str(ex)
+        if name == "AnalysisException" and (
+            "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg
+        ):
+            return None
+        raise
 
 
 def dedup_batch_against_index(

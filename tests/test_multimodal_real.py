@@ -581,3 +581,14 @@ def test_gif_animation_roundtrip_and_frame_sampling(spark):
     assert sorted(rows) == [0, 2, 4, 6]
     for i in (0, 2, 4, 6):
         assert rows[i] == frames[i].tobytes()
+
+
+def test_gif_lzw_clear_on_full_table_roundtrips():
+    # 256x256 of uniform noise is incompressible: the LZW dictionary hits
+    # its 4096-code cap repeatedly, forcing the encoder's clear-and-reset
+    # path and the decoder's mid-stream table rebuild — both must stay
+    # bit-exact.
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    back = codecs.decode_gif(codecs.encode_gif(img))
+    assert (back[:, :, 0] == img).all()

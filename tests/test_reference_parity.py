@@ -419,9 +419,11 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
 
 
 def test_atomic_parquet_publish_swaps_complete_datasets(spark, sf_dir, tmp_path):
-    """write_atomic_parquet: the target path flips between complete
-    datasets (old rows fully replaced by new rows, no temp/old residue
-    left beside the target)."""
+    """write_atomic_parquet: the target is a symlink flipped atomically
+    between complete versioned datasets — the path NEVER ceases to
+    exist, old rows are fully replaced, the superseded version's
+    directory is reclaimed, and a plain directory migrates into the
+    scheme on first use."""
     import os
 
     from parquet_exporter_spark.sinks.writers import write_atomic_parquet
@@ -431,13 +433,59 @@ def test_atomic_parquet_publish_swaps_complete_datasets(spark, sf_dir, tmp_path)
     out = str(tmp_path / "atomic" / "nations")
     os.makedirs(os.path.dirname(out))
     write_atomic_parquet(nation.filter("n_nationkey < 5"), out)
+    assert os.path.islink(out)
     assert spark.read.parquet(out).count() == 5
     write_atomic_parquet(nation.filter("n_nationkey >= 5"), out)
     back = spark.read.parquet(out)
     assert back.count() == nation.count() - 5
     assert back.filter("n_nationkey < 5").count() == 0  # fully swapped
-    residue = [
-        d for d in os.listdir(os.path.dirname(out))
-        if d != os.path.basename(out)
-    ]
-    assert residue == []  # no temp/old dirs left behind
+    siblings = sorted(os.listdir(os.path.dirname(out)))
+    basename = os.path.basename(out)
+    versions = [d for d in siblings if d.startswith(f"{basename}.v-")]
+    # exactly the live version remains; the superseded one was reclaimed
+    assert len(versions) == 1
+    assert os.path.realpath(out).endswith(versions[0])
+    assert [d for d in siblings if not d.startswith(basename)] == []
+
+    # migration: a plain directory written by write_parquet converts to
+    # the symlink scheme and its rows are replaced
+    plain = str(tmp_path / "atomic" / "plain")
+    nation.filter("n_nationkey < 3").write.parquet(plain)
+    write_atomic_parquet(nation.filter("n_nationkey >= 20"), plain)
+    assert os.path.islink(plain)
+    assert spark.read.parquet(plain).count() == nation.filter(
+        "n_nationkey >= 20"
+    ).count()
+
+
+def test_jsonl_datasource_overwrite_and_append_contracts(spark, sf_dir, tmp_path):
+    """mode('overwrite') clears previous part files AND the manifest;
+    mode('append') folds new files into the existing manifest so
+    manifest-honoring readers keep every committed write's rows."""
+    import json
+    import os
+
+    from parquet_exporter_spark.sinks.jsonl_datasource import register
+    from parquet_exporter_spark.tables import read_table
+
+    register(spark)
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = str(tmp_path / "jsonl_modes")
+
+    nation.limit(5).repartition(1).write.format("jsonl_dir").mode("append").save(out)
+    nation.limit(8).repartition(2).write.format("jsonl_dir").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(manifest["files"]) == sorted(files)
+    assert len(files) == 3  # 1 + 2 partitions, both writes kept
+    assert manifest["total_rows"] == 13
+
+    nation.limit(2).repartition(1).write.format("jsonl_dir").mode(
+        "overwrite"
+    ).save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == 1 and manifest["files"] == files
+    assert manifest["total_rows"] == 2
+    back = spark.read.schema("n_nationkey long, n_name string").json(out)
+    assert back.count() == 2  # old part files are gone, not just unlisted
