@@ -61,11 +61,19 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-8 SUGGESTION (assuming CORRECTNESS_r07 lands green on the current
-# PRIORITY): hand-pick the next ~50 from
+# PRIORITY): 182 of 424 are unstamped entering the round-7 driver check;
+# ~132 remain after it. Hand-pick EXACTLY 50 from
 # `python tools/verify_priority.py --list-unstamped` one-per-family —
-# the remaining backlog after this round is mostly the emb_* profile
-# suite, the text_* lexical suite, the remaining analytics_* /
-# timeseries_* diagnostics, and the fn_* function suites.
+# the backlog is mostly the emb_* profile suite, the text_* lexical
+# suite, the remaining analytics_* / timeseries_* diagnostics, the fn_*
+# function suites, and the dq_*/sample_* names trimmed from this round's
+# window (dq_sequence_gaps, dq_benford_first_digit, dq_outlier_iqr,
+# dq_null_fractions, timeseries_cusum_shift, timeseries_autocorr,
+# timeseries_seasonal_baseline, timeseries_rate_of_change,
+# sample_mixture_temperature, sample_interleave_sources,
+# sample_balanced_classes, event_transition_matrix, event_longest_streak,
+# analytics_market_basket, agg_bitmap_exact_distinct, agg_geometric_mean
+# — lead with these, they were already hand-checked green this round).
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
