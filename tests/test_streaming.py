@@ -631,3 +631,44 @@ def test_streaming_dedup_ingest_replayed_batch_is_exactly_once(spark, tmp_path):
     assert dup_bands == 0
     reject_ids = [r.doc_id for r in spark.read.parquet(rejects_path).collect()]
     assert sorted(reject_ids) == [2, 10]
+
+
+def test_dedup_ingest_fails_fast_on_unreadable_corpus(spark, tmp_path):
+    """A corpus store that EXISTS but cannot be read (torn footer from a
+    crashed writer, throttling...) must FAIL the micro-batch for retry —
+    silently treating it as 'no corpus yet' would skip cross-batch dedup
+    and permanently accept near-duplicates. Only the two expected
+    empty-store shapes read as bootstrap."""
+    from parquet_exporter_spark.streaming.dedup_ingest import (
+        dedup_batch_against_index,
+        make_ingest_batch_handler,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    index_path = str(tmp_path / "band_index")
+    corpus_path = str(tmp_path / "corpus")
+    handler = make_ingest_batch_handler(
+        index_path, corpus_path, n_hashes=16, band_size=4,
+        jaccard_threshold=0.5,
+    )
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    handler(b1, 0)
+
+    # tear the corpus: a parquet file whose footer is garbage
+    part = glob.glob(os.path.join(corpus_path, "ingest_batch=0", "*.parquet"))[0]
+    with open(part, "r+b") as f:
+        f.seek(0)
+        f.write(b"torn!" * 40)
+        f.truncate(200)
+
+    b2 = spark.createDataFrame(
+        [(10, base.replace("quick", "swift"))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception):
+        dedup_batch_against_index(
+            b2, index_path, corpus_path, n_hashes=16, band_size=4,
+            jaccard_threshold=0.5,
+        )[0].collect()
