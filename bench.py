@@ -3,11 +3,28 @@
 JSON line:
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...forensics}
 
 Each query is timed end-to-end (plan + execute + materialize counts via a
 cheap action). A first warmup action is run to exclude JVM/session startup
 from per-query numbers; total includes query time only.
+
+Forensics (added round 8 after two consecutive driver-run regressions that
+the builder's idle-box reruns could not reproduce): the JSON line now
+carries enough evidence to tell a real regression from a contaminated box
+WITHOUT a rerun —
+
+- ``load_trace``: 1-minute loadavg sampled at start, after session
+  startup, before each query's timed runs, and at the end. On this
+  32-cpu box an idle bench reads < ~3; a trace ramping past ~10 means a
+  concurrent workload was stealing cores during the run.
+- ``runs``: all 5 raw per-run timings per query (the headline keeps the
+  min). A contaminated run shows a wide min-max spread on the heavy
+  queries; a genuine plan regression shifts ALL five runs uniformly.
+- ``startup_sec`` / ``warmup_sec`` / ``registry_load_sec``: the fixed
+  per-process costs, recorded to prove they stay OUTSIDE the headline
+  (registry eager-load measured at ~0.76 s for 424 queries — pure
+  Python, before any timed region).
 """
 
 from __future__ import annotations
@@ -19,6 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_t_registry = time.perf_counter()
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
 
@@ -39,10 +57,21 @@ HEADLINE = [
 ]
 
 
+def _load1() -> float:
+    """1-minute loadavg, rounded; -1 where the platform lacks it."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (AttributeError, OSError):
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    load_trace: list[float] = [_load1()]
+    t0 = time.perf_counter()
     _ensure_loaded()
+    registry_load_sec = round(time.perf_counter() - _t_registry, 3)
     # Bench-session tuning, following SCALE.md's own ground rule "size
     # spark.sql.shuffle.partitions to the input": the sf0.1 inputs are
     # ~17 MB, so 8 post-shuffle partitions keep every task meaningfully
@@ -64,11 +93,16 @@ def main() -> None:
         shuffle_partitions=parts,
         extra_conf=extra_conf,
     )
+    startup_sec = round(time.perf_counter() - t0 - registry_load_sec, 3)
+    load_trace.append(_load1())
 
     # Warmup: JVM + parquet footer caches, excluded from timings.
+    t0 = time.perf_counter()
     REGISTRY["count_star"].fn(spark, sf_dir).collect()
+    warmup_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
@@ -79,6 +113,7 @@ def main() -> None:
         # 100 TB design point, like session startup which is already
         # excluded). Timed runs then measure steady-state plan+execute.
         fn(spark, sf_dir).count()
+        load_trace.append(_load1())
         # best of 5: this box shows multi-second background-load spikes —
         # taking the min keeps a noisy minute from dominating the recorded
         # number (warm runs are ~0.1-0.5 s each, so the extra repetitions
@@ -89,8 +124,10 @@ def main() -> None:
             # count() forces full execution of every operator in the plan
             # while keeping driver materialization O(1).
             fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        raw_runs[name] = runs
+        timings[name] = min(runs)
+    load_trace.append(_load1())
 
     total = round(sum(timings.values()), 3)
     print(
@@ -101,6 +138,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": raw_runs,
+                "load_trace": load_trace,
+                "startup_sec": startup_sec,
+                "warmup_sec": warmup_sec,
+                "registry_load_sec": registry_load_sec,
             }
         )
     )

@@ -60,20 +60,16 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `TZ=America/New_York python tools/verify_priority.py` to replay the
 # driver's exact check on the new front window.
 #
-# ROUND-8 SUGGESTION (assuming CORRECTNESS_r07 lands green on the current
-# PRIORITY): 182 of 424 are unstamped entering the round-7 driver check;
-# ~132 remain after it. Hand-pick EXACTLY 50 from
+# ROUND-9 SUGGESTION (assuming CORRECTNESS_r08 lands green on the current
+# PRIORITY): 132 of 424 are unstamped entering the round-8 driver check;
+# ~82 remain after it. Hand-pick EXACTLY 50 from
 # `python tools/verify_priority.py --list-unstamped` one-per-family —
-# the backlog is mostly the emb_* profile suite, the text_* lexical
-# suite, the remaining analytics_* / timeseries_* diagnostics, the fn_*
-# function suites, and the dq_*/sample_* names trimmed from this round's
-# window (dq_sequence_gaps, dq_benford_first_digit, dq_outlier_iqr,
-# dq_null_fractions, timeseries_cusum_shift, timeseries_autocorr,
-# timeseries_seasonal_baseline, timeseries_rate_of_change,
-# sample_mixture_temperature, sample_interleave_sources,
-# sample_balanced_classes, event_transition_matrix, event_longest_streak,
-# analytics_market_basket, agg_bitmap_exact_distinct, agg_geometric_mean
-# — lead with these, they were already hand-checked green this round).
+# the remaining backlog after round 8 is concentrated in the emb_*
+# profile suite, the text_* lexical suite, the remaining analytics_* /
+# timeseries_* diagnostics, the fn_* function suites, and the agg_*/dq_*
+# tails. After round 9 only ~32 remain — plan rounds 9-10 to finish the
+# conversion, then the window becomes pure restamps of any contract
+# upgrades.
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
@@ -132,67 +128,73 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-7 driver check budget:
+# Hand-picked front of the registry for the ROUND-8 driver check budget:
 # EXACTLY 50 names, matching the observed driver stamp window (a longer
 # list silently pushes its tail outside the window — caught in review
-# when agg_count_min_portable sat at position 66). CORRECTNESS_r06
-# landed 50/50 green on the round-6 PRIORITY (DRIVER_VERIFIED folds it
-# in automatically). This window leads with the round-6 additions that
-# have never seen a driver window (pipe syntax, incremental dedup
-# index, duplicate spans, both record-linkage ops, MMR rerank, join-key
-# skew profiler) and all of round 7's new operators, then never-stamped
-# names one-per-family (text quality, SQL surface, DQ, multimodal).
+# when agg_count_min_portable sat at position 66). CORRECTNESS_r07
+# landed 50/50 green on the round-7 PRIORITY (DRIVER_VERIFIED folds it
+# in automatically); 132 never-stamped remain entering round 8. This
+# window leads with the 16 names hand-checked green during round 7 but
+# trimmed from its window (dq/timeseries/sample/event/analytics/agg),
+# then ALL SEVEN engine-private rows-only queries (no registrable
+# oracle — a no_oracle liveness stamp is the only driver evidence they
+# can ever earn, so batching them clears that tier in one round), then
+# never-stamped names one-per-family (text lexical suite, emb profile
+# suite, SQL surface, DQ, splits, fn suites, joins, windows).
 PRIORITY = (
-    "sql_pipe_syntax",
-    "dedup_incremental_index",
-    "dedup_duplicate_spans",
-    "linkage_fellegi_sunter",
-    "linkage_sorted_neighborhood",
-    "search_mmr_rerank",
-    "dq_join_key_skew",
-    "similarity_ivf_incremental",
-    "agg_bloom_filter_portable",
-    "agg_histogram_quantile_sketch",
-    "agg_count_min_portable",
-    "analytics_bootstrap_ci",
-    "sql_range_tvf_spine",
-    "udf_apply_in_arrow",
-    "agg_grouping_sets_df_api",
-    "analytics_diff_in_diff",
-    "sample_systematic_every_k",
-    "dedup_minhash_bbit_estimate",
-    "similarity_recall_eval",
-    "multimodal_gif_roundtrip",
-    "window_rolling_regression",
-    "dq_distribution_ks",
-    "sample_neyman_allocation",
-    "text_decontaminate_corpus",
-    "multimodal_audio_energy",
-    "multimodal_image_ahash",
-    "text_type_token_ratio",
-    "filter_domain_blocklist",
-    "text_unigram_logprob",
-    "text_stopword_fraction",
-    "text_gopher_quality_filter",
-    "text_build_vocab",
-    "text_quality_logreg_score",
-    "text_boilerplate_strip_rebuild",
-    "split_kfold_assign",
-    "agg_mode_deterministic",
-    "sql_group_by_all",
-    "window_ratio_to_report",
-    "sql_udf_scalar",
-    "sql_session_variable",
-    "fn_collated_compare",
-    "join_existence_flag",
-    "agg_winsorize",
-    "join_fuzzy_string",
-    "sql_unpivot_clause",
-    "sql_execute_immediate",
-    "sql_select_star_except",
-    "sql_values_inline",
-    "sql_qualify_emulation",
-    "dq_freshness_lag",
+    # 16 hand-checked round-7 trims (oracle-green locally, never stamped)
+    "dq_sequence_gaps",
+    "dq_benford_first_digit",
+    "dq_outlier_iqr",
+    "dq_null_fractions",
+    "timeseries_cusum_shift",
+    "timeseries_autocorr",
+    "timeseries_seasonal_baseline",
+    "timeseries_rate_of_change",
+    "sample_mixture_temperature",
+    "sample_interleave_sources",
+    "sample_balanced_classes",
+    "event_transition_matrix",
+    "event_longest_streak",
+    "analytics_market_basket",
+    "agg_bitmap_exact_distinct",
+    "agg_geometric_mean",
+    # all 7 rows-only (no_oracle) engine-private paths — liveness stamps
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "similarity_ivf_topk",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "emb_pca_project",
+    "emb_pq_codes",
+    # one-per-family from the never-stamped backlog
+    "limit_offset_page",
+    "multimodal_binary_meta",
+    "text_bigrams",
+    "text_repetition_ratio",
+    "dedup_boilerplate_chunks",
+    "text_contamination_check",
+    "corpus_source_stats",
+    "split_train_holdout",
+    "split_time_holdout_leakage",
+    "text_char_entropy",
+    "text_bigram_logprob",
+    "sample_per_group_cap",
+    "emb_standardize_dims",
+    "emb_random_projection",
+    "text_vocab_coverage",
+    "text_js_divergence_sources",
+    "text_code_detection",
+    "window_named_frame_exclude",
+    "join_asof_forward",
+    "sql_lateral_column_alias",
+    "sql_lateral_view_explode",
+    "dq_duplicate_full_rows",
+    "dq_fk_coverage",
+    "agg_width_bucket_histogram",
+    "timeseries_max_drawdown",
+    "analytics_gini_revenue",
+    "fn_date_arithmetic",
 )
 
 
