@@ -1152,6 +1152,15 @@ def encode_gif_animation(frames: list[np.ndarray], delay_cs: int = 10) -> bytes:
     if any(a.ndim != 2 for a in arrs):
         raise ValueError("animation encoder takes grayscale (H, W) frames")
     h, w = arrs[0].shape
+    # The logical screen is sized from frame 0 and every frame is placed
+    # at offset (0,0) — a later frame LARGER than the screen would make a
+    # spec-invalid GIF that external decoders may reject or crop (the
+    # in-repo decoder tolerates it, which would hide the bug).
+    if any(a.shape != (h, w) for a in arrs):
+        raise ValueError(
+            "animation frames must all share frame 0's shape "
+            f"({h}, {w}); got {sorted({a.shape for a in arrs})}"
+        )
     palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)

@@ -115,7 +115,9 @@ FORCE_RESTAMP = frozenset(
     {
         "agg_approx_distinct",
         "agg_hll_rollup",
-        "agg_count_min_sketch",
+        # agg_count_min_sketch retired from the registry in round 8
+        # (py4j-only verdict, Connect-incompatible; suite-only now —
+        # see queries/aggregates.py)
         "sample_fraction",
         "agg_approx_percentile",
         "dedup_minhash_mllib",

@@ -434,38 +434,24 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_count_min_sketch",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS exact_count,
-           TRUE AS never_undercounts,
-           TRUE AS within_eps_bound
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-    doc=(
-        "Count-min sketch over order priorities: a fixed-size frequency "
-        "summary (eps=0.001, conf=0.99) queried per key. Like HLL, the "
-        "sketch is a mergeable partial aggregate — heavy-hitter tracking "
-        "at 100 TB without shuffling raw keys. BOUNDED-ERROR VERDICT "
-        "oracle: the sketch binary is engine-private, so the query "
-        "aggregates the sketch distributedly, reads the BOUNDED collected "
-        "sketch (~100 KB, the serving-layer pattern for a published "
-        "sketch) back through the public CountMinSketch.readFrom API, and "
-        "emits per-key booleans for the CMS contract — estimates never "
-        "undercount and overcount by at most eps*N. A hash match proves "
-        "both guarantees per key. CLASSIC-ONLY: the verdict runs eagerly "
-        "in the builder (two bounded collects + the py4j "
-        "CountMinSketch.readFrom gateway), so this query requires a "
-        "classic local/cluster session — under Spark Connect, where no "
-        "py4j gateway exists, use agg_count_min_portable: the same CMS "
-        "shape as a pure-expression (depth x width) counter table, no "
-        "gateway, and a full hash-match oracle."
-    ),
-)
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over order priorities via Spark's built-in
+    F.count_min_sketch aggregate (eps=0.001, conf=0.99), the sketch read
+    back through the public CountMinSketch.readFrom API and verdict-
+    checked per key: estimates never undercount and overcount by at most
+    eps*N.
+
+    SUITE-ONLY since round 8 (was registered through round 7, driver
+    hash-stamped green in CORRECTNESS_r05): the verdict needs the py4j
+    gateway (spark._jvm.…CountMinSketch.readFrom), which does not exist
+    under Spark Connect — the last Connect-incompatible entry in the
+    registry. The REGISTERED count-min coverage is
+    agg_count_min_portable: the same CMS shape as a pure-expression
+    (depth x width) counter table, no gateway, full hash-match oracle
+    (driver-stamped r07). This classic-only builder stays exercised by
+    tests/test_operators.py::test_count_min_sketch_never_undercounts as
+    the cross-check that the portable twin matches Spark's own sketch
+    semantics."""
     orders = read_table(spark, sf_dir, "orders")
     eps = 0.001
     sketch_raw = bytes(

@@ -243,8 +243,16 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
 
         mean = pc.mean(t.column("o_totalprice"))
+        # round_mode must match the oracle: DuckDB's round() (and
+        # Spark's) rounds half away from zero, while pyarrow defaults to
+        # half_to_even — a centered value landing exactly on a
+        # 4th-decimal half would flip the value hash under the default.
+        # pyarrow names that mode half_towards_infinity (ties away from
+        # zero toward +/-inf by sign).
         centered = pc.round(
-            pc.subtract(t.column("o_totalprice"), mean), ndigits=4
+            pc.subtract(t.column("o_totalprice"), mean),
+            ndigits=4,
+            round_mode="half_towards_infinity",
         )
         return pa.table(
             {

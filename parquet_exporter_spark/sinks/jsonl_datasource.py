@@ -21,6 +21,23 @@ by tests/test_sources.py.
 
 Scale shape: serialization is per-partition streaming (no driver gather,
 no per-row py4j); the driver sees only one tiny commit message per task.
+
+DEPLOYMENT REQUIREMENTS (same rationale as dedup_ingest's
+_hadoop_path_exists: plain os.* paths are only correct where every
+process sees one filesystem):
+
+- task writes (`write()`, on executors) and the manifest publish /
+  overwrite cleanup (`__init__`/`commit()`/`abort()`, on the driver) use
+  local ``os`` paths, so driver and executors MUST share the target
+  filesystem — local mode, or a cluster writing to a shared mount
+  (NFS/FUSE). On a multi-node cluster with node-local disks the part
+  files land where the driver cannot see them; point this sink at a
+  shared mount or use the parquet/json sinks (Hadoop committers) there.
+- concurrent APPEND jobs into one directory are unsupported: commit()'s
+  manifest fold is a read-modify-write with no lock, so two jobs
+  committing simultaneously can lose each other's file lists. One writer
+  per directory at a time; parallelism belongs INSIDE the job (its
+  tasks), not across jobs.
 """
 
 from __future__ import annotations

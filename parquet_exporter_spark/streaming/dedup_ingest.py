@@ -18,7 +18,11 @@ replayed micro-batch (crash after some writes committed but before the
 checkpoint offset did) rewrites its own partitions byte-for-byte instead
 of double-appending — the standard foreachBatch batchId idempotence
 pattern. Readers of the corpus/index/rejects roots see ``ingest_batch``
-as an ordinary hive partition column.
+as an ordinary hive partition column. The store paths are bound to ONE
+checkpoint lineage: a fresh checkpoint dir restarts batch ids at 0 and
+would overwrite committed partitions, so the handler raises when it
+finds a partition id larger than its own batch_id (see
+make_ingest_batch_handler).
 
 Scale note: the corpus store and index are plain parquet here; at
 100 TB both would be a transactional table format (Delta/Iceberg/Hudi)
@@ -90,6 +94,36 @@ def _readable_parquet(spark, path: str) -> DataFrame | None:
         ):
             return None
         raise
+
+
+def _max_ingest_batch(spark, path: str) -> int | None:
+    """Largest existing ``ingest_batch=`` partition id under ``path``, or
+    None when the store is absent or holds no such partitions. Resolved
+    by listing partition directories — a metadata-only op via the Hadoop
+    FileSystem for the path's scheme; under Spark Connect falls back to
+    an aggregate over the partition column (answered from partition
+    values, no row data read)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        ids = []
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if name.startswith("ingest_batch="):
+                try:
+                    ids.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return max(ids) if ids else None
+    except AttributeError:
+        df = _readable_parquet(spark, path)
+        if df is None or "ingest_batch" not in df.columns:
+            return None
+        row = df.agg(F.max("ingest_batch").alias("m")).collect()[0]
+        return int(row.m) if row.m is not None else None
 
 
 def dedup_batch_against_index(
@@ -184,9 +218,34 @@ def make_ingest_batch_handler(
     """The foreachBatch handler, exposed so its exactly-once contract is
     directly testable: calling it twice with the SAME batch_id (a replay)
     leaves every store identical to calling it once, because each sink
-    write overwrites that batch's own ingest_batch= partition."""
+    write overwrites that batch's own ingest_batch= partition.
+
+    LINEAGE CONTRACT: the store paths are bound to ONE checkpoint
+    lineage. Restarting the stream with a FRESH checkpoint dir (or
+    pointing a second query at the same paths) restarts batch ids at 0,
+    and the overwrite-own-partition idempotence pattern would then
+    silently clobber the prior lineage's committed ingest_batch=0,1,...
+    partitions. Guard: a legitimate replay can only ever observe
+    existing partition ids <= its own batch_id, so a batch that finds a
+    LARGER id in the corpus raises instead of writing. (The one
+    undetectable corner — the prior lineage committed only batch 0 and
+    the new lineage's batch 0 overwrites it — is why the path binding is
+    a documented contract, not merely a runtime check.)"""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        existing_max = _max_ingest_batch(batch_df.sparkSession, corpus_path)
+        if existing_max is not None and existing_max > batch_id:
+            raise RuntimeError(
+                f"dedup ingest: corpus at {corpus_path!r} already holds "
+                f"ingest_batch={existing_max} but this micro-batch has "
+                f"batch_id={batch_id} — a replay can only see its own id "
+                "as the maximum, so this stream is running against a "
+                "store committed by a DIFFERENT checkpoint lineage "
+                "(fresh checkpoint dir, or a second query on the same "
+                "paths). Writing would overwrite committed data; point "
+                "the stream at fresh store paths or restore the original "
+                "checkpoint."
+            )
         batch_df = batch_df.persist()
         handles: list = [batch_df]
         try:

@@ -583,6 +583,22 @@ def test_gif_animation_roundtrip_and_frame_sampling(spark):
         assert rows[i] == frames[i].tobytes()
 
 
+def test_gif_animation_rejects_mismatched_frame_shapes():
+    """The logical screen is sized from frame 0 with every frame placed
+    at (0,0): a LATER frame larger than the screen would produce a
+    spec-invalid GIF that external decoders may reject or crop (the
+    in-repo decoder tolerates it, which would hide the bug) — the
+    encoder must refuse instead."""
+    frames = [np.zeros((4, 5), np.uint8), np.zeros((6, 5), np.uint8)]
+    with pytest.raises(ValueError, match="shape"):
+        codecs.encode_gif_animation(frames)
+    # smaller later frames are equally rejected: one contract, no
+    # silently-letterboxed output
+    frames = [np.zeros((4, 5), np.uint8), np.zeros((4, 3), np.uint8)]
+    with pytest.raises(ValueError, match="shape"):
+        codecs.encode_gif_animation(frames)
+
+
 def test_gif_lzw_clear_on_full_table_roundtrips():
     # 256x256 of uniform noise is incompressible: the LZW dictionary hits
     # its 4096-code cap repeatedly, forcing the encoder's clear-and-reset

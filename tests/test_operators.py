@@ -121,9 +121,11 @@ def test_count_min_sketch_never_undercounts(spark, sf_dir):
     """The CMS estimate for each priority must be >= its exact count and
     within eps*N of it (the count-min guarantee). The query emits that
     verdict per key; recompute the exact side independently."""
+    from parquet_exporter_spark.queries.aggregates import agg_count_min_sketch
+
     rows = {
         r.o_orderpriority: r
-        for r in REGISTRY["agg_count_min_sketch"].fn(spark, sf_dir).collect()
+        for r in agg_count_min_sketch(spark, sf_dir).collect()
     }
     orders = read_table(spark, sf_dir, "orders")
     exact = {

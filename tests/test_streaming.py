@@ -672,3 +672,49 @@ def test_dedup_ingest_fails_fast_on_unreadable_corpus(spark, tmp_path):
             b2, index_path, corpus_path, n_hashes=16, band_size=4,
             jaccard_threshold=0.5,
         )[0].collect()
+
+
+def test_dedup_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
+    """Store paths are bound to ONE checkpoint lineage: a stream restarted
+    with a FRESH checkpoint dir restarts batch ids at 0, and its
+    overwrite-own-partition writes would clobber the prior lineage's
+    committed partitions (while exclude_ingest_batch also hides them from
+    the probe). The handler must refuse: a legitimate replay can only
+    ever see existing partition ids <= its own batch_id."""
+    from parquet_exporter_spark.streaming.dedup_ingest import (
+        make_ingest_batch_handler,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the morning light"
+    )
+    index_path = str(tmp_path / "band_index")
+    corpus_path = str(tmp_path / "corpus")
+    handler = make_ingest_batch_handler(
+        index_path, corpus_path, n_hashes=16, band_size=4,
+        jaccard_threshold=0.5,
+    )
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "unrelated text about shuffles")], "doc_id long, text string"
+    )
+    handler(b1, 0)
+    handler(b2, 1)
+    corpus_before = sorted(
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    )
+
+    # a second lineage (fresh checkpoint) delivers ITS batch 0 against
+    # the same store paths — must raise, and the store must be untouched
+    fresh = spark.createDataFrame(
+        [(99, "a brand new corpus text")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="checkpoint lineage"):
+        handler(fresh, 0)
+    # batch_id 1 (== current max) is a legitimate replay shape — allowed
+    handler(b2, 1)
+    corpus_after = sorted(
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    )
+    assert corpus_after == corpus_before
