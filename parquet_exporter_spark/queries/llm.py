@@ -560,31 +560,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms_plan(spark, sf_dir, skew_safe=False)
+
+
+def tfidf_top_terms_plan(
+    spark: SparkSession, sf_dir: str, skew_safe: bool = False
+) -> DataFrame:
+    """TF-IDF top-3 terms per doc; two physical strategies, one result.
+
+    skew_safe=False (registered default — right for near-uniform
+    vocabularies like the test corpus): repartition the TOKEN stream by
+    term up front. HashPartitioning on a SUBSET of the grouping keys
+    satisfies ClusteredDistribution, so this single exchange serves BOTH
+    the (doc_id, term) tf aggregate and the df window over term — 2
+    shuffles total instead of 3 (tf-keyed, then a full re-shuffle+sort
+    of tf by term). The trade is shuffling raw token occurrences instead
+    of map-side-combined tf pairs; measured (tools/tfidf_variants.py,
+    idle box): wins 18% at sf0.1 and 30% at sf1. The broadcast-df
+    variant was measured slower and is an unbounded-vocabulary size
+    risk.
+
+    skew_safe=True (the escape hatch for natural-language Zipf
+    vocabularies at cluster scale): the window-over-term plan puts EVERY
+    raw occurrence of a term in one partition, and AQE cannot split
+    window partitions (OptimizeSkewedJoin covers joins; skew-aware
+    rebalance covers rebalance nodes; nothing covers the
+    ClusteredDistribution a Window requires) — so the hot term's task
+    grows linearly with corpus x hot-share and can never be subdivided.
+    Measured (tools/tfidf_skew.py, 60M-token Zipf(1.2) corpus, top term
+    19.9% of occurrences; BASELINE.md round-8 table): the term-clustered
+    stage straggles at 2.15x max/median task runtime while every
+    fallback stage stays <=1.8x; overall wall is a tie at this size
+    (12.4s vs 12.1s median) because the straggler is still only ~10s —
+    at 1000 executors the median task shrinks and the unsplittable hot
+    task does not, so the ratio IS the slowdown. The fallback never
+    materializes the raw hot-term occurrence list: tf comes from the
+    (doc_id, term) hash aggregate (partial aggregation caps a hot term
+    at one row per doc), df from a SECOND partial aggregate on term
+    (caps at one row per term per map task), joined back to tf — the
+    one term-keyed step left, and a join is exactly the shape AQE's
+    skew handling splits once it crosses the size thresholds (it stays
+    under them at local test sizes precisely because the partial aggs
+    already collapsed 11.9M raw occurrences to 600k rows)."""
     docs = read_table(spark, sf_dir, "documents")
-    # Repartition the TOKEN stream by term up front: HashPartitioning on
-    # a SUBSET of the grouping keys satisfies ClusteredDistribution, so
-    # this single exchange serves BOTH the (doc_id, term) tf aggregate
-    # and the df window over term — 2 shuffles total instead of 3
-    # (tf-keyed, then a full re-shuffle+sort of tf by term). The trade is
-    # shuffling raw token occurrences instead of map-side-combined tf
-    # pairs; measured (tools/tfidf_variants.py, idle box): wins 18% at
-    # sf0.1 and 30% at sf1. The df-as-partial-agg+join form loses at both
-    # scales (extra exchange + SMJ sort), and a broadcast-df variant was
-    # measured slower earlier and is an unbounded-vocabulary size risk.
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
-    ).repartition("term")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     # Corpus cardinality comes from catalog statistics (parquet footer
     # row counts — identical to what count(*) answers) and is embedded as
     # a literal: no extra count job, exchange, or broadcast in the plan.
     n_docs = tables.table_rowcount(sf_dir, "documents")
-    df_w = Window.partitionBy("term")
-    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
-    )
+    if skew_safe:
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = tf.join(dfreq, "term").select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        )
+    else:
+        toks = toks.repartition("term")
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df_w = Window.partitionBy("term")
+        scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+        )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

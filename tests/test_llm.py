@@ -3,6 +3,8 @@ SimHash behavior, LSH ANN recall vs brute force, multimodal plumbing."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.functions import dedup as D
@@ -379,3 +381,39 @@ def test_duplicate_spans_df_cap_bounds_hot_window_blowup(spark):
         (r.id_a, r.id_b): r.n_shared_windows for r in uncapped
     }
     assert n_shared[(100, 101)] == n_shared_uncapped[(100, 101)]
+
+
+def test_tfidf_skew_safe_plan(spark, sf_dir):
+    """The Zipf-vocabulary mitigation (BASELINE.md round-8 table): the
+    skew_safe plan must (a) return exactly the registered plan's rows
+    and (b) never cluster raw token occurrences by term — its df comes
+    from partial aggregates + a join, the AQE-splittable shape, instead
+    of the unsplittable window-over-term."""
+    from parquet_exporter_spark.queries.llm import tfidf_top_terms_plan
+
+    fast = tfidf_top_terms_plan(spark, sf_dir, skew_safe=False)
+    safe = tfidf_top_terms_plan(spark, sf_dir, skew_safe=True)
+    fast_rows = sorted((r.doc_id, r.term, r.tfidf) for r in fast.collect())
+    safe_rows = sorted((r.doc_id, r.term, r.tfidf) for r in safe.collect())
+    assert safe_rows == fast_rows and len(safe_rows) > 0
+
+    # Plan-shape pins. The ONLY window in the skew-safe plan partitions
+    # by doc_id (the final top-3 ranking); term appears in a join and an
+    # aggregate, never as a window partition spec or a repartition key.
+    safe_plan = safe._jdf.queryExecution().optimizedPlan().toString()
+    fast_plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    safe_windows = [
+        line for line in safe_plan.splitlines() if line.lstrip("+- ").startswith("Window [")
+    ]
+    # Window prints as `Window [exprs], [partitionSpec], [orderSpec]` —
+    # pin the partition spec to doc_id alone (term may appear in the
+    # ORDER BY; it must not appear as a partition key).
+    assert len(safe_windows) == 1
+    assert re.search(r"\], \[doc_id#\d+L\], \[", safe_windows[0])
+    assert "Join" in safe_plan
+    # and the fast plan really is the window-df variant (guards against
+    # the two silently converging into one plan after a refactor)
+    fast_windows = [
+        line for line in fast_plan.splitlines() if line.lstrip("+- ").startswith("Window [")
+    ]
+    assert len(fast_windows) == 2

@@ -43,6 +43,40 @@ d = json.loads(sys.stdin.readline())
 assert {'metric','value','unit','queries','sf'} <= set(d), d.keys()
 print('bench OK:', d['value'], d['unit'], 'sf', d['sf'])") || fail=1
 
+echo "== [1b] standalone sf1 pin: dedup_minhash_lsh_pairs (best-of-3, own process) =="
+# Round-7 verdict: the heaviest rows-only pipeline read 3.26-5.44 s at
+# sf1 depending on what shared the box (same-process DuckDB contention).
+# Pin a STANDING standalone number here — own process, right after the
+# idle-box gate, before any long sweep heats the machine — so the
+# ambiguity can't recur. Budget 3.5 s; exceeding it fails the round
+# check and demands a diagnosis (BASELINE.md), not a shrug.
+if [ -d "$REPO/.scratch/sf1" ]; then
+  (cd "$REPO" && python - <<'PYEOF'
+import sys, time
+sys.path.insert(0, ".")
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+from parquet_exporter_spark.session import get_spark
+_ensure_loaded()
+spark = get_spark(app_name="minhash_sf1_pin")
+fn = REGISTRY["dedup_minhash_lsh_pairs"].fn
+fn(spark, ".scratch/sf1").count()  # warm: codegen + parquet footers
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    fn(spark, ".scratch/sf1").count()
+    ts.append(time.perf_counter() - t0)
+best = min(ts)
+print(f"dedup_minhash_lsh_pairs sf1 best-of-3: {best:.3f}s (runs: {[round(t, 3) for t in ts]})")
+if best > 3.5:
+    print("PIN EXCEEDED 3.5s — diagnose (BASELINE.md) before closing the round")
+    sys.exit(1)
+print("PIN OK (<= 3.5s)")
+PYEOF
+) || fail=1
+else
+  echo "  .scratch/sf1 missing — skipping sf1 pin (generate via tools/gen_sf1.py if present)"
+fi
+
 echo "== [2/6] driver-window replay (front 50, sf0.01, hostile TZ) =="
 TZ=America/New_York python "$REPO/tools/verify_priority.py" || fail=1
 
