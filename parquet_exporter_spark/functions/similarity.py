@@ -65,14 +65,9 @@ def brute_force_topk(
     case: thousands of splits), no repartition happens — reshuffling a
     large corpus to "widen" it would be a regression.
     """
-    try:
-        target = corpus.sparkSession.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < target:
-            corpus = corpus.repartition(target)
-    except Exception:
-        # Spark Connect: no sparkContext/rdd handle — leave the scan's
-        # natural parallelism (Connect clusters size their own splits).
-        pass
+    from parquet_exporter_spark.functions.dedup import _widen_if_undersplit
+
+    corpus = _widen_if_undersplit(corpus)
     # norms attach per ROW before the pair join — one dot product per pair
     # instead of three (cosine() would recompute both norms per pair)
     q = queries.select(
