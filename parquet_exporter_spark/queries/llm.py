@@ -602,7 +602,12 @@ def tfidf_top_terms_plan(
     skew handling splits once it crosses the size thresholds (it stays
     under them at local test sizes precisely because the partial aggs
     already collapsed 11.9M raw occurrences to 600k rows)."""
-    docs = read_table(spark, sf_dir, "documents")
+    # Widen an under-split documents scan before tokenize+explode: the
+    # map side of the term exchange otherwise writes the whole token
+    # stream from 1-2 scan tasks (measured 21% end-to-end at sf1 — see
+    # functions/dedup._widen_if_undersplit for the rule and its 100 TB
+    # no-op behavior).
+    docs = D._widen_if_undersplit(read_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     )
