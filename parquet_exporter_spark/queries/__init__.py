@@ -28,6 +28,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm4,
     llm5,
     llm6,  # round-3 additions: DSIR, SemDeDup, perplexity buckets, radius search
+    llm7,  # round-8 additions: containment, winnowing, MERGE, PPSWOR, EWMA
     search,
     sqlsurface,
     dq,

@@ -1,0 +1,145 @@
+"""Behavior tests for the round-8 batch (queries/llm7.py): winnowing's
+shared-substring guarantee, containment's asymmetric catch, MERGE branch
+coverage, PPSWOR's weight bias, and the irregular-gap EWMA limits.
+Value-level cross-engine checks live in test_correctness (oracle
+parametrization); these pin the SEMANTIC claims the docstrings make."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.functions import dedup as D
+from parquet_exporter_spark.queries.llm7 import (
+    _WIN_K,
+    _WIN_W,
+    winnowing_fingerprints,
+)
+from parquet_exporter_spark.registry import REGISTRY
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared substring of length k+w-1 must contribute at least one
+    COMMON fingerprint (the winnowing theorem) — even when the rest of
+    both documents is completely different."""
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(shared) >= _WIN_K + _WIN_W - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated preamble text here " + shared),
+            (2, shared + " followed by a different ending about parquet"),
+            (3, "zero overlap with either document whatsoever, purely spark"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring produced no common fingerprint"
+    # and winnowing compresses: far fewer fingerprints than k-grams
+    n_grams_1 = len("completely unrelated preamble text here " + shared) - _WIN_K + 1
+    assert len(by_doc[1]) < n_grams_1 / 2
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc pasted inside a much longer one: Jaccard is diluted
+    below threshold by the big doc's size, but containment of the small
+    side stays ~1 — the pair must surface with cont_small_in_big high."""
+    small = "the exact benchmark question text appears verbatim here once"
+    filler = (
+        "surrounding crawl page content about entirely different topics "
+        "including cooking recipes and travel advice and sports scores "
+    ) * 6
+    docs = spark.createDataFrame(
+        [(1, small), (2, filler + small + filler)],
+        "doc_id long, text string",
+    )
+    pairs = D.winnow_containment_pairs(
+        docs, winnowing_fingerprints, max_fp_df=20, min_shared=2,
+        containment_threshold=0.5,
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2)
+    assert p.cont_a_in_b >= 0.95  # small doc almost fully inside big
+    # Jaccard for the same pair is low — the measure containment exists for
+    jac = D.minhash_lsh_pairs_portable(
+        docs, n_hashes=8, band_size=2, jaccard_threshold=0.0
+    ).collect()
+    assert all(r.jaccard < 0.5 for r in jac)
+
+
+def test_merge_upsert_exercises_all_branches(spark, sf_dir):
+    rows = REGISTRY["sql_merge_upsert"].fn(spark, sf_dir).collect()
+    actions = {r.action for r in rows}
+    assert actions == {"kept", "updated", "inserted"}
+    # inserted rows carry the synthetic key offset; kept rows only exist
+    # for targets the source never touched
+    assert all(r.c_custkey >= 3000000 for r in rows if r.action == "inserted")
+    assert all(r.new_bal is not None for r in rows)
+    # source = even keys: kept rows are exactly the odd-keyed targets
+    assert all(r.c_custkey % 2 == 1 for r in rows if r.action == "kept")
+    # the DELETE branch fired: matched (even) keys divisible by 10 are
+    # gone — neither updated nor kept
+    assert all(r.c_custkey % 10 != 0 for r in rows if r.action == "updated")
+    survivors = {r.c_custkey for r in rows}
+    from parquet_exporter_spark.tables import read_table as _rt
+
+    matched_keys = (
+        _rt(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") < 3000))
+        .join(
+            _rt(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "semi",
+        )
+    )
+    deleted_expected = {r.c_custkey for r in matched_keys.collect()}
+    assert deleted_expected and not (deleted_expected & survivors)
+
+
+def test_priority_ppswor_prefers_heavy_weights(spark, sf_dir):
+    sample = REGISTRY["sample_priority_ppswor"].fn(spark, sf_dir).collect()
+    assert len(sample) == 200
+    assert len({r.o_orderkey for r in sample}) == 200  # without replacement
+    from parquet_exporter_spark.tables import read_table
+
+    pop_mean = (
+        read_table(spark, sf_dir, "orders")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()[0]
+        .m
+    )
+    sample_mean = sum(r.weight for r in sample) / len(sample)
+    # probability proportional to size: the sample's mean weight must sit
+    # well above the population's
+    assert sample_mean > 1.2 * pop_mean, (sample_mean, pop_mean)
+
+
+def test_ewma_irregular_gap_limits(spark):
+    """Decay limits: after a gap >> tau the EWMA tracks the new value;
+    within a burst << tau it barely moves off the seed."""
+    from parquet_exporter_spark.queries.llm7 import timeseries_ewma_irregular
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: seed 0.0, then value 10.0 after a one-year gap
+        (1, 1, base, 0.0),
+        (2, 1, base + dt.timedelta(days=365), 10.0),
+        # user 2: seed 0.0, then 10.0 one second later (burst)
+        (3, 2, base, 0.0),
+        (4, 2, base + dt.timedelta(seconds=1), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="ewma_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r.ewma for r in timeseries_ewma_irregular(spark, d).collect()}
+    assert out[1] > 9.9  # long gap: a -> 1, tracks the new value
+    assert out[2] < 0.01  # 1s gap vs tau=3600: a ~ 1/3601
