@@ -687,17 +687,22 @@ def test_tfidf_runs_on_two_exchanges(spark, sf_dir):
     """The round-7 TF-IDF re-plan: repartitioning the token stream by
     term must satisfy BOTH the (doc_id, term) tf aggregate and the df
     window (ClusteredDistribution subset rule), leaving exactly two
-    exchanges — the term repartition and the final doc_id window. A
-    third exchange means the re-shuffle+sort of tf regressed back in
-    (measured +18%/+30% at sf0.1/sf1)."""
+    HASH exchanges — the term repartition and the final doc_id window.
+    A third hash exchange means the re-shuffle+sort of tf regressed
+    back in (measured +18%/+30% at sf0.1/sf1).
+
+    Round 8 added one ROUND-ROBIN exchange in front of tokenize+explode
+    when the documents scan is under-split (dedup._widen_if_undersplit;
+    measured 21% at sf1, a no-op at real scan widths) — so the pin
+    distinguishes exchange kinds: exactly two hashpartitioning
+    exchanges, at most one roundrobin."""
     df = q("text_tfidf_top_terms", spark, sf_dir)
     plan = physical_plan(df)
-    import re
 
-    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan)) or plan.count(
-        "+- Exchange"
-    )
-    assert n_exchanges == 2, f"expected 2 exchanges, plan:\n{plan[:2000]}"
+    n_hash = plan.count("Exchange hashpartitioning")
+    n_rr = plan.count("Exchange RoundRobinPartitioning")
+    assert n_hash == 2, f"expected 2 hash exchanges, got {n_hash}:\n{plan[:2000]}"
+    assert n_rr <= 1, f"expected at most 1 roundrobin exchange, got {n_rr}"
 
 
 def test_incremental_index_rebuilds_over_corrupt_leftover(spark, sf_dir, monkeypatch):
