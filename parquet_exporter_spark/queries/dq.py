@@ -1183,3 +1183,56 @@ def dq_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_at_5pct"),
         )
     )
+
+
+@query(
+    "dq_counter_reset_rate",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events WHERE user_id < 150 AND value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           round(sum(CASE WHEN prev IS NULL THEN 0
+                          WHEN value >= prev THEN value - prev
+                          ELSE value END), 6) AS total_increase
+    FROM deltas
+    GROUP BY user_id
+    """,
+    doc=(
+        "Monotonic-counter rate extraction with RESET handling — the "
+        "Prometheus increase() contract: per-series delta is "
+        "value - prev when the counter moved forward, or the full new "
+        "value after a reset (process restart re-zeroes the counter; a "
+        "naive lag-diff would book a huge NEGATIVE delta and corrupt "
+        "every downstream rate). Emits per-series point/reset counts "
+        "and the reset-corrected total increase. One user-keyed "
+        "exchange serves the lag window and the aggregate."
+    ),
+)
+def dq_counter_reset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 150) & F.col("value").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    )
+    reset = F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))
+    delta = (
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("prev"), F.col("value") - F.col("prev"))
+        .otherwise(F.col("value"))
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(reset.cast("int")).cast("long").alias("n_resets"),
+        F.round(F.sum(delta), 6).alias("total_increase"),
+    )

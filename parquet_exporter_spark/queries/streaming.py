@@ -768,3 +768,99 @@ def stream_record_highs_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_records"),
     )
+
+
+_TB_RATE, _TB_BURST = 0.5, 5.0  # tokens/sec refill, bucket capacity
+
+
+@query(
+    "stream_token_bucket_twin",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id,
+               list([CAST(epoch(ts) AS DOUBLE)] ORDER BY ts, event_id) AS xs
+        FROM events WHERE user_id < 150
+        GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+               list_reduce(xs, (acc, x) -> [
+                   x[1],
+                   CASE WHEN least({_TB_BURST},
+                                   coalesce(acc[2], {_TB_BURST} - 1.0)
+                                   + (x[1] - acc[1]) * {_TB_RATE}) >= 1.0
+                        THEN least({_TB_BURST},
+                                   coalesce(acc[2], {_TB_BURST} - 1.0)
+                                   + (x[1] - acc[1]) * {_TB_RATE}) - 1.0
+                        ELSE least({_TB_BURST},
+                                   coalesce(acc[2], {_TB_BURST} - 1.0)
+                                   + (x[1] - acc[1]) * {_TB_RATE})
+                   END,
+                   coalesce(acc[3], 1.0)
+                   + CASE WHEN least({_TB_BURST},
+                                     coalesce(acc[2], {_TB_BURST} - 1.0)
+                                     + (x[1] - acc[1]) * {_TB_RATE}) >= 1.0
+                          THEN 1.0 ELSE 0.0 END
+               ]) AS st
+        FROM pts
+    )
+    SELECT user_id, n_events,
+           CAST(st[3] AS BIGINT) AS admitted,
+           round(st[2], 6) AS tokens_left
+    FROM folded
+    """,
+    doc=(
+        "Token-bucket admission control as a per-key event-time fold — "
+        "the BATCH TWIN of a streaming rate limiter (the admit/refill "
+        "recurrence drops into applyInPandasWithState unchanged): the "
+        f"bucket refills at {_TB_RATE} tokens/s up to {_TB_BURST}, each "
+        "event admits iff a full token is available and spends it; "
+        "emits per-user admitted counts + final level. The replay "
+        "oracle for throttled ingest: burst traffic admits the first "
+        "`burst` events then throttles to the refill rate, which "
+        "timestamp-sorted windows cannot express (the level depends on "
+        "every prior admit decision). Rational arithmetic only, fold "
+        "seeded from the first event (bucket starts full, so event 1 "
+        "admits and leaves burst-1) — bit-identical to DuckDB "
+        "list_reduce. One user-keyed shuffle, O(1) state per key."
+    ),
+)
+def stream_token_bucket_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    pts = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").cast("double").alias("t"),
+                    F.col("event_id").cast("double").alias("e"),
+                )
+            )
+        ).alias("xs")
+    )
+
+    def step(acc, x):
+        avail = F.least(
+            F.lit(_TB_BURST), acc.tokens + (x.t - acc.t) * F.lit(_TB_RATE)
+        )
+        admit = avail >= 1.0
+        return F.struct(
+            x.t.alias("t"),
+            F.when(admit, avail - 1.0).otherwise(avail).alias("tokens"),
+            (acc.admitted + F.when(admit, 1.0).otherwise(0.0)).alias("admitted"),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).t.alias("t"),
+            F.lit(_TB_BURST - 1.0).alias("tokens"),
+            F.lit(1.0).alias("admitted"),
+        ),
+        step,
+    )
+    return pts.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        fold.admitted.cast("long").alias("admitted"),
+        F.round(fold.tokens, 6).alias("tokens_left"),
+    )

@@ -1521,3 +1521,79 @@ def timeseries_locf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.datediff(F.col("d"), last_obs_d) <= 2, carried).alias("v_filled"),
         F.col("v").isNotNull().cast("int").alias("observed"),
     )
+
+
+_KALMAN_Q, _KALMAN_R = 0.01, 1.0
+
+
+@query(
+    "timeseries_kalman_1d",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, list([value] ORDER BY ts, event_id) AS zs
+        FROM events WHERE user_id < 150 AND value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(zs) AS BIGINT) AS n_points,
+           round(list_reduce(zs, (acc, z) -> [
+               acc[1] + ((coalesce(acc[2], 1.0) + {_KALMAN_Q})
+                         / ((coalesce(acc[2], 1.0) + {_KALMAN_Q}) + {_KALMAN_R}))
+                        * (z[1] - acc[1]),
+               (1.0 - ((coalesce(acc[2], 1.0) + {_KALMAN_Q})
+                       / ((coalesce(acc[2], 1.0) + {_KALMAN_Q}) + {_KALMAN_R})))
+               * (coalesce(acc[2], 1.0) + {_KALMAN_Q})
+           ])[1], 6) AS kalman_estimate
+    FROM pts
+    """,
+    doc=(
+        "1-D Kalman filter (random-walk state, noisy measurement) per "
+        "user series: p_pred = p + q; K = p_pred/(p_pred + r); "
+        "x += K*(z - x); p = (1-K)*p_pred — the optimal streaming "
+        "smoother whose gain ADAPTS (high when uncertain, low once "
+        "converged), unlike the fixed-decay EWMA twin. Every step is "
+        "rational arithmetic, so the sequential fold is bit-identical "
+        "across engines (F.aggregate == DuckDB list_reduce; the DuckDB "
+        "fold seeds from the first element, so p's seed rides in as "
+        "coalesce(acc[2], 1.0) — mirrored exactly by the Spark init "
+        "struct). Scale shape: one user-keyed shuffle, O(1) state per "
+        "key — the recurrence drops into applyInPandasWithState "
+        "unchanged for the streaming variant."
+    ),
+)
+def timeseries_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 150) & F.col("value").isNotNull()
+    )
+    pts = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").cast("double").alias("t"),
+                    F.col("event_id").cast("double").alias("e"),
+                    F.col("value").cast("double").alias("z"),
+                )
+            )
+        ).alias("xs")
+    )
+
+    def step(acc, x):
+        p_pred = acc.p + F.lit(_KALMAN_Q)
+        gain = p_pred / (p_pred + F.lit(_KALMAN_R))
+        return F.struct(
+            (acc.x + gain * (x.z - acc.x)).alias("x"),
+            ((F.lit(1.0) - gain) * p_pred).alias("p"),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).z.alias("x"), F.lit(1.0).alias("p")
+        ),
+        step,
+    )
+    return pts.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_points"),
+        F.round(fold.x, 6).alias("kalman_estimate"),
+    )

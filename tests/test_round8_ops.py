@@ -143,3 +143,88 @@ def test_ewma_irregular_gap_limits(spark):
     out = {r.user_id: r.ewma for r in timeseries_ewma_irregular(spark, d).collect()}
     assert out[1] > 9.9  # long gap: a -> 1, tracks the new value
     assert out[2] < 0.01  # 1s gap vs tau=3600: a ~ 1/3601
+
+
+def test_token_bucket_burst_then_throttle(spark):
+    """Semantics pin: a burst admits exactly `burst` events, then
+    admission tracks the refill rate — timestamp windows can't express
+    this because the level depends on every prior admit decision."""
+    from parquet_exporter_spark.queries.streaming import (
+        _TB_BURST,
+        _TB_RATE,
+        stream_token_bucket_twin,
+    )
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 20 events in the same second (pure burst)
+    for i in range(20):
+        rows.append((i, 1, base + dt.timedelta(milliseconds=i), 1.0))
+    # user 2: 20 events spaced 2s apart (refill 0.5/s -> one token per
+    # event: every event admits)
+    for i in range(20):
+        rows.append((100 + i, 2, base + dt.timedelta(seconds=2 * i), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    d = tempfile.mkdtemp(prefix="tb_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in stream_token_bucket_twin(spark, d).collect()}
+    assert out[1].admitted == int(_TB_BURST)  # burst capped at capacity
+    assert out[2].admitted == 20  # spaced traffic never throttles
+    assert abs(out[1].tokens_left) < 0.02  # burst drained the bucket
+    assert _TB_RATE == 0.5 and _TB_BURST == 5.0  # doc constants pinned
+
+
+def test_kalman_converges_to_constant_signal(spark):
+    """A constant measurement stream must converge tightly onto the
+    signal, and the adaptive gain means convergence is fast from a
+    wrong-looking first observation."""
+    from parquet_exporter_spark.queries.timeseries import timeseries_kalman_1d
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(0, 1, base, 100.0)]  # outlier seed
+    for i in range(1, 30):
+        rows.append((i, 1, base + dt.timedelta(seconds=i), 10.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    d = tempfile.mkdtemp(prefix="kal_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = timeseries_kalman_1d(spark, d).collect()[0]
+    assert out.n_points == 30
+    # steady-state gain for q=0.01, r=1 is ~0.095, so 29 constant
+    # measurements shrink the 90-unit seed error to ~1 percent of it
+    assert abs(out.kalman_estimate - 10.0) < 1.0
+    # and the estimate moved >98 percent of the way from seed to signal
+    assert out.kalman_estimate < 12.0
+
+
+def test_counter_reset_rate_handles_restarts(spark):
+    """increase() contract: a reset books the post-reset value, never a
+    negative delta."""
+    from parquet_exporter_spark.queries.dq import dq_counter_reset_rate
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    # counter: 5 -> 8 -> 12 (+3,+4), restart -> 2 -> 6 (+2 reset-value, +4)
+    vals = [5.0, 8.0, 12.0, 2.0, 6.0]
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    d = tempfile.mkdtemp(prefix="ctr_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = dq_counter_reset_rate(spark, d).collect()[0]
+    assert out.n_resets == 1
+    assert out.total_increase == 3 + 4 + 2 + 4  # 13.0, no negative delta
