@@ -62,15 +62,19 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-9 SUGGESTION (assuming CORRECTNESS_r08 lands green on the current
-# PRIORITY): 132 of 424 are unstamped entering the round-8 driver check;
-# ~82 remain after it. Hand-pick EXACTLY 50 from
-# `python tools/verify_priority.py --list-unstamped` one-per-family —
-# the remaining backlog after round 8 is concentrated in the emb_*
-# profile suite, the text_* lexical suite, the remaining analytics_* /
-# timeseries_* diagnostics, the fn_* function suites, and the agg_*/dq_*
-# tails. After round 9 only ~32 remain — plan rounds 9-10 to finish the
-# conversion, then the window becomes pure restamps of any contract
-# upgrades.
+# PRIORITY): 140 of 431 are unstamped entering the round-8 driver check
+# (132 carried in + 8 round-8 additions: dedup_winnow_containment,
+# text_kgram_winnowing, sql_merge_upsert, sample_priority_ppswor,
+# timeseries_ewma_irregular, timeseries_kalman_1d,
+# stream_token_bucket_twin, dq_counter_reset_rate); ~90 remain after it.
+# Hand-pick EXACTLY 50 from
+# `python tools/verify_priority.py --list-unstamped` — LEAD with the 8
+# round-8 additions (fresh operators earn stamps fastest while their
+# oracles are young), then one-per-family: the emb_* profile suite, the
+# text_* lexical suite, the remaining analytics_* / timeseries_*
+# diagnostics, the fn_* function suites, and the agg_*/dq_* tails.
+# After round 9 only ~40 remain — rounds 9-10 finish the conversion,
+# then the window becomes pure restamps of any contract upgrades.
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
