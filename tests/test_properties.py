@@ -277,3 +277,126 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     assert np.array_equal(
         np.round(back * 32768.0), np.clip(k, -32768, 32767)
     )
+
+
+def _events_dir(spark, rows, tmpdir_prefix):
+    """Write synthetic events rows to a temp dir read_table can serve."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=tmpdir_prefix)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@settings(**_SETTINGS)
+@given(
+    gaps=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+def test_token_bucket_invariants(spark, gaps):
+    """For ANY arrival pattern: admitted is within [1, n] and never
+    exceeds what the refill physics allow (burst + elapsed*rate,
+    rounded up by the discrete token grain); the final level sits in
+    [0, burst]; a brute-force Python replay agrees exactly."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.streaming import (
+        _TB_BURST,
+        _TB_RATE,
+        stream_token_bucket_twin,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    t, rows = 0, []
+    for i, g in enumerate(gaps):
+        t += g
+        rows.append((i, 1, base + dt.timedelta(seconds=t), 1.0))
+    d = _events_dir(spark, rows, "tbprop_")
+    out = stream_token_bucket_twin(spark, d).collect()[0]
+
+    # brute-force replay (same recurrence, plain Python)
+    times = sorted(range(len(gaps)), key=lambda i: (rows[i][2], rows[i][0]))
+    tokens, admitted, prev = _TB_BURST - 1.0, 1, rows[times[0]][2]
+    for i in times[1:]:
+        ts = rows[i][2]
+        tokens = min(_TB_BURST, tokens + (ts - prev).total_seconds() * _TB_RATE)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            admitted += 1
+        prev = ts
+    assert out.admitted == admitted
+    assert 1 <= out.admitted <= len(rows)
+    assert -1e-9 <= out.tokens_left <= _TB_BURST
+    elapsed = (rows[times[-1]][2] - rows[times[0]][2]).total_seconds()
+    assert out.admitted <= _TB_BURST + elapsed * _TB_RATE + 1
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_kalman_estimate_stays_in_observed_hull(spark, vals):
+    """The Kalman estimate is a convex combination of observations, so
+    for ANY measurement sequence it must stay inside [min, max] of the
+    observed values; a brute-force replay agrees to float precision."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.timeseries import (
+        _KALMAN_Q,
+        _KALMAN_R,
+        timeseries_kalman_1d,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    d = _events_dir(spark, rows, "kalprop_")
+    out = timeseries_kalman_1d(spark, d).collect()[0]
+
+    x, p = vals[0], 1.0
+    for z in vals[1:]:
+        p_pred = p + _KALMAN_Q
+        k = p_pred / (p_pred + _KALMAN_R)
+        x = x + k * (z - x)
+        p = (1 - k) * p_pred
+    assert abs(out.kalman_estimate - round(x, 6)) < 1e-9
+    assert min(vals) - 1e-6 <= out.kalman_estimate <= max(vals) + 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(0, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_counter_reset_increase_never_negative(spark, vals):
+    """increase() invariants for ANY counter trajectory: the corrected
+    total is >= 0, >= the plain end-minus-start when no reset occurred,
+    and the reset count matches a brute-force scan."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.dq import dq_counter_reset_rate
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    d = _events_dir(spark, rows, "ctrprop_")
+    out = dq_counter_reset_rate(spark, d).collect()[0]
+
+    resets = sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+    total = sum(b - a if b >= a else b for a, b in zip(vals, vals[1:]))
+    assert out.n_resets == resets
+    assert abs(out.total_increase - round(total, 6)) < 1e-6
+    assert out.total_increase >= -1e-9
