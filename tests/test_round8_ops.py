@@ -228,3 +228,23 @@ def test_counter_reset_rate_handles_restarts(spark):
     out = dq_counter_reset_rate(spark, d).collect()[0]
     assert out.n_resets == 1
     assert out.total_increase == 3 + 4 + 2 + 4  # 13.0, no negative delta
+
+
+def test_widen_is_noop_on_wide_input(spark):
+    """The 100 TB posture claim (SCALE.md round-8): a scan already at or
+    above the session's shuffle width must pass through UNTOUCHED — no
+    exchange is ever added to reshuffle a large corpus for 'widening'.
+    And a narrow input widens to the session's shuffle width, capped by
+    core count (never a bare session's 200-partition default)."""
+    from parquet_exporter_spark.functions.dedup import _widen_if_undersplit
+
+    target = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    wide = spark.range(1000, numPartitions=target + 4)
+    assert _widen_if_undersplit(wide) is wide  # identity, not just equal
+    narrow = spark.range(1000, numPartitions=1)
+    widened = _widen_if_undersplit(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == target
