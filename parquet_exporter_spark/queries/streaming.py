@@ -805,8 +805,13 @@ _TB_RATE, _TB_BURST = 0.5, 5.0  # tokens/sec refill, bucket capacity
         FROM pts
     )
     SELECT user_id, n_events,
-           CAST(st[3] AS BIGINT) AS admitted,
-           round(st[2], 6) AS tokens_left
+           -- single-event users: DuckDB's list_reduce on a 1-element list
+           -- returns the SEED ELEMENT [t0] without applying the lambda, so
+           -- st[2]/st[3] are out-of-bounds NULLs; coalesce to the init
+           -- state (first event admits from a full bucket), matching
+           -- Spark's F.aggregate init struct exactly.
+           CAST(coalesce(st[3], 1.0) AS BIGINT) AS admitted,
+           round(coalesce(st[2], {_TB_BURST} - 1.0), 6) AS tokens_left
     FROM folded
     """,
     doc=(

@@ -100,9 +100,14 @@ def _max_ingest_batch(spark, path: str) -> int | None:
     """Largest existing ``ingest_batch=`` partition id under ``path``, or
     None when the store is absent or holds no such partitions. Resolved
     by listing partition directories — a metadata-only op via the Hadoop
-    FileSystem for the path's scheme; under Spark Connect falls back to
-    an aggregate over the partition column (answered from partition
-    values, no row data read)."""
+    FileSystem for the path's scheme. Under Spark Connect (no py4j
+    gateway) falls back to max() over the partition column with an
+    EXPLICIT one-column schema: no schema inference pass, no data-column
+    IO (partition values materialize from directory names), but Spark
+    still lists and schedules over the store's files — O(files), not
+    O(bytes). That residual cost is why the caller runs this guard once
+    per (re)start, not per micro-batch; a catalog-backed table (Delta/
+    Iceberg SHOW PARTITIONS) would make it O(1) at 100 TB."""
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -119,9 +124,14 @@ def _max_ingest_batch(spark, path: str) -> int | None:
                     continue
         return max(ids) if ids else None
     except AttributeError:
-        df = _readable_parquet(spark, path)
-        if df is None or "ingest_batch" not in df.columns:
+        if not _hadoop_path_exists(spark, path):
             return None
+        try:
+            df = spark.read.schema("ingest_batch BIGINT").parquet(path)
+        except Exception as ex:
+            if "UNABLE_TO_INFER_SCHEMA" in str(ex) or "PATH_NOT_FOUND" in str(ex):
+                return None
+            raise
         row = df.agg(F.max("ingest_batch").alias("m")).collect()[0]
         return int(row.m) if row.m is not None else None
 
@@ -227,25 +237,39 @@ def make_ingest_batch_handler(
     silently clobber the prior lineage's committed ingest_batch=0,1,...
     partitions. Guard: a legitimate replay can only ever observe
     existing partition ids <= its own batch_id, so a batch that finds a
-    LARGER id in the corpus raises instead of writing. (The one
+    LARGER id in the corpus raises instead of writing. The store-listing
+    guard runs on the handler's FIRST micro-batch and whenever the batch
+    id goes BACKWARDS (batch ids are non-decreasing within one lineage —
+    a replay re-delivers the SAME id — so a lower id is itself the
+    fresh-lineage symptom, detected in O(1)): lineage mismatch is a
+    (re)start-time condition, and once batch b passes, this handler
+    writes only partitions <= the current batch id, so no later batch
+    can violate the invariant without a concurrent FOREIGN writer, which
+    the path-binding contract already excludes. This keeps the guard's
+    O(store-files) listing off the steady-state per-batch path. (The one
     undetectable corner — the prior lineage committed only batch 0 and
     the new lineage's batch 0 overwrites it — is why the path binding is
     a documented contract, not merely a runtime check.)"""
+    last_batch: list[int | None] = [None]
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        existing_max = _max_ingest_batch(batch_df.sparkSession, corpus_path)
-        if existing_max is not None and existing_max > batch_id:
-            raise RuntimeError(
-                f"dedup ingest: corpus at {corpus_path!r} already holds "
-                f"ingest_batch={existing_max} but this micro-batch has "
-                f"batch_id={batch_id} — a replay can only see its own id "
-                "as the maximum, so this stream is running against a "
-                "store committed by a DIFFERENT checkpoint lineage "
-                "(fresh checkpoint dir, or a second query on the same "
-                "paths). Writing would overwrite committed data; point "
-                "the stream at fresh store paths or restore the original "
-                "checkpoint."
-            )
+        if last_batch[0] is None or batch_id < last_batch[0]:
+            existing_max = _max_ingest_batch(batch_df.sparkSession, corpus_path)
+            if existing_max is not None and existing_max > batch_id:
+                raise RuntimeError(
+                    f"dedup ingest: corpus at {corpus_path!r} already holds "
+                    f"ingest_batch={existing_max} but this micro-batch has "
+                    f"batch_id={batch_id} — a replay can only see its own id "
+                    "as the maximum, so this stream is running against a "
+                    "store committed by a DIFFERENT checkpoint lineage "
+                    "(fresh checkpoint dir, or a second query on the same "
+                    "paths). Writing would overwrite committed data; point "
+                    "the stream at fresh store paths or restore the original "
+                    "checkpoint."
+                )
+        last_batch[0] = batch_id if last_batch[0] is None else max(
+            last_batch[0], batch_id
+        )
         batch_df = batch_df.persist()
         handles: list = [batch_df]
         try:

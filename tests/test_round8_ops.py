@@ -179,6 +179,53 @@ def test_token_bucket_burst_then_throttle(spark):
     assert _TB_RATE == 0.5 and _TB_BURST == 5.0  # doc constants pinned
 
 
+def test_token_bucket_oracle_single_event_user(spark):
+    """Cross-engine pin for the 1-event edge: DuckDB's list_reduce on a
+    1-element list returns the SEED element without applying the lambda,
+    so the oracle's st[2]/st[3] are out-of-bounds NULLs there — the
+    oracle must coalesce them to the init state (admitted=1,
+    tokens=burst-1) or any dataset with a single-event user hash-fails
+    against Spark's F.aggregate init. sf1 never exercises this (>=48
+    events/user), hence the crafted fixture."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import duckdb
+
+    from parquet_exporter_spark.queries.streaming import (
+        _TB_BURST,
+        stream_token_bucket_twin,
+    )
+    from tests.harness import canonical_rows
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base, 1.0),  # user 1: exactly ONE event
+        (2, 2, base, 1.0),  # user 2: three events, one mid-fold throttle
+        (3, 2, base + dt.timedelta(seconds=1), 1.0),
+        (4, 2, base + dt.timedelta(seconds=4), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    d = tempfile.mkdtemp(prefix="tb1_")
+    path = os.path.join(d, "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    sdf = stream_token_bucket_twin(spark, d).toPandas()
+    single = sdf[sdf.user_id == 1].iloc[0]
+    assert single.admitted == 1 and single.tokens_left == _TB_BURST - 1.0
+
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+        odf = con.sql(REGISTRY["stream_token_bucket_twin"].oracle).df()
+    finally:
+        con.close()
+    assert canonical_rows(sdf) == canonical_rows(odf)
+
+
 def test_kalman_converges_to_constant_signal(spark):
     """A constant measurement stream must converge tightly onto the
     signal, and the adaptive gain means convergence is fast from a
