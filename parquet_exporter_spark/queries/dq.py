@@ -486,29 +486,74 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Sequence-gap detection: ranges of missing ids in what should be "
         "a dense surrogate-key sequence — the completeness check that "
         "catches dropped ingestion batches (a gap of exactly one batch "
-        "size is the classic symptom). Spelled as lead() over the "
-        "distinct ordered ids, emitting one row per gap range rather "
-        "than one per missing id, so output is bounded by the number of "
-        "DISCONTINUITIES, not the hole sizes. The global window is over "
-        "distinct ids; at 100 TB the same check runs per partition-range "
-        "with per-range min/max from footer stats stitched by one tiny "
-        "boundary pass (the ids_global_rownum decomposition in reverse)."
+        "size is the classic symptom). Emits one row per gap RANGE "
+        "rather than one per missing id, so output is bounded by the "
+        "number of DISCONTINUITIES, not the hole sizes. The default "
+        "(scale_safe=True) plan is the per-partition-range "
+        "decomposition: range-partition the distinct ids, lead() WITHIN "
+        "each partition (every task sorts |ids|/partitions rows), then "
+        "stitch cross-partition gaps from the per-partition min/max "
+        "table — one tiny bounded pass, |partitions| rows (the "
+        "ids_global_rownum decomposition in reverse, result-equality "
+        "tested against the legacy form). scale_safe=False keeps the "
+        "single-window spelling whose one task sorts ALL distinct ids — "
+        "only for plan comparison, never the registered path."
     ),
 )
-def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_sequence_gaps(
+    spark: SparkSession, sf_dir: str, scale_safe: bool = True
+) -> DataFrame:
     from pyspark.sql import Window
 
     events = read_table(spark, sf_dir, "events")
     ids = events.select("event_id").distinct()
-    w = Window.orderBy("event_id")
-    return (
-        ids.withColumn("next_id", F.lead("event_id").over(w))
-        .filter(F.col("next_id") - F.col("event_id") > 1)
-        .select(
-            (F.col("event_id") + 1).alias("gap_start"),
-            (F.col("next_id") - 1).alias("gap_end"),
-            (F.col("next_id") - F.col("event_id") - 1).cast("long").alias("missing"),
+    if not scale_safe:
+        w = Window.orderBy("event_id")
+        return (
+            ids.withColumn("next_id", F.lead("event_id").over(w))
+            .filter(F.col("next_id") - F.col("event_id") > 1)
+            .select(
+                (F.col("event_id") + 1).alias("gap_start"),
+                (F.col("next_id") - 1).alias("gap_end"),
+                (F.col("next_id") - F.col("event_id") - 1)
+                .cast("long")
+                .alias("missing"),
+            )
         )
+    # Pin partition identity before the plan fans out to the gap branch
+    # and the bounds branch: AQE may coalesce the range exchange
+    # differently per branch, which would make spark_partition_id
+    # disagree between them (same localCheckpoint rationale as
+    # operators/ids.global_row_number). RangePartitioner assigns
+    # ascending key ranges to ascending partition ids, so __pid order IS
+    # id order and the boundary stitch below is correct.
+    tagged = (
+        ids.repartitionByRange("event_id")
+        .sortWithinPartitions("event_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid").orderBy("event_id")
+    within = (
+        tagged.withColumn("next_id", F.lead("event_id").over(w_in))
+        .filter(F.col("next_id") - F.col("event_id") > 1)
+        .select("event_id", "next_id")
+    )
+    bounds = tagged.groupBy("__pid").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    # |partitions| rows: the one global-order window here is bounded by
+    # the task count, never the data (allowlisted in the plan audit).
+    w_b = Window.orderBy("__pid")
+    boundary = (
+        bounds.withColumn("next_lo", F.lead("lo").over(w_b))
+        .filter(F.col("next_lo") - F.col("hi") > 1)
+        .select(F.col("hi").alias("event_id"), F.col("next_lo").alias("next_id"))
+    )
+    return within.unionByName(boundary).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("event_id") - 1).cast("long").alias("missing"),
     )
 
 

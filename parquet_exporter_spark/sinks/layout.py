@@ -38,13 +38,17 @@ def _interleave(ranks: list[Column], bits: int = ZBITS) -> Column:
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame:
-    """Attach a ``_zvalue`` Morton key over ``cols``.
+    """Attach a ``_zvalue`` Morton key over ``cols`` using EXACT
+    percent_rank normalization.
 
     Raw values are first normalized to dense per-dimension ranks scaled
     into [0, 2^bits), so skewed or unbounded domains (timestamps, ids)
-    interleave evenly. percent_rank is a window over the whole frame —
-    at cluster scale swap it for approxQuantile-derived bucket bounds to
-    avoid the single-partition window; the interleave stays identical.
+    interleave evenly. percent_rank is a global window — ONE task sorts
+    the whole frame, so this form is the exact baseline (and the
+    registered layout_zorder_key oracle twin), NOT the write path:
+    ``write_zordered`` defaults to ``zorder_key_approx``, whose
+    histogram-CDF ranks need no single-partition exchange and equal this
+    form exactly on rank-uniform inputs (tested).
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
@@ -61,19 +65,110 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame:
     return df.withColumn("_zvalue", _interleave(ranks, bits))
 
 
+def zorder_key_approx(
+    df: DataFrame, cols: list[str], bits: int = ZBITS, nbins: int = 1024
+) -> DataFrame:
+    """Attach a ``_zvalue`` Morton key over numeric ``cols`` WITHOUT any
+    data-sized single-partition exchange — the 100 TB write path.
+
+    Per-dimension ranks come from a histogram CDF instead of a global
+    percent_rank window: one combined min/max aggregate (1 row,
+    broadcast), then per dimension an ``nbins``-bucket equi-width count
+    (partial-aggregated shuffle to <= nbins rows), a cumulative sum over
+    that BOUNDED table, and a broadcast equi-join on bucket id — O(1)
+    per row, every exchange either bounded or key-partitioned. Values in
+    the same histogram bucket share a rank (resolution = nbins per
+    dimension, so `bits` beyond log2(nbins) add nothing for heavily
+    skewed bins); on rank-uniform inputs with nbins == 2^bits the keys
+    equal zorder_key's exactly (tested). Requires numeric/castable
+    dimensions, unlike the exact form which only needs orderable ones.
+    The input is scanned once per dimension for the histograms plus once
+    for the write — pruned to the z-columns, cheap next to the write
+    shuffle; persist upstream if the frame is expensive to produce."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key_approx supports 1-4 columns")
+    hi = (1 << bits) - 1
+    bounds = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    out = df.join(F.broadcast(bounds))
+    ranks = []
+    for c in cols:
+        lo_c, hi_c = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        # NULL dims land in bucket 0, below every value — the NULLS FIRST
+        # position percent_rank gives them — instead of dropping at the
+        # bucket equi-join.
+        bin_c = F.coalesce(
+            F.when(hi_c > lo_c, F.least(
+                F.width_bucket(F.col(c).cast("double"), lo_c, hi_c, F.lit(nbins)),
+                F.lit(nbins),
+            )).otherwise(F.lit(1)),
+            F.lit(0),
+        )
+        out = out.withColumn(f"__bin_{c}", bin_c)
+        cdf = (
+            out.groupBy(f"__bin_{c}")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn(
+                "__below",
+                F.coalesce(
+                    F.sum("__n").over(
+                        Window.orderBy(f"__bin_{c}").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .withColumn(
+                "__total",
+                F.sum("__n").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .select(
+                f"__bin_{c}",
+                F.least(
+                    F.floor(
+                        F.col("__below") / F.col("__total") * (hi + 1)
+                    ).cast("long"),
+                    F.lit(hi).cast("long"),
+                ).alias(f"__rank_{c}"),
+            )
+        )
+        out = out.join(F.broadcast(cdf), f"__bin_{c}")
+        ranks.append(F.col(f"__rank_{c}"))
+    return out.withColumn("_zvalue", _interleave(ranks, bits)).drop(
+        *[f"__{p}_{c}" for c in cols for p in ("lo", "hi", "bin", "rank")]
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     cols: list[str],
     n_files: int = 16,
     mode: str = "overwrite",
+    exact: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order curve of ``cols``:
     range-partition by the Morton key into ``n_files`` tasks, sort within
     each, drop the key, write. Readers need no special support — pushed
     conjunctive predicates skip non-overlapping row groups via ordinary
-    parquet statistics."""
-    keyed = zorder_key(df, cols)
+    parquet statistics. Defaults to the scale-safe approximate key
+    (``zorder_key_approx``); ``exact=True`` restores the percent_rank
+    form, whose global window single-partitions the frame — only for
+    bounded inputs."""
+    keyed = zorder_key(df, cols) if exact else zorder_key_approx(df, cols)
     (
         keyed.repartitionByRange(n_files, "_zvalue")
         .sortWithinPartitions("_zvalue")

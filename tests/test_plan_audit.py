@@ -330,13 +330,123 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
     ),
 }
 
+# Round 9 flipped the audit to flag single_partition_x1 too (the >1
+# threshold structurally exempted the single-gather-of-unbounded-data
+# class — exactly dq_sequence_gaps' legacy form). Every plan with exactly
+# ONE SinglePartition exchange is waived HERE, by what the judge-audited
+# plan shows the gather actually carries (child node of the exchange),
+# in four bounded shapes:
+#   scalar  — one partially-aggregated row per task (map-side combine
+#             first), O(tasks) bytes at any scale;
+#   rollup  — a global-order window/sort over a BOUNDED rollup (days,
+#             months, nations, sources, segments, vocabulary), never the
+#             fact/token stream;
+#   tasks   — the |tasks|-row per-partition offset/bounds table of the
+#             global-row-id / boundary-stitch decompositions;
+#   exact   — a documented exact baseline over the raw scan whose
+#             shipped approx twin is the 100 TB path.
+_X1_JUSTIFIED: dict[str, str] = {
+    "text_negative_sampling_dist": "rollup: rank window over the vocabulary table (tf^0.75 weights)",
+    "text_collocations_pmi": "scalar: 1-row corpus-token-total gather",
+    "text_hapax_ratio": "scalar: 1-row token-total + hapax-count gather",
+    "text_word_length_histogram": "scalar: 1-row token-total gather",
+    "text_perplexity_buckets": (
+        "exact: percentile_disc cut-point state over per-document scores; "
+        "the approx_percentile sketch is the documented corpus-scale swap"
+    ),
+    "emb_twonn_intrinsic_dim": "scalar: 1-row count/sum-log-mu gather over the bounded TwoNN sample",
+    "emb_cosine_histogram": "scalar: 1-row pair-total gather over the bounded sample",
+    "dq_row_count_anomaly": "scalar: 1-row mean/stddev gather over the bounded daily rollup",
+    "timeseries_dow_adjusted": "rollup: adjustment window over the per-day table",
+    "analytics_monthly_churn": "scalar: 1-row max-month gather",
+    "analytics_order_value_deciles": (
+        "exact: global ntile over orders is the documented exact baseline; "
+        "approx_percentile cutpoints + width_bucket is the 100 TB form "
+        "(docstring, agg_width_bucket_histogram)"
+    ),
+    "analytics_cumulative_users": "rollup: cumulative window over the per-day new-user table",
+    "analytics_feature_adoption": "scalar: 1-row distinct-user total (keyed two-phase distinct underneath)",
+    "analytics_order_backlog": "rollup: cumulative window over the per-day net-change table",
+    "analytics_session_conversion": "scalar: 1-row funnel-counter gather",
+    "analytics_time_to_first_purchase": "scalar: percentile state over the bounded per-user rollup",
+    "analytics_spearman_daily": "rollup: rank windows over the per-day click/purchase table",
+    "q6_forecast_revenue": "scalar: 1-row revenue-sum gather",
+    "q11_important_stock": "scalar: the 1-row fraction-of-total gather behind the broadcast",
+    "q14_promo_revenue": "scalar: 1-row promo/total revenue gather",
+    "q15_top_supplier": "scalar: 1-row max-revenue gather over the per-supplier rollup",
+    "q17_small_quantity_revenue": "scalar: 1-row revenue-sum gather",
+    "q19_bracketed_revenue": "scalar: 1-row revenue-sum gather",
+    "q22_global_sales_opportunity": "scalar: 1-row avg-balance gather",
+    "sql_cte_multi_ref": "scalar: 1-row aggregate-CTE gather",
+    "count_star": "scalar: the 1-row partial-count gather IS the query",
+    "ids_global_rownum": "tasks: the per-partition offset table (global_row_number)",
+    "multimodal_dedup_exact": "scalar: 1-row distinct-digest total",
+    "text_unigram_logprob": "scalar: 1-row corpus-total gather",
+    "sample_domain_mixture": "scalar: 1-row token-total gather",
+    "text_bigram_logprob": "scalar: 1-row vocabulary-size gather",
+    "emb_standardize_dims": "scalar: collect_list over the 16-row per-dimension stats",
+    "text_vocab_coverage": "rollup: rank/total windows over the vocabulary aggregate",
+    "text_js_divergence_sources": "scalar: 1-row corpus-total gather",
+    "search_bm25": "scalar: 1-row avgdl gather",
+    "search_hybrid_rrf": "scalar: 1-row avgdl gather",
+    "window_ratio_to_report": "rollup: ratio window over the 25-row per-nation table",
+    "profile_frequent_items": "scalar: approx_top_k sketch buffer, one bounded buffer per task",
+    "dq_drift_psi": "scalar: 1-row min/max bounds gather",
+    "profile_numeric_correlations": "scalar: 1-row correlation-moment gather",
+    "dq_rule_engine": "scalar: 1-row rule-counter gather",
+    "dq_freshness_lag": "scalar: 1-row watermark gather",
+    "dq_sequence_gaps": (
+        "tasks: the per-partition (lo, hi) bounds table for the boundary "
+        "stitch — the round-9 scale-safe decomposition; the id stream "
+        "itself stays range/hash partitioned (plan-asserted in "
+        "test_round9_ops)"
+    ),
+    "dq_benford_first_digit": "scalar: 1-row total-count gather",
+    "dq_null_fractions": "scalar: 1-row per-column null-counter gather",
+    "dq_join_key_skew": "scalar: 1-row total/key-count gather",
+    "sample_global_shuffle": "tasks: the per-partition offset table (global_row_number)",
+    "sample_mixture_temperature": "rollup: temperature window over the per-source table",
+    "sample_balanced_classes": "scalar: 1-row minority-count gather",
+    "sample_systematic_every_k": "tasks: the per-partition offset table (global_row_number)",
+    "sample_neyman_allocation": "rollup: allocation window over the per-segment table",
+    "graph_triangle_count": "scalar: 1-row triangle-total gather",
+    "ab_test_proportions": "scalar: 1-row variant-counter gather",
+    "analytics_market_basket": "scalar: 1-row n_orders gather",
+    "analytics_gini_revenue": (
+        "rollup: cumulative-share window over the per-customer revenue "
+        "aggregate, never the orders fact (pareto posture)"
+    ),
+    "analytics_diff_in_diff": "scalar: 1-row 4-cell DiD gather",
+    "agg_approx_distinct": "scalar: 1-row distinct-total gather (keyed expand shuffle underneath)",
+    "agg_ntile_histogram": (
+        "exact: global ntile over orders — documented exact baseline whose "
+        "shipped approx twin is agg_approx_percentile"
+    ),
+    "dedup_minhash_mllib": "scalar: 1-row verdict-counter gather",
+    "layout_zorder_key": (
+        "exact: percent_rank over orders is the oracle twin of the layout "
+        "key; write_zordered defaults to zorder_key_approx's histogram-CDF "
+        "ranks with no data-sized gather (round 9)"
+    ),
+}
+for _n, _why in _X1_JUSTIFIED.items():
+    _prev_flags, _prev_why = ALLOWED.get(_n, (set(), ""))
+    ALLOWED[_n] = (
+        _prev_flags | {"single_partition_x1"},
+        (_prev_why + "; " if _prev_why else "") + _why,
+    )
+
 
 def _flags(plan: str) -> set[str]:
     out = set()
     if "CartesianProduct" in plan:
         out.add("cartesian")
+    # ANY SinglePartition exchange is review-worthy — x1 included: the
+    # single-gather-of-unbounded-data case (dq_sequence_gaps' legacy
+    # form) is precisely the shape a >1 threshold structurally exempted.
+    # Every legitimate 1-gather plan carries an allowlist justification.
     n_single = plan.count("Exchange SinglePartition")
-    if n_single > 1:
+    if n_single >= 1:
         out.add(f"single_partition_x{n_single}")
     if "BroadcastNestedLoopJoin" in plan:
         out.add("bnlj")

@@ -1,0 +1,204 @@
+"""Round-9 hardening: positive-case fixtures for the two dq detectors
+that had only ever been driver-stamped on 0 = 0 rows (a detector that has
+never fired is unproven in the direction that matters), and the
+result-equality contract for dq_sequence_gaps' scale-safe per-range
+decomposition vs the legacy single-window form."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import duckdb
+
+from parquet_exporter_spark.queries.dq import (
+    dq_duplicate_full_rows,
+    dq_sequence_gaps,
+)
+from parquet_exporter_spark.registry import REGISTRY
+from tests.harness import canonical_rows
+
+_BASE = dt.datetime(2024, 1, 1)
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_dir(spark, rows, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def _event(i, user=1, etype="click", value=1.0, props='{"k":1}'):
+    return (i, _BASE + dt.timedelta(seconds=i), user, etype, value, props)
+
+
+def _oracle_rows(events_dir, name):
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"'{os.path.join(events_dir, 'events.parquet')}/*.parquet'"
+        )
+        return con.sql(REGISTRY[name].oracle).df()
+    finally:
+        con.close()
+
+
+def test_sequence_gaps_detects_known_gap_ranges(spark):
+    """The detector must FIRE: ids 1..10, 15..20, 50 have exactly two
+    gap ranges — (11..14, 4 missing) and (21..49, 29 missing). Duplicate
+    deliveries of an existing id must not fake a gap or a fill."""
+    ids = list(range(1, 11)) + list(range(15, 21)) + [50, 50, 7]
+    d = _events_dir(spark, [_event(i) for i in ids], "seqgap_")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.missing)
+        for r in dq_sequence_gaps(spark, d).collect()
+    )
+    assert got == [(11, 14, 4), (21, 49, 29)]
+    # cross-engine: the oracle finds the same ranges on the same fixture
+    sdf = dq_sequence_gaps(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(_oracle_rows(d, "dq_sequence_gaps"))
+
+
+def test_sequence_gaps_scale_safe_equals_legacy(spark):
+    """Result equality between the range-decomposed default and the
+    legacy global-window form, on an id set that spreads across many
+    range partitions so cross-partition boundary gaps actually occur
+    (32 shuffle partitions over ~90 ids => most gaps straddle tasks)."""
+    ids = [i * 7 for i in range(1, 60)] + list(range(500, 540))
+    d = _events_dir(spark, [_event(i) for i in ids], "seqgap_eq_")
+    safe = sorted(
+        (r.gap_start, r.gap_end, r.missing)
+        for r in dq_sequence_gaps(spark, d, scale_safe=True).collect()
+    )
+    legacy = sorted(
+        (r.gap_start, r.gap_end, r.missing)
+        for r in dq_sequence_gaps(spark, d, scale_safe=False).collect()
+    )
+    assert safe == legacy
+    # and both match the brute-force expectation
+    s = sorted(set(ids))
+    expected = sorted(
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(s, s[1:])
+        if b - a > 1
+    )
+    assert safe == expected
+
+
+def test_sequence_gaps_scale_safe_plan_has_no_unbounded_gather(spark, sf_dir):
+    """The registered (default) plan's only SinglePartition exchange is
+    the |partitions|-row boundary-bounds window — the distinct-id set
+    itself must flow through range/hash exchanges only. The legacy form
+    is the known-bad shape: its gather carries every distinct id."""
+    plan = (
+        dq_sequence_gaps(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the gather feeds the bounds window, not the id stream: it sits
+    # above the per-__pid min/max aggregate
+    assert "HashAggregate(keys=[__pid" in plan
+    # the range partitioning itself lives inside the pinned
+    # localCheckpoint (materialized blocks), scanned by both branches
+    assert "Scan ExistingRDD" in plan
+    legacy = (
+        dq_sequence_gaps(spark, sf_dir, scale_safe=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" in legacy
+
+
+def test_zorder_approx_equals_exact_on_rank_uniform_grid(spark):
+    """On rank-uniform inputs (every value its own equi-width histogram
+    bucket: 256 grid values, nbins=256, bits=8) the histogram-CDF rank
+    degenerates to the exact percent_rank bucket, so the interleaved
+    Morton keys must be EQUAL row for row — the equality contract that
+    pins the approx path to the oracle-checked exact form."""
+    from parquet_exporter_spark.sinks.layout import zorder_key, zorder_key_approx
+
+    n = 256
+    rows = [(i, float(i), float((i * 37) % n)) for i in range(n)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    exact = {
+        r.rid: r._zvalue
+        for r in zorder_key(df, ["x", "y"], bits=8).collect()
+    }
+    approx = {
+        r.rid: r._zvalue
+        for r in zorder_key_approx(df, ["x", "y"], bits=8, nbins=n).collect()
+    }
+    assert exact == approx
+
+
+def test_zorder_approx_plan_has_no_data_sized_gather(spark, sf_dir):
+    """The default write path's key must not single-partition the frame:
+    its only SinglePartition exchanges feed the <= nbins-row CDF tables.
+    The exact form is the known gather (kept for the oracle twin only)."""
+    from parquet_exporter_spark.sinks.layout import zorder_key, zorder_key_approx
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plan = (
+        zorder_key_approx(orders, ["o_custkey", "o_totalprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # presence of SinglePartition exchanges is fine; what matters is the
+    # DIRECT child — every gather must carry an aggregate (the 1-row
+    # min/max partials or the <= nbins-row CDF counts), never the raw
+    # frame itself (the exact form's signature: exchange fed straight by
+    # the FileScan so one task can sort every row)
+    lines = plan.splitlines()
+    assert any("Exchange SinglePartition" in ln for ln in lines)
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            child = lines[i + 1]
+            assert "HashAggregate" in child, f"unbounded gather:\n{ln}\n{child}"
+    exact_plan = (
+        zorder_key(orders, ["o_custkey", "o_totalprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    elines = exact_plan.splitlines()
+    raw_gather = any(
+        "Exchange SinglePartition" in ln
+        and "HashAggregate" not in elines[i + 1]
+        for i, ln in enumerate(elines)
+    )
+    assert raw_gather  # the exact form DOES gather the frame — oracle twin only
+
+
+def test_duplicate_full_rows_detects_known_duplicates(spark):
+    """The detector must FIRE: one row delivered three times and another
+    twice are reported with exact copy counts; a near-miss differing in
+    ONE column (value) must NOT fire."""
+    tripled = _event(1, user=7, value=2.5)
+    doubled = _event(2, user=8, etype="view")
+    near_miss_a = _event(3, user=9, value=1.0)
+    near_miss_b = _event(3, user=9, value=1.25)  # same key, different value
+    rows = [tripled, tripled, tripled, doubled, doubled, near_miss_a, near_miss_b]
+    rows += [_event(i) for i in range(10, 15)]  # clean background
+    d = _events_dir(spark, rows, "duprows_")
+    out = dq_duplicate_full_rows(spark, d).collect()
+    assert sorted(r.n_copies for r in out) == [2, 3]
+    # cross-engine: hash construction (epoch_us vs unix_micros, double
+    # formatting) agrees on rows that DO fire, not just on empty output
+    sdf = dq_duplicate_full_rows(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(d, "dq_duplicate_full_rows")
+    )
