@@ -61,20 +61,15 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # `TZ=America/New_York python tools/verify_priority.py` to replay the
 # driver's exact check on the new front window.
 #
-# ROUND-9 SUGGESTION (assuming CORRECTNESS_r08 lands green on the current
-# PRIORITY): 140 of 431 are unstamped entering the round-8 driver check
-# (132 carried in + 8 round-8 additions: dedup_winnow_containment,
-# text_kgram_winnowing, sql_merge_upsert, sample_priority_ppswor,
-# timeseries_ewma_irregular, timeseries_kalman_1d,
-# stream_token_bucket_twin, dq_counter_reset_rate); ~90 remain after it.
-# Hand-pick EXACTLY 50 from
-# `python tools/verify_priority.py --list-unstamped` — LEAD with the 8
-# round-8 additions (fresh operators earn stamps fastest while their
-# oracles are young), then one-per-family: the emb_* profile suite, the
-# text_* lexical suite, the remaining analytics_* / timeseries_*
-# diagnostics, the fn_* function suites, and the agg_*/dq_* tails.
-# After round 9 only ~40 remain — rounds 9-10 finish the conversion,
-# then the window becomes pure restamps of any contract upgrades.
+# ROUND-10 SUGGESTION (assuming CORRECTNESS_r09 lands green on the current
+# PRIORITY): exactly 40 remain unstamped after round 9 — the FULL
+# remainder fits ONE window with 10 spare slots. Take all 40 from
+# `python tools/verify_priority.py --list-unstamped` (8 timeseries_*
+# diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives) and
+# backfill the 10 spare slots with restamps of any queries whose oracle
+# contract changed this round (check FORCE_RESTAMP). After round 10 the
+# driver record covers every registered query and the window becomes
+# pure restamps of contract upgrades.
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
@@ -135,73 +130,78 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-8 driver check budget:
+# Hand-picked front of the registry for the ROUND-9 driver check budget:
 # EXACTLY 50 names, matching the observed driver stamp window (a longer
 # list silently pushes its tail outside the window — caught in review
-# when agg_count_min_portable sat at position 66). CORRECTNESS_r07
-# landed 50/50 green on the round-7 PRIORITY (DRIVER_VERIFIED folds it
-# in automatically); 132 never-stamped remain entering round 8. This
-# window leads with the 16 names hand-checked green during round 7 but
-# trimmed from its window (dq/timeseries/sample/event/analytics/agg),
-# then ALL SEVEN engine-private rows-only queries (no registrable
-# oracle — a no_oracle liveness stamp is the only driver evidence they
-# can ever earn, so batching them clears that tier in one round), then
-# never-stamped names one-per-family (text lexical suite, emb profile
-# suite, SQL surface, DQ, splits, fn suites, joins, windows).
+# when agg_count_min_portable sat at position 66). CORRECTNESS_r08
+# landed 50/50 green on the round-8 PRIORITY (DRIVER_VERIFIED folds it
+# in automatically); 90 never-stamped remain entering round 9. This
+# window leads with the 8 round-8 additions (fresh operators earn
+# stamps fastest while their oracles are young — stream_token_bucket_twin
+# also carries this round's single-event oracle fix, so its first stamp
+# lands on the corrected contract), then whole families the window can
+# FINISH (fn_* x11, dq_* tail x6, agg_* tail x6, text lexical x11,
+# sample tail x3), then one-per-family starters for the round-10
+# remainder (timeseries/emb/analytics).
 PRIORITY = (
-    # 16 hand-checked round-7 trims (oracle-green locally, never stamped)
-    "dq_sequence_gaps",
-    "dq_benford_first_digit",
-    "dq_outlier_iqr",
-    "dq_null_fractions",
-    "timeseries_cusum_shift",
-    "timeseries_autocorr",
-    "timeseries_seasonal_baseline",
-    "timeseries_rate_of_change",
-    "sample_mixture_temperature",
-    "sample_interleave_sources",
-    "sample_balanced_classes",
-    "event_transition_matrix",
-    "event_longest_streak",
-    "analytics_market_basket",
-    "agg_bitmap_exact_distinct",
-    "agg_geometric_mean",
-    # all 7 rows-only (no_oracle) engine-private paths — liveness stamps
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "similarity_ivf_topk",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "emb_pca_project",
-    "emb_pq_codes",
-    # one-per-family from the never-stamped backlog
-    "limit_offset_page",
-    "multimodal_binary_meta",
-    "text_bigrams",
-    "text_repetition_ratio",
-    "dedup_boilerplate_chunks",
-    "text_contamination_check",
-    "corpus_source_stats",
-    "split_train_holdout",
-    "split_time_holdout_leakage",
-    "text_char_entropy",
-    "text_bigram_logprob",
-    "sample_per_group_cap",
-    "emb_standardize_dims",
-    "emb_random_projection",
-    "text_vocab_coverage",
-    "text_js_divergence_sources",
-    "text_code_detection",
-    "window_named_frame_exclude",
-    "join_asof_forward",
-    "sql_lateral_column_alias",
-    "sql_lateral_view_explode",
-    "dq_duplicate_full_rows",
-    "dq_fk_coverage",
-    "agg_width_bucket_histogram",
-    "timeseries_max_drawdown",
-    "analytics_gini_revenue",
-    "fn_date_arithmetic",
+    # the 8 round-8 additions
+    "dedup_winnow_containment",
+    "text_kgram_winnowing",
+    "sql_merge_upsert",
+    "sample_priority_ppswor",
+    "timeseries_ewma_irregular",
+    "timeseries_kalman_1d",
+    "stream_token_bucket_twin",
+    "dq_counter_reset_rate",
+    # pagination straggler
+    "page_limit_offset",
+    # dq tail — finishes the family
+    "dq_row_count_anomaly",
+    "dq_cross_field_consistency",
+    "dq_total_reconciliation",
+    "dq_categorical_profile",
+    "dq_enum_new_values",
+    "dq_uniqueness_report",
+    # fn suites — finishes the family
+    "fn_try_safe_ops",
+    "fn_mask_redact",
+    "fn_explode_outer",
+    "fn_regexp_suite",
+    "fn_bit_ops",
+    "fn_codec_roundtrip",
+    "fn_uuid5_like",
+    "fn_char_suite",
+    "fn_base_conversion",
+    "fn_aes_roundtrip",
+    "fn_struct_json_roundtrip",
+    # agg tail — finishes the family
+    "agg_filter_clause",
+    "agg_rollup_grouping_id",
+    "agg_skew_kurtosis",
+    "agg_weighted_median",
+    "agg_user_entropy",
+    "agg_trimmed_mean",
+    # sample tail — finishes the family
+    "sample_proportional_quota",
+    "sample_hash_rate_sweep",
+    "sample_semantic_order",
+    # text lexical suite — finishes the family
+    "text_sentence_stats",
+    "text_nonascii_ratio",
+    "text_negative_sampling_dist",
+    "text_collocations_pmi",
+    "text_readability_score",
+    "text_hapax_ratio",
+    "text_zipf_slope",
+    "text_langid_confusion",
+    "text_bigram_entropy_rate",
+    "text_word_length_histogram",
+    "text_perplexity_buckets",
+    # one-per-family starters for the round-10 remainder
+    "timeseries_weekday_weekend_lift",
+    "timeseries_decompose_additive",
+    "emb_matryoshka_truncate",
+    "analytics_event_paths",
 )
 
 
