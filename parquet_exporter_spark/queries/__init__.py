@@ -29,6 +29,7 @@ from parquet_exporter_spark.queries import (  # noqa: F401
     llm5,
     llm6,  # round-3 additions: DSIR, SemDeDup, perplexity buckets, radius search
     llm7,  # round-8 additions: containment, winnowing, MERGE, PPSWOR, EWMA
+    llm8,  # round-9 additions: MATCH_RECOGNIZE measures, RaBitQ rotated BQ
     search,
     sqlsurface,
     dq,
@@ -62,14 +63,16 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-10 SUGGESTION (assuming CORRECTNESS_r09 lands green on the current
-# PRIORITY): exactly 40 remain unstamped after round 9 — the FULL
-# remainder fits ONE window with 10 spare slots. Take all 40 from
+# PRIORITY): exactly 42 remain unstamped after round 9 — the FULL
+# remainder fits ONE window with 8 spare slots. Take all 42 from
 # `python tools/verify_priority.py --list-unstamped` (8 timeseries_*
-# diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives) and
-# backfill the 10 spare slots with restamps of any queries whose oracle
-# contract changed this round (check FORCE_RESTAMP). After round 10 the
-# driver record covers every registered query and the window becomes
-# pure restamps of contract upgrades.
+# diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives, plus
+# the 2 round-9 additions analytics_match_recognize and
+# similarity_rabitq_topk) and backfill the 8 spare slots with restamps
+# of any queries whose oracle contract changed this round (check
+# FORCE_RESTAMP). After round 10 the driver record covers every
+# registered query and the window becomes pure restamps of contract
+# upgrades.
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:

@@ -1,0 +1,260 @@
+"""Round-9 additions: MATCH_RECOGNIZE-style row-pattern matching with
+multi-symbol quantifiers (one row per match, with measures), and
+RaBitQ-style rotated binary quantization next to the existing sign-bit BQ.
+
+Both follow the established contract: a Spark-first plan plus a DuckDB
+oracle over the same parquet tables, floats rounded before ranking (the
+round-before-rank rule in registry.py's docstring), ids as tiebreaks.
+
+Reference parity note: the reference engine (OpenBeta/parquet-exporter,
+export.py) delegates querying to embedded DuckDB; these operators extend
+the training-data-pipeline surface beyond it, per SURVEY.md §2's extended
+inventory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.registry import query
+from parquet_exporter_spark.tables import read_table
+
+# Row-pattern: "a view, then AT LEAST TWO clicks, then a purchase, with
+# any amount of signup/error noise between the stages" — three pattern
+# variables with quantifiers (v once, noise *, c{2,}), the multi-symbol
+# shape single-funnel windows can't express. Non-overlapping leftmost
+# matching == MATCH_RECOGNIZE's default AFTER MATCH SKIP PAST LAST ROW.
+_MR_PATTERN = "v[sce]*c{2,}[sce]*p"
+
+
+@query(
+    "analytics_match_recognize",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    ),
+    ms AS (
+        SELECT user_id, regexp_extract_all(seq, '{_MR_PATTERN}') AS l
+        FROM seqs
+    ),
+    ex AS (
+        SELECT user_id,
+               unnest([{{'i': i, 'm': l[i]}}
+                       for i in generate_series(1, len(l))],
+                      recursive := true)
+        FROM ms
+    )
+    SELECT user_id, CAST(i AS BIGINT) AS match_seq,
+           CAST(len(m) AS BIGINT) AS match_len,
+           CAST(len(m) - len(replace(m, 'v', '')) AS BIGINT) AS n_view,
+           CAST(len(m) - len(replace(m, 'c', '')) AS BIGINT) AS n_click
+    FROM ex
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style row-pattern matching with MULTI-SYMBOL "
+        "QUANTIFIERS and per-match measures — the step past "
+        "analytics_event_regex_match's single boolean: the pattern "
+        f"'{_MR_PATTERN}' (a view, any signup/error noise, AT LEAST two "
+        "clicks, noise, then a purchase) is matched non-overlapping "
+        "left-to-right per user (SQL:2016's default AFTER MATCH SKIP "
+        "PAST LAST ROW), emitting ONE ROW PER MATCH with measures "
+        "(match ordinal, length, per-symbol counts) — the shape "
+        "MEASURES/ONE ROW PER MATCH produces. Each user's history "
+        "collapses in event order to a 1-char-per-event symbol string "
+        "inside the aggregate, so the user-keyed shuffle carries bytes, "
+        "not event payloads, and the regex engine runs the pattern "
+        "automaton per user in one pass; regexp_extract_all + "
+        "posexplode turn the match list into rows without a second "
+        "shuffle. Greedy quantifiers resolve identically in Java regex "
+        "and RE2 for this backtracking-free pattern class."
+    ),
+)
+def analytics_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda s: s.sym,
+            ),
+        ).alias("seq")
+    )
+    m = seqs.select(
+        "user_id",
+        F.posexplode(F.regexp_extract_all("seq", F.lit(_MR_PATTERN), F.lit(0))).alias(
+            "pos", "m"
+        ),
+    )
+    return m.select(
+        "user_id",
+        (F.col("pos") + 1).cast("long").alias("match_seq"),
+        F.length("m").cast("long").alias("match_len"),
+        (F.length("m") - F.length(F.expr("replace(m, 'v', '')")))
+        .cast("long")
+        .alias("n_view"),
+        (F.length("m") - F.length(F.expr("replace(m, 'c', '')")))
+        .cast("long")
+        .alias("n_click"),
+    )
+
+
+# RaBitQ-style rotated binary quantization. The rotation is the
+# structured orthogonal transform R = (1/sqrt(D)) * H * diag(d): a
+# deterministic md5-derived sign flip per dimension followed by the
+# Walsh-Hadamard transform, whose entry H[j][i] = (-1)^popcount(j & i)
+# needs no materialized matrix — both engines compute it from bit_count.
+# Rotating before sign-quantization is what fixes plain sign-bit BQ's
+# failure mode: vectors concentrated near a coordinate axis all share
+# one sign pattern (Hamming distance 0 everywhere), while a rotation
+# spreads their mass across every dimension so the signs discriminate
+# again (tested on exactly that adversarial input).
+_RBQ_DIM = 64
+_RBQ_QUERIES = 3
+_RBQ_TOPK = 10
+_RBQ_SIGNS = tuple(
+    1.0
+    if int(hashlib.md5(f"rabitq:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+    else -1.0
+    for i in range(_RBQ_DIM)
+)
+
+
+def rotate_hadamard(col, dim: int = _RBQ_DIM, signs=_RBQ_SIGNS):
+    """x' = (1/sqrt(dim)) * H * diag(signs) * x as a per-row expression
+    (no matrix literal: H[j][i] from popcount parity). O(dim^2) per row —
+    at corpus scale the rotated SIGNS are computed once at index-build
+    time and persisted next to the vectors, like the IVF cells."""
+    d_arr = F.array(*[F.lit(v) for v in signs])
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    scale = F.lit(float(dim) ** 0.5)
+    return F.transform(
+        idx,
+        lambda j: F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.lit(1) - F.lit(2) * (F.bit_count(j.bitwiseAND(i)) % F.lit(2))
+            ).cast("double")
+            * F.element_at(d_arr, i + 1)
+            * F.element_at(col, i + 1).cast("double"),
+        )
+        / scale,
+    )
+
+
+def _sql_rbq_signs() -> str:
+    return "[" + ",".join(str(v) for v in _RBQ_SIGNS) + "]::DOUBLE[]"
+
+
+@query(
+    "similarity_rabitq_topk",
+    oracle=f"""
+    WITH dd AS (SELECT {_sql_rbq_signs()} AS dv),
+    rot AS (
+        SELECT vec_id,
+               [ list_sum([ (1 - 2*(bit_count(j & i) % 2)) * dv[i+1]
+                            * embedding[i+1]
+                            for i in generate_series(0, {_RBQ_DIM - 1})])
+                 / sqrt({_RBQ_DIM})
+                 for j in generate_series(0, {_RBQ_DIM - 1})] AS r
+        FROM embeddings, dd
+    ),
+    sig AS (
+        SELECT vec_id,
+               [CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END for x in r] AS s,
+               list_sum([abs(x) for x in r]) AS l1
+        FROM rot
+    ),
+    q AS (SELECT vec_id AS query_id, r AS qr FROM rot
+          ORDER BY vec_id LIMIT {_RBQ_QUERIES}),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_sum([qr[k] * s[k]
+                               for k in generate_series(1, {_RBQ_DIM})]) / l1,
+                     6) AS est
+        FROM q JOIN sig ON vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, est FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY est DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_RBQ_TOPK}
+    """,
+    doc=(
+        "RaBitQ-style rotated binary quantization ANN: vectors are "
+        "rotated by a structured orthogonal transform (md5-derived sign "
+        "diagonal then Walsh-Hadamard, H[j][i] = (-1)^popcount(j&i) — no "
+        "materialized matrix) BEFORE taking one sign bit per dimension, "
+        "and similarity is estimated as <q', sign(x')> / ||x'||_1 — the "
+        "rotated query against the data vector's sign pattern with its "
+        "stored L1 correction, the 1-bit estimator RaBitQ popularized. "
+        "The rotation is what the existing sign-bit baseline "
+        "(similarity_binary_quantized) lacks: axis-concentrated corpora "
+        "collapse to a single sign pattern there (every Hamming distance "
+        "0), while rotated signs keep discriminating (positive-tested on "
+        "exactly that input). Estimates are rounded before ranking with "
+        "id tiebreaks for the cross-engine contract. The per-row "
+        "rotation is O(dim^2) interpreted HOF here; at 100 TB the signs "
+        "+ L1 corrections (9 bytes/vector) are computed once at "
+        f"index-build time and persisted. Top-{_RBQ_TOPK} per query, "
+        "broadcast queries x linear signature scan, one query-keyed "
+        "window for the cut — the same exact-baseline plan shape as the "
+        "other searches."
+    ),
+)
+def similarity_rabitq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    rot = emb.select("vec_id", rotate_hadamard(F.col("embedding")).alias("r"))
+    sig = rot.select(
+        "vec_id",
+        F.transform("r", lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("s"),
+        F.aggregate(
+            F.transform("r", lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b
+        ).alias("l1"),
+    )
+    q = F.broadcast(
+        rot.orderBy("vec_id")
+        .limit(_RBQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("r").alias("qr"))
+    )
+    scored = (
+        q.crossJoin(sig)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with("qr", "s", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.col("l1"),
+                6,
+            ).alias("est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("est"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RBQ_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "est"
+        )
+    )

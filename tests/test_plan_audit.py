@@ -328,6 +328,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "broadcast against the linear signature scan — same shape as "
         "the other exact-baseline searches, but over 8-byte signatures",
     ),
+    "similarity_rabitq_topk": (
+        {"bnlj"},
+        "the bounded rotated-query set (3 rows) broadcast against the "
+        "linear sign+L1 signature scan — the rotated twin of "
+        "similarity_binary_quantized's exact-baseline shape",
+    ),
 }
 
 # Round 9 flipped the audit to flag single_partition_x1 too (the >1

@@ -38,12 +38,12 @@ def _event(i, user=1, etype="click", value=1.0, props='{"k":1}'):
     return (i, _BASE + dt.timedelta(seconds=i), user, etype, value, props)
 
 
-def _oracle_rows(events_dir, name):
+def _oracle_rows(data_dir, name, table="events"):
     con = duckdb.connect()
     try:
         con.sql(
-            "CREATE VIEW events AS SELECT * FROM "
-            f"'{os.path.join(events_dir, 'events.parquet')}/*.parquet'"
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"'{os.path.join(data_dir, table + '.parquet')}/*.parquet'"
         )
         return con.sql(REGISTRY[name].oracle).df()
     finally:
@@ -202,3 +202,103 @@ def test_duplicate_full_rows_detects_known_duplicates(spark):
     assert canonical_rows(sdf) == canonical_rows(
         _oracle_rows(d, "dq_duplicate_full_rows")
     )
+
+
+def test_match_recognize_measures_on_crafted_sequence(spark):
+    """One row PER MATCH with exact measures, on a hand-built history:
+    'v c c s p' matches (noise tolerated mid-pattern), 'v c p' does NOT
+    (the c{2,} quantifier demands two clicks), 'v e c c c p' matches
+    with three clicks — and match ordinals count per user in order."""
+    from parquet_exporter_spark.queries.llm8 import analytics_match_recognize
+
+    symbols = "view click click signup purchase view click purchase view error click click click purchase".split()
+    rows = [_event(i, user=1, etype=s) for i, s in enumerate(symbols)]
+    # user 2: only the non-matching shape
+    rows += [
+        _event(100, user=2, etype="view"),
+        _event(101, user=2, etype="click"),
+        _event(102, user=2, etype="purchase"),
+    ]
+    d = _events_dir(spark, rows, "mr_")
+    got = sorted(
+        (r.user_id, r.match_seq, r.match_len, r.n_view, r.n_click)
+        for r in analytics_match_recognize(spark, d).collect()
+    )
+    # match 1: vccsp (len 5, 2 clicks); the middle vcp is SKIPPED by the
+    # quantifier; match 2: veccc p -> 'vecccp' (len 6, 3 clicks). Note
+    # the regex scan resumes AFTER match 1, so the unmatched 'vcp' run
+    # is consumed as it fails — exactly SKIP PAST LAST ROW semantics.
+    assert got == [(1, 1, 5, 1, 2), (1, 2, 6, 1, 3)]
+    # cross-engine on the same crafted fixture
+    sdf = analytics_match_recognize(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(d, "analytics_match_recognize")
+    )
+
+
+def _embeddings_dir(spark, vecs, prefix):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_rabitq_discriminates_where_plain_sign_bits_cannot(spark):
+    """The adversarial input plain sign-bit BQ is blind to: every vector
+    has ALL-POSITIVE components, so every unrotated sign pattern is
+    identical (Hamming distance 0 between all pairs — no ranking signal
+    at all). The rotated quantizer must still put the one near-parallel
+    vector first for the query."""
+    import numpy as np
+
+    from parquet_exporter_spark.queries.llm8 import similarity_rabitq_topk
+
+    dim, n = 64, 20
+    vecs = []
+    for k in range(n):
+        v = np.full(dim, 0.01)
+        block = 4 * ((k % 15) + 1)  # blocks 4..60, never the query's 0..3
+        v[block : block + 4] = 1.0
+        vecs.append(v)
+    q = np.full(dim, 0.01)
+    q[0:4] = 1.0
+    vecs[0] = q  # query vector: block 0
+    vecs[5] = 1.1 * q + 0.001  # near-parallel to the query, nothing else is
+    assert all((v > 0).all() for v in vecs)  # plain sign bits: all equal
+    d = _embeddings_dir(spark, vecs, "rbq_")
+    out = similarity_rabitq_topk(spark, d).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    assert top1[0] == 5
+    # cross-engine on the same crafted fixture
+    sdf = similarity_rabitq_topk(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(d, "similarity_rabitq_topk", table="embeddings")
+    )
+
+
+def test_rabitq_rotation_is_orthogonal(spark):
+    """R = (1/sqrt(D)) H diag(d) must preserve norms (orthogonality) —
+    the property that makes sign-of-rotated a valid quantizer: checked
+    numerically via the same popcount-parity construction the query
+    uses."""
+    import numpy as np
+
+    from parquet_exporter_spark.queries.llm8 import _RBQ_DIM, _RBQ_SIGNS
+
+    H = np.array(
+        [
+            [1 - 2 * (bin(j & i).count("1") % 2) for i in range(_RBQ_DIM)]
+            for j in range(_RBQ_DIM)
+        ],
+        dtype=float,
+    )
+    R = H @ np.diag(_RBQ_SIGNS) / np.sqrt(_RBQ_DIM)
+    assert np.allclose(R @ R.T, np.eye(_RBQ_DIM), atol=1e-12)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=_RBQ_DIM)
+    assert abs(np.linalg.norm(R @ x) - np.linalg.norm(x)) < 1e-12
