@@ -63,28 +63,44 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-10 SUGGESTION (assuming CORRECTNESS_r09 lands green on the current
-# PRIORITY): exactly 42 remain unstamped after round 9 — the FULL
-# remainder fits ONE window with 8 spare slots. Take all 42 from
+# PRIORITY): exactly 43 remain unstamped after round 9 — the FULL
+# remainder fits ONE window with 7 spare slots. Take all 43 from
 # `python tools/verify_priority.py --list-unstamped` (8 timeseries_*
-# diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives, plus
-# the 2 round-9 additions analytics_match_recognize and
-# similarity_rabitq_topk) and backfill the 8 spare slots with restamps
-# of any queries whose oracle contract changed this round (check
-# FORCE_RESTAMP). After round 10 the driver record covers every
-# registered query and the window becomes pure restamps of contract
-# upgrades.
+# diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives, the
+# 2 round-9 additions analytics_match_recognize and
+# similarity_rabitq_topk, and geo_nearest_climbs — whose round-9
+# contract fix voided its empty-result stamps via RESTAMP_AFTER_ROUND)
+# and backfill the 7 spare slots with restamps of any queries whose
+# oracle contract changed this round. After round 10 the driver record
+# covers every registered query and the window becomes pure restamps of
+# contract upgrades.
+
+
+# Queries whose RESULT CONTRACT changed in round N even though an older
+# stamp was a full hash match: the old stamp verified a semantically
+# stale contract, so green rows from rounds <= N are ignored and the
+# query re-enters the front window until a LATER stamp lands (at which
+# point the entry self-heals into a no-op, like FORCE_RESTAMP's).
+# geo_nearest_climbs: every stamp through r09 hash-matched EMPTY results
+# (the old reference point's bbox was outside the fixture's lng range);
+# round 9 moved the point inside the coordinate cloud, so the query now
+# returns ranked rows and the 0 = 0 stamps prove nothing.
+RESTAMP_AFTER_ROUND: dict[str, int] = {"geo_nearest_climbs": 9}
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:
     """Returns (verified, hash_matched): names with any green row, and the
     subset whose green row was a FULL hash match (not just no_oracle)."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
     green: set[str] = set()
     hash_matched: set[str] = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        round_no = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -92,6 +108,8 @@ def _load_driver_verified() -> tuple[frozenset, frozenset]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if round_no <= RESTAMP_AFTER_ROUND.get(name, 0):
+                continue  # stamp predates a contract change — stale
             err = row.get("err")
             full_green = err is None and all(
                 row.get(k) is True
@@ -126,6 +144,9 @@ FORCE_RESTAMP = frozenset(
         "dedup_minhash_mllib",
         "similarity_ann_mllib",
         "multimodal_binaryfile_scan",
+        # geo_nearest_climbs is handled by RESTAMP_AFTER_ROUND above, not
+        # here: its stale stamps were FULL hash matches (of empty sets),
+        # which this set's self-healing rule would exempt.
     }
 )
 
