@@ -63,14 +63,15 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-10 SUGGESTION (assuming CORRECTNESS_r09 lands green on the current
-# PRIORITY): exactly 43 remain unstamped after round 9 — the FULL
-# remainder fits ONE window with 7 spare slots. Take all 43 from
+# PRIORITY): exactly 45 remain unstamped after round 9 — the FULL
+# remainder fits ONE window with 5 spare slots. Take all 45 from
 # `python tools/verify_priority.py --list-unstamped` (8 timeseries_*
 # diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives, the
-# 2 round-9 additions analytics_match_recognize and
-# similarity_rabitq_topk, and geo_nearest_climbs — whose round-9
+# 4 round-9 additions — analytics_match_recognize,
+# similarity_rabitq_topk, timeseries_holt_linear,
+# layout_compaction_plan — and geo_nearest_climbs, whose round-9
 # contract fix voided its empty-result stamps via RESTAMP_AFTER_ROUND)
-# and backfill the 7 spare slots with restamps of any queries whose
+# and backfill the 5 spare slots with restamps of any queries whose
 # oracle contract changed this round. After round 10 the driver record
 # covers every registered query and the window becomes pure restamps of
 # contract upgrades.

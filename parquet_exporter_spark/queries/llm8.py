@@ -1,6 +1,8 @@
 """Round-9 additions: MATCH_RECOGNIZE-style row-pattern matching with
-multi-symbol quantifiers (one row per match, with measures), and
-RaBitQ-style rotated binary quantization next to the existing sign-bit BQ.
+multi-symbol quantifiers (one row per match, with measures), RaBitQ-style
+rotated binary quantization next to the existing sign-bit BQ, Holt linear
+trend smoothing (completing the EWMA/Kalman fold family), and the
+compaction-plan operator (greedy contiguous bin-packing of file stats).
 
 Both follow the established contract: a Spark-first plan plus a DuckDB
 oracle over the same parquet tables, floats rounded before ranking (the
@@ -258,3 +260,149 @@ def similarity_rabitq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "est"
         )
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25  # exact binary fractions: scaling by
+# them is exact in doubles, so the sequential fold is bit-identical
+# across engines (the oracle-float rule: no libm, no re-association).
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, list([value] ORDER BY ts, event_id) AS xs
+        FROM events WHERE user_id < 200 AND value IS NOT NULL
+        GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
+               list_reduce(xs, (acc, x) -> [
+                   {_HOLT_ALPHA} * x[1]
+                   + {1 - _HOLT_ALPHA} * (acc[1] + coalesce(acc[2], 0.0)),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                       + {1 - _HOLT_ALPHA} * (acc[1] + coalesce(acc[2], 0.0)))
+                       - acc[1])
+                   + {1 - _HOLT_BETA} * coalesce(acc[2], 0.0)
+               ]) AS st
+        FROM pts
+    )
+    SELECT user_id, n_points,
+           round(st[1], 6) AS level,
+           -- single-point series: list_reduce returns the seed element
+           -- [x1] unapplied, so st[2] is an out-of-bounds NULL — the
+           -- init state (trend 0) by coalesce, matching Spark's seed.
+           round(coalesce(st[2], 0.0), 6) AS trend,
+           round(st[1] + coalesce(st[2], 0.0), 6) AS forecast_1
+    FROM folded
+    """,
+    doc=(
+        "Holt linear-trend exponential smoothing per user — the 2-state "
+        "member of the fold family (EWMA: 1 state, Kalman: adaptive "
+        "gain): level' = a*x + (1-a)*(level+trend), trend' = "
+        "b*(level'-level) + (1-b)*trend, seeded from the first "
+        f"observation (level=x1, trend=0), a={_HOLT_ALPHA} b={_HOLT_BETA} "
+        "— exact binary fractions so both engines' sequential folds are "
+        "bit-identical; emits the final state and the one-step-ahead "
+        "forecast level+trend, which a moving average structurally "
+        "cannot produce (it has no trend state to extrapolate). Same "
+        "scale shape as the siblings: ONE user-keyed shuffle, O(1) "
+        "state per key, and the recurrence drops into "
+        "applyInPandasWithState unchanged for the streaming twin."
+    ),
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 200) & F.col("value").isNotNull()
+    )
+    pts = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").cast("double").alias("t"),
+                    F.col("event_id").cast("double").alias("e"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ).alias("xs")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        level = F.lit(a) * x.v + F.lit(1 - a) * (acc.level + acc.trend)
+        trend = F.lit(b) * (level - acc.level) + F.lit(1 - b) * acc.trend
+        return F.struct(level.alias("level"), trend.alias("trend"))
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).v.alias("level"),
+            F.lit(0.0).alias("trend"),
+        ),
+        step,
+    )
+    return pts.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_points"),
+        F.round(fold.level, 6).alias("level"),
+        F.round(fold.trend, 6).alias("trend"),
+        F.round(fold.level + fold.trend, 6).alias("forecast_1"),
+    )
+
+
+_COMPACT_TARGET = 100  # rows per planned compaction group
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2
+    ),
+    planned AS (
+        SELECT event_type, day, n_rows,
+               CAST(floor(coalesce(sum(n_rows) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {_COMPACT_TARGET}) AS BIGINT) AS compact_group
+        FROM stats
+    )
+    SELECT event_type, day, n_rows, compact_group,
+           CAST(sum(n_rows) OVER (PARTITION BY event_type, compact_group)
+                AS BIGINT) AS group_rows
+    FROM planned
+    """,
+    doc=(
+        "Compaction planning: greedy contiguous bin-packing of per-unit "
+        "row counts into groups of ~"
+        f"{_COMPACT_TARGET} rows — a unit joins group floor(rows_before "
+        "/ target) within its partition, the strategy Spark's scan uses "
+        "to coalesce small files into maxPartitionBytes splits, run over "
+        "the LISTING instead of the data (sinks/layout.compaction_groups "
+        "is the reusable form; dq_file_row_distribution supplies real "
+        "per-file stats in production and write_compacted executes the "
+        "plan). Here the per-(event_type, day) rollup stands in for the "
+        "file listing so the plan is data-dependent at every SF. Greedy "
+        "prefix packing may overshoot a group by at most one unit — the "
+        "right bias for compaction (merging too much beats leaving "
+        "stubs). Every window runs over a partition's bounded unit list, "
+        "never the events themselves: the plan's cost is O(files), the "
+        "whole point of planning from metadata."
+    ),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.layout import compaction_groups
+
+    ev = read_table(spark, sf_dir, "events")
+    stats = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return compaction_groups(
+        stats,
+        _COMPACT_TARGET,
+        partition_col="event_type",
+        order_col="day",
+        rows_col="n_rows",
+    ).select("event_type", "day", "n_rows", "compact_group", "group_rows")

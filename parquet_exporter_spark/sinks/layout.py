@@ -152,6 +152,43 @@ def zorder_key_approx(
     )
 
 
+def compaction_groups(
+    stats: DataFrame,
+    target_rows: int,
+    partition_col: str = "partition_dir",
+    order_col: str = "file_name",
+    rows_col: str = "n_rows",
+) -> DataFrame:
+    """Greedy contiguous bin-packing of per-file stats into compaction
+    groups of ~``target_rows``: within each partition, files are taken in
+    ``order_col`` order and a file joins group floor(rows_before /
+    target) — the same strategy Spark's scan uses to coalesce small
+    files into maxPartitionBytes-sized splits, expressed over the
+    LISTING instead of the data. Input is one row per file (bounded by
+    file count, never data-sized: the shape dq_file_row_distribution
+    emits), so every window here is over a partition's file list.
+    Output adds ``compact_group`` and the group's planned total
+    ``group_rows``; a group may overshoot the target by at most one
+    file (greedy-prefix packing), which is the correct bias for
+    compaction — merging too much beats leaving stubs."""
+    w_before = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = stats.withColumn(
+        "compact_group",
+        F.floor(
+            F.coalesce(F.sum(rows_col).over(w_before), F.lit(0))
+            / F.lit(target_rows)
+        ).cast("long"),
+    )
+    w_group = Window.partitionBy(partition_col, "compact_group")
+    return grouped.withColumn(
+        "group_rows", F.sum(rows_col).over(w_group).cast("long")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

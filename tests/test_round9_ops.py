@@ -302,3 +302,61 @@ def test_rabitq_rotation_is_orthogonal(spark):
     rng = np.random.default_rng(7)
     x = rng.normal(size=_RBQ_DIM)
     assert abs(np.linalg.norm(R @ x) - np.linalg.norm(x)) < 1e-12
+
+
+def test_holt_linear_tracks_a_ramp_and_zeroes_trend_on_constants(spark):
+    """Holt's trend state must converge to the true slope on a linear
+    ramp (so forecast_1 predicts the next value) and decay to ~0 on a
+    constant series; a single-event user reports the init state exactly
+    (level = x1, trend = 0) on BOTH engines — the list_reduce seed-arity
+    edge this round's token-bucket fix pinned."""
+    from parquet_exporter_spark.queries.llm8 import timeseries_holt_linear
+
+    rows = []
+    for i in range(40):  # user 1: ramp x_t = t
+        rows.append(_event(i, user=1, value=float(i)))
+    for i in range(40):  # user 2: constant 7
+        rows.append(_event(100 + i, user=2, value=7.0))
+    rows.append(_event(500, user=3, value=42.0))  # user 3: single event
+    d = _events_dir(spark, rows, "holt_")
+    out = {r.user_id: r for r in timeseries_holt_linear(spark, d).collect()}
+    assert abs(out[1].trend - 1.0) < 0.01  # slope recovered
+    assert abs(out[1].forecast_1 - 40.0) < 0.2  # predicts the next point
+    assert abs(out[2].trend) < 1e-6 and abs(out[2].level - 7.0) < 1e-6
+    assert out[3].level == 42.0 and out[3].trend == 0.0
+    sdf = timeseries_holt_linear(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(d, "timeseries_holt_linear")
+    )
+
+
+def test_compaction_groups_packs_prefixes_and_isolates_partitions(spark):
+    """Greedy prefix packing on crafted stats: three 30-row files pack
+    with the 120-row file into group 0 (overshoot by at most one unit is
+    the documented bias), the trailing 10-row file starts group 2, and a
+    second partition's numbering is independent."""
+    from parquet_exporter_spark.sinks.layout import compaction_groups
+
+    stats = spark.createDataFrame(
+        [
+            ("A", "f1", 30),
+            ("A", "f2", 30),
+            ("A", "f3", 30),
+            ("A", "f4", 120),
+            ("A", "f5", 10),
+            ("B", "g1", 250),
+            ("B", "g2", 10),
+        ],
+        "partition_dir string, file_name string, n_rows long",
+    )
+    out = {
+        (r.partition_dir, r.file_name): (r.compact_group, r.group_rows)
+        for r in compaction_groups(stats, 100).collect()
+    }
+    assert out[("A", "f1")] == (0, 210)
+    assert out[("A", "f2")] == (0, 210)
+    assert out[("A", "f3")] == (0, 210)
+    assert out[("A", "f4")] == (0, 210)  # joins at rows_before=90 < 100
+    assert out[("A", "f5")] == (2, 10)  # rows_before=210 -> group 2
+    assert out[("B", "g1")] == (0, 250)
+    assert out[("B", "g2")] == (2, 10)  # B numbers independently
