@@ -20,6 +20,7 @@ CSV_PATH = os.path.join(FIXTURES, "climbs_flat.csv")
 JSONL_PATH = os.path.join(FIXTURES, "climbs_flat.jsonl")
 XML_PATH = os.path.join(FIXTURES, "climbs_flat.xml")
 PARTITIONED_EVENTS = os.path.join(FIXTURES, "events_partitioned")
+RANGED_EVENTS = os.path.join(FIXTURES, "events_ranged")
 
 FLAT_SCHEMA = (
     "climb_id string, climb_name string, length_m int, yds string, latitude double"
@@ -625,6 +626,50 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_orc(nation, path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_MANIFEST_LO = "2024-01-23 00:00:00"
+
+
+@query(
+    "scan_manifest_pruned",
+    oracle=f"""
+    SELECT event_id, event_type, user_id, round(value, 6) AS value
+    FROM read_parquet('{RANGED_EVENTS}/*.parquet')
+    WHERE ts >= TIMESTAMP '{_MANIFEST_LO}'
+    """,
+    doc=(
+        "File-level stats pruning (Iceberg/Delta-manifest style) over a "
+        "time-range-clustered multi-file dataset: per-file [min_ts, "
+        "max_ts] comes from parquet FOOTERS only (sources/manifest.py — "
+        "O(files) metadata reads, zero data IO), files whose range "
+        "cannot intersect the predicate are dropped BEFORE Spark lists "
+        "them into the scan, and the residual filter handles straddling "
+        "files — pruning is a superset guarantee, like partition "
+        "pruning. On the 8-file fixture the ts >= predicate skips 6 of "
+        "8 files (asserted in tests); correctness is file-skip-"
+        "invariant, so the oracle is the plain filtered read of the "
+        "whole glob. At 100 TB the same stats live in a manifest/"
+        "catalog table written at commit time and this is the "
+        "difference between listing 200 files and 200,000 — directory "
+        "partitioning can only prune keys you partitioned BY, while "
+        "stats pruning works on any clustered column (the z-order sink "
+        "exists to create exactly such clustering)."
+    ),
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    from datetime import datetime
+
+    from parquet_exporter_spark.sources.manifest import file_stats, prune_by_range
+
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    lo = datetime.fromisoformat(_MANIFEST_LO)
+    keep = prune_by_range(file_stats(paths, "ts"), lo=lo)
+    df = spark.read.parquet(*keep)
+    return df.filter(
+        F.col("ts").cast("timestamp") >= F.lit(_MANIFEST_LO).cast("timestamp")
+    ).select("event_id", "event_type", "user_id", F.round("value", 6).alias("value"))
 
 
 @query(

@@ -360,3 +360,194 @@ def test_compaction_groups_packs_prefixes_and_isolates_partitions(spark):
     assert out[("A", "f5")] == (2, 10)  # rows_before=210 -> group 2
     assert out[("B", "g1")] == (0, 250)
     assert out[("B", "g2")] == (2, 10)  # B numbers independently
+
+
+def test_holt_winters_learns_a_planted_weekly_cycle(spark):
+    """Triple smoothing must FIRE on seasonality: 28 days of daily
+    counts with one spiked weekday (8 events vs 1) must push that
+    weekday's seasonal state positive and the seasonally-adjusted
+    forecast above the trend-only one when the next day is the spike
+    day. The whole output is also replayed exactly (round 6) by a
+    straight-line Python fold of the published recurrence — the
+    recurrence IS the contract — and cross-checked against the DuckDB
+    oracle on the same fixture."""
+    from parquet_exporter_spark.queries.llm8 import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_PERIOD,
+        timeseries_holt_winters,
+    )
+
+    epoch = dt.date(1970, 1, 1)
+    start = dt.date(2024, 1, 1)
+    spike_j = ((start - epoch).days + 3) % _HW_PERIOD  # an arbitrary weekday
+    rows, eid = [], 0
+    counts = []
+    for d in range(28):
+        day = start + dt.timedelta(days=d)
+        j = (day - epoch).days % _HW_PERIOD
+        n = 8 if j == spike_j else 1
+        counts.append((j, float(n)))
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime.combine(day, dt.time(1, 0)) + dt.timedelta(minutes=k),
+                    1,
+                    "click",
+                    1.0,
+                    '{"k":1}',
+                )
+            )
+            eid += 1
+    data_dir = _events_dir(spark, rows, "hw_")
+    out = timeseries_holt_winters(spark, data_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 28
+
+    # straight-line replay of the recurrence
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    level, trend = counts[0][1], 0.0
+    seas = [0.0] * _HW_PERIOD
+    for j, v in counts[1:]:
+        level2 = a * (v - seas[j]) + (1 - a) * (level + trend)
+        trend2 = b * (level2 - level) + (1 - b) * trend
+        seas[j] = g * (v - level2) + (1 - g) * seas[j]
+        level, trend = level2, trend2
+    last_day = start + dt.timedelta(days=27)
+    next_j = ((last_day - epoch).days + 1) % _HW_PERIOD
+    assert r.level == round(level, 6)
+    assert r.trend == round(trend, 6)
+    assert r.season_min == round(min(seas), 6)
+    assert r.season_max == round(max(seas), 6)
+    assert r.forecast_1 == round(level + trend + seas[next_j], 6)
+    # the planted cycle was learned: spike weekday seasonal is strongly
+    # positive, every other weekday's is negative (counts sit below the
+    # level, which settles between 1 and 8)
+    assert seas[spike_j] > 1.0
+    assert r.season_max > 1.0 > 0 > r.season_min
+    # cross-engine on the SAME crafted fixture
+    sdf = timeseries_holt_winters(spark, data_dir).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(data_dir, "timeseries_holt_winters")
+    )
+
+
+def test_holt_winters_constant_series_is_a_fixpoint(spark):
+    """A constant daily count is a fixpoint of all three recurrences:
+    level == the constant, trend == 0, every seasonal == 0, and the
+    forecast equals the constant."""
+    from parquet_exporter_spark.queries.llm8 import timeseries_holt_winters
+
+    start = dt.date(2024, 3, 4)
+    rows = []
+    for d in range(21):
+        day = start + dt.timedelta(days=d)
+        for k in range(3):
+            rows.append(
+                (
+                    d * 3 + k,
+                    dt.datetime.combine(day, dt.time(9, 0)) + dt.timedelta(minutes=k),
+                    1,
+                    "view",
+                    1.0,
+                    '{"k":1}',
+                )
+            )
+    data_dir = _events_dir(spark, rows, "hw_const_")
+    r = timeseries_holt_winters(spark, data_dir).collect()[0]
+    assert (r.level, r.trend, r.season_min, r.season_max, r.forecast_1) == (
+        3.0,
+        0.0,
+        0.0,
+        0.0,
+        3.0,
+    )
+
+
+def _lineitem_dir(spark, order_parts, prefix):
+    """Write a crafted lineitem table: order_parts is {orderkey: [partkey]}."""
+    rows = [
+        (int(ok), int(pk))
+        for ok, parts in order_parts.items()
+        for pk in parts
+    ]
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_kcore_peels_a_cascade_and_keeps_the_clique(spark):
+    """The peel must CASCADE: part 5 (2 strong partners) dies in round
+    one, which drops part 6 to 2 partners so it dies in round TWO — a
+    plain degree>=3 threshold would have kept 6. The K4 clique {1,2,3,4}
+    survives with core degree exactly 3 each. Cross-checked against the
+    unrolled-CTE oracle on the same fixture."""
+    from parquet_exporter_spark.queries.llm8 import graph_kcore
+
+    order_parts = {
+        101: [1, 2, 3, 4],  # K4, each pair co-ordered twice
+        102: [1, 2, 3, 4],
+        103: [1, 5],  # pendant 5: partners {1, 6}
+        104: [1, 5],
+        105: [1, 2, 6],  # 6: partners {1, 2, 5} => survives round 1
+        106: [1, 2, 6],
+        107: [5, 6],
+        108: [5, 6],
+    }
+    d = _lineitem_dir(spark, order_parts, "kcore_")
+    got = sorted((r.part_key, r.core_degree) for r in graph_kcore(spark, d).collect())
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    sdf = graph_kcore(spark, d).toPandas()
+    assert canonical_rows(sdf) == canonical_rows(
+        _oracle_rows(d, "graph_kcore", table="lineitem")
+    )
+
+
+def test_manifest_prune_skips_files_and_loses_no_rows(spark):
+    """Footer-stats pruning on the 8-file range-clustered fixture: the
+    registered predicate keeps exactly 2 files, straddling file included,
+    and the pruned read returns byte-identical rows to the full-glob
+    filtered read. A file with no stats must be conservatively kept."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.queries.extras import RANGED_EVENTS, _MANIFEST_LO
+    from parquet_exporter_spark.sources.manifest import (
+        FileStat,
+        file_stats,
+        prune_by_range,
+    )
+
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    assert len(paths) == 8
+    stats = file_stats(paths, "ts")
+    # ranges are disjoint and ordered (the fixture is ts-clustered)
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.max_value < cur.min_value
+    lo = dt.datetime.fromisoformat(_MANIFEST_LO)
+    keep = prune_by_range(stats, lo=lo)
+    assert len(keep) == 2  # 6 of 8 files skipped from footers alone
+    # superset guarantee: pruned+filtered == full glob filtered
+    pruned = (
+        spark.read.parquet(*keep)
+        .filter(F.col("ts").cast("timestamp") >= F.lit(_MANIFEST_LO).cast("timestamp"))
+        .select("event_id")
+    )
+    full = (
+        spark.read.parquet(*paths)
+        .filter(F.col("ts").cast("timestamp") >= F.lit(_MANIFEST_LO).cast("timestamp"))
+        .select("event_id")
+    )
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
+    assert pruned.count() > 0
+    # missing stats => never pruned
+    blind = FileStat("x.parquet", 1, None, None)
+    assert prune_by_range([blind], lo=lo) == ["x.parquet"]

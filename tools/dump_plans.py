@@ -82,6 +82,14 @@ EXTRA = [
     "sql_range_tvf_spine",
     "udf_apply_in_arrow",
     "agg_grouping_sets_df_api",
+    # round-9 additions
+    "analytics_match_recognize",
+    "similarity_rabitq_topk",
+    "timeseries_holt_linear",
+    "layout_compaction_plan",
+    "timeseries_holt_winters",
+    "graph_kcore",
+    "scan_manifest_pruned",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402

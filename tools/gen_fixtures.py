@@ -228,8 +228,39 @@ def write_partitioned_events() -> None:
         )
 
 
+def write_ranged_events(n_files: int = 8) -> None:
+    """Time-range-clustered multi-file copy of the sf0.001 events table
+    (sorted by ts, split into n_files contiguous ranges), for the
+    manifest/file-stats pruning operator: each file's parquet footer
+    carries a tight disjoint [min_ts, max_ts], so a time predicate can
+    skip most files from stats alone. Deterministic: derived from the
+    driver's seed-42 testdata; ntile split on the total order (ts,
+    event_id)."""
+    import duckdb
+
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = os.path.join(OUT_DIR, "events_ranged")
+    os.makedirs(out, exist_ok=True)
+    for i in range(1, n_files + 1):
+        con.sql(
+            f"""
+            COPY (
+              WITH b AS (
+                SELECT *, ntile({n_files}) OVER (ORDER BY ts, event_id) AS bucket
+                FROM '{src}'
+              )
+              SELECT event_id, ts, user_id, event_type, value, props
+              FROM b WHERE bucket = {i} ORDER BY ts, event_id
+            )
+            TO '{os.path.join(out, f"part-{i - 1}.parquet")}' (FORMAT PARQUET)
+            """
+        )
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
     write_xml_form()
     write_partitioned_events()
+    write_ranged_events()
