@@ -400,3 +400,46 @@ def test_counter_reset_increase_never_negative(spark, vals):
     assert out.n_resets == resets
     assert abs(out.total_increase - round(total, 6)) < 1e-6
     assert out.total_increase >= -1e-9
+
+
+@settings(max_examples=200, deadline=None)  # pure python, no Spark jobs
+@given(
+    files=st.lists(
+        st.one_of(
+            st.tuples(st.integers(-50, 50), st.integers(0, 40)),  # (min, width)
+            st.none(),  # a file with no footer stats
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    lo=st.one_of(st.none(), st.integers(-60, 60)),
+    hi=st.one_of(st.none(), st.integers(-60, 60)),
+)
+def test_manifest_prune_never_drops_an_intersecting_file(files, lo, hi):
+    """Safety property of stats pruning: a file whose [min, max] range
+    intersects the predicate interval is ALWAYS kept (no false
+    negatives — false positives are the residual filter's job), and a
+    file with no stats is never pruned. Also exactness: a kept file with
+    stats really does intersect."""
+    from parquet_exporter_spark.sources.manifest import FileStat, prune_by_range
+
+    stats = []
+    for i, f in enumerate(files):
+        if f is None:
+            stats.append(FileStat(f"f{i}", 1, None, None))
+        else:
+            mn, width = f
+            stats.append(FileStat(f"f{i}", 1, mn, mn + width))
+    kept = set(prune_by_range(stats, lo=lo, hi=hi))
+
+    def intersects(s):
+        if s.min_value is None:
+            return True  # unknowable => must keep
+        if lo is not None and s.max_value < lo:
+            return False
+        if hi is not None and s.min_value > hi:
+            return False
+        return True
+
+    for s in stats:
+        assert (s.path in kept) == intersects(s)

@@ -845,3 +845,59 @@ def test_bucketed_table_name_tracks_source_mtime(spark, sf_dir, tmp_path):
     os.utime(f"{copy_dir}/orders.parquet", (0, 0))
     c = _bucketed_table(spark, copy_dir, "orders", "o_orderkey")
     assert c != b  # same dir, touched data -> new identity
+
+
+def test_write_manifested_commits_prunable_stats(spark, sf_dir, tmp_path):
+    """Write side of manifest pruning: write_manifested range-clusters
+    into disjoint per-file ranges and commits _manifest.parquet that (a)
+    Spark's data discovery ignores, (b) reproduces a fresh footer walk
+    exactly, and (c) plans the same file subset the footers would — so a
+    reader prunes without touching any footer. The pruned read loses no
+    rows vs the full filtered read."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        MANIFEST_NAME,
+        prune_with_manifest,
+        read_manifest,
+        write_manifested,
+    )
+    from parquet_exporter_spark.sources.manifest import file_stats, prune_by_range
+    from parquet_exporter_spark.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    path = str(tmp_path / "ev_manifested")
+    stats = write_manifested(ev, path, "event_id", 6)
+    assert os.path.exists(os.path.join(path, MANIFEST_NAME))
+    assert len(stats) == 6
+    assert sum(s.num_rows for s in stats) == n_rows
+    ordered = sorted(stats, key=lambda s: s.min_value)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.max_value < b.min_value  # clustered => strictly disjoint
+
+    # the underscore manifest is invisible to Spark's file discovery
+    assert spark.read.parquet(path).count() == n_rows
+
+    # manifest == a fresh footer walk (same files, same bounds)
+    data_files = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(p).startswith("_")
+    )
+    assert [
+        (s.path, s.num_rows, s.min_value, s.max_value) for s in read_manifest(path)
+    ] == [(s.path, s.num_rows, s.min_value, s.max_value) for s in file_stats(data_files, "event_id")]
+
+    # manifest-planned pruning: skips files, keeps every matching row
+    lo = int(n_rows * 0.7)
+    keep = prune_with_manifest(path, lo=lo)
+    assert keep == prune_by_range(file_stats(data_files, "event_id"), lo=lo)
+    assert 0 < len(keep) < len(data_files)
+    pruned = spark.read.parquet(*keep).filter(F.col("event_id") >= lo)
+    full = spark.read.parquet(path).filter(F.col("event_id") >= lo)
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
