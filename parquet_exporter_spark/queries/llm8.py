@@ -164,6 +164,44 @@ def rotate_hadamard(col, dim: int = _RBQ_DIM, signs=_RBQ_SIGNS):
     )
 
 
+def rotate_hadamard_fast(col, dim: int = _RBQ_DIM, signs=_RBQ_SIGNS):
+    """The same rotation as rotate_hadamard, computed as an Arrow-batched
+    FWHT (O(dim log dim) numpy butterflies per batch) instead of the
+    O(dim^2) interpreted HOF — measured 24x faster end-to-end on the
+    200k-vector sf1 corpus (41.1 s -> 1.7 s, SCALE.md round-9), taking
+    the query from 5.4x slower than DuckDB to 4.5x FASTER. The
+    butterfly reassociates the additions, so results can differ from the
+    expression form in the last float ulps; the registered query
+    therefore defaults to the expression form (bit-identical to the
+    DuckDB oracle) and offers this as the scale path — same
+    flag-not-prose convention as tfidf's skew_safe and zorder's exact.
+    The closure is self-contained (numpy imported inside), so no module
+    shipping is needed on executors."""
+    import pandas as pd  # noqa: F401  (pandas_udf requires pandas present)
+    from pyspark.sql.functions import pandas_udf
+
+    sign_row = list(signs)
+
+    @pandas_udf("array<double>")
+    def _rot(batch):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(batch.tolist(), dtype=np.float64) * np.asarray(sign_row)
+        h = 1
+        while h < dim:
+            for i in range(0, dim, h * 2):
+                a = m[:, i : i + h].copy()
+                b = m[:, i + h : i + 2 * h]
+                m[:, i : i + h] = a + b
+                m[:, i + h : i + 2 * h] = a - b
+            h *= 2
+        m /= np.sqrt(float(dim))
+        return pd.Series(list(m))
+
+    return _rot(col)
+
+
 def _sql_rbq_signs() -> str:
     return "[" + ",".join(str(v) for v in _RBQ_SIGNS) + "]::DOUBLE[]"
 
@@ -224,9 +262,12 @@ def _sql_rbq_signs() -> str:
         "other searches."
     ),
 )
-def similarity_rabitq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_rabitq_topk(
+    spark: SparkSession, sf_dir: str, fast_rotation: bool = False
+) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    rot = emb.select("vec_id", rotate_hadamard(F.col("embedding")).alias("r"))
+    rotate = rotate_hadamard_fast if fast_rotation else rotate_hadamard
+    rot = emb.select("vec_id", rotate(F.col("embedding")).alias("r"))
     sig = rot.select(
         "vec_id",
         F.transform("r", lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("s"),

@@ -551,3 +551,32 @@ def test_manifest_prune_skips_files_and_loses_no_rows(spark):
     # missing stats => never pruned
     blind = FileStat("x.parquet", 1, None, None)
     assert prune_by_range([blind], lo=lo) == ["x.parquet"]
+
+
+def test_rabitq_fast_rotation_matches_expression_form(spark, sf_dir):
+    """The Arrow-batched FWHT rotation (scale path) must produce the
+    same ranked output as the oracle-parity expression form — identical
+    top-k rows after the contract's round(6), and the raw rotated
+    vectors equal to within float-reassociation tolerance."""
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.queries.llm8 import (
+        rotate_hadamard,
+        rotate_hadamard_fast,
+        similarity_rabitq_topk,
+    )
+    from parquet_exporter_spark.tables import read_table
+
+    slow = similarity_rabitq_topk(spark, sf_dir).collect()
+    fast = similarity_rabitq_topk(spark, sf_dir, fast_rotation=True).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    both = emb.select(
+        rotate_hadamard(F.col("embedding")).alias("a"),
+        rotate_hadamard_fast(F.col("embedding")).alias("b"),
+    ).collect()
+    for r in both:
+        for x, y in zip(r.a, r.b):
+            assert abs(x - y) < 1e-9
