@@ -187,17 +187,28 @@ def rotate_hadamard_fast(col, dim: int = _RBQ_DIM, signs=_RBQ_SIGNS):
         import numpy as np
         import pandas as pd
 
-        m = np.asarray(batch.tolist(), dtype=np.float64) * np.asarray(sign_row)
-        h = 1
-        while h < dim:
-            for i in range(0, dim, h * 2):
-                a = m[:, i : i + h].copy()
-                b = m[:, i + h : i + 2 * h]
-                m[:, i : i + h] = a + b
-                m[:, i + h : i + 2 * h] = a - b
-            h *= 2
-        m /= np.sqrt(float(dim))
-        return pd.Series(list(m))
+        # Null/ragged tolerance: a NULL or wrong-length embedding yields
+        # a NULL rotation instead of poisoning the whole Arrow batch
+        # (np.asarray on a ragged list would raise and fail every row in
+        # the batch, where the expression form degrades row-by-row).
+        vals = batch.tolist()
+        ok = [i for i, v in enumerate(vals) if v is not None and len(v) == dim]
+        out = [None] * len(vals)
+        if ok:
+            m = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            m = m * np.asarray(sign_row)
+            h = 1
+            while h < dim:
+                for i in range(0, dim, h * 2):
+                    a = m[:, i : i + h].copy()
+                    b = m[:, i + h : i + 2 * h]
+                    m[:, i : i + h] = a + b
+                    m[:, i + h : i + 2 * h] = a - b
+                h *= 2
+            m /= np.sqrt(float(dim))
+            for row_i, row in zip(ok, m):
+                out[row_i] = row
+        return pd.Series(out)
 
     return _rot(col)
 
@@ -616,9 +627,11 @@ def _kcore_oracle() -> str:
     alive{{i+1}} (src AND dst membership), so plain CTE inlining would
     blow up 2^rounds."""
     ctes = [
+        """lines AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
         """co AS MATERIALIZED (
         SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n
-        FROM lineitem a JOIN lineitem b
+        FROM lines a JOIN lines b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
         GROUP BY 1, 2)""",
         f"edges AS MATERIALIZED (SELECT src, dst FROM co WHERE n >= {_KCORE_MIN_CO})",
@@ -659,19 +672,35 @@ def _kcore_oracle() -> str:
         "comparable, the graph_pagerank pattern: the oracle unrolls the "
         "peel into chained MATERIALIZED CTEs (each round references the "
         "previous one twice, so un-materialized inlining would double "
-        "per round). Measured at sf0.01 the peel converges by round 8 "
-        "(1892 -> 1055 nodes over 6 shrinking rounds), so 10 rounds IS "
-        "the k-core there; the contract is the fixed-round peel, exact "
-        "whenever converged. Scale shape: co-occurrence pairing is "
-        "bounded per order by TPC-H's <= 7 lines (never all-pairs over "
-        "parts), each round is ONE shuffle of the surviving node set "
+        "per round). Measured at sf0.01 the peel reaches its fixpoint at "
+        "exactly round 10 (1880 -> 935 nodes, every round shrinking), so "
+        "10 rounds IS the k-core there; the contract is the fixed-round "
+        "peel, exact whenever converged (at sf0.1 the strong-edge graph "
+        "peels to an EMPTY 3-core in 2 rounds — co-occurrence >= 2 gets "
+        "rarer as the part dimension grows). Scale shape: pairing runs "
+        "over DISTINCT (order, part) lines — duplicate-part order lines "
+        "cannot fake a co-order — and is bounded per order by TPC-H's "
+        "<= 7 lines (never all-pairs over parts); "
+        "each round is ONE shuffle of the surviving node set "
         "with lineage truncated via localCheckpoint, and the "
         "until-fixpoint production form detects convergence with an "
         "O(nodes) count, exactly like connected_components."
     ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Dedupe (order, part) BEFORE pairing: an order listing the same part
+    # on two lines must not fake a second co-order (the contract is
+    # ">= 2 DISTINCT orders"), and deduping the input is cheaper than a
+    # countDistinct over the expanded pair rows (measured: 9.7 s -> the
+    # committed sf1 figure). localCheckpoint (not persist/unpersist): the
+    # materialized edge set must outlive this function — the returned
+    # plan references edges twice, and an unpersist-in-finally would
+    # force the final action to recompute the self-join from scratch.
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
@@ -681,30 +710,27 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _KCORE_MIN_CO)
         .select("src", "dst")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
+    alive = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
         alive = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        for _ in range(_KCORE_ROUNDS):
-            alive = (
-                edges.join(alive.withColumnRenamed("node", "src"), "src")
-                .join(alive.withColumnRenamed("node", "dst"), "dst")
-                .groupBy("src")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= _KCORE_K)
-                .select(F.col("src").alias("node"))
-                .localCheckpoint(eager=True)
-            )
-        return (
             edges.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-            .select(F.col("src").alias("part_key"), "core_degree")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
         )
-    finally:
-        edges.unpersist()
+    return (
+        edges.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("part_key"), "core_degree")
+    )

@@ -498,6 +498,11 @@ def test_kcore_peels_a_cascade_and_keeps_the_clique(spark):
         106: [1, 2, 6],
         107: [5, 6],
         108: [5, 6],
+        # one order listing part 7 on TWO lines next to part 8: the
+        # (7,8) pair produces two joined rows from a SINGLE order, which
+        # must NOT clear the >= 2 DISTINCT co-orders bar (countDistinct
+        # regression) — 7 and 8 stay edgeless and out of the core
+        109: [7, 7, 8],
     }
     d = _lineitem_dir(spark, order_parts, "kcore_")
     got = sorted((r.part_key, r.core_degree) for r in graph_kcore(spark, d).collect())
@@ -569,7 +574,6 @@ def test_rabitq_fast_rotation_matches_expression_form(spark, sf_dir):
 
     slow = similarity_rabitq_topk(spark, sf_dir).collect()
     fast = similarity_rabitq_topk(spark, sf_dir, fast_rotation=True).collect()
-    key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
 
     emb = read_table(spark, sf_dir, "embeddings").limit(50)
@@ -580,3 +584,31 @@ def test_rabitq_fast_rotation_matches_expression_form(spark, sf_dir):
     for r in both:
         for x, y in zip(r.a, r.b):
             assert abs(x - y) < 1e-9
+
+
+def test_rabitq_fast_rotation_tolerates_null_and_ragged_rows(spark):
+    """A NULL or wrong-length embedding must yield a NULL rotation, not
+    poison the whole Arrow batch (np.asarray on a ragged list raises for
+    every row in the batch)."""
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.queries.llm8 import _RBQ_DIM, rotate_hadamard_fast
+
+    rows = [
+        (0, [1.0] * _RBQ_DIM),
+        (1, None),
+        (2, [2.0] * (_RBQ_DIM // 2)),  # ragged: half-length vector
+        (3, [-1.0] * _RBQ_DIM),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.r
+        for r in df.select(
+            "vec_id", rotate_hadamard_fast(F.col("embedding")).alias("r")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and len(got[0]) == _RBQ_DIM
+    # rotation of -x is -rotation(x): the valid rows really were rotated
+    for a, b in zip(got[0], got[3]):
+        assert abs(a + b) < 1e-12

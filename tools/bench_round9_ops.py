@@ -56,14 +56,11 @@ def main() -> None:
         qd = REGISTRY[name]
         qd.raw_fn(spark, SF_DIR).collect()  # warm (scans cached, JIT)
         s = best_of(lambda: qd.raw_fn(spark, SF_DIR).collect())
-        if qd.oracle:
-            con.execute(qd.oracle).fetchall()  # warm
-            d = best_of(lambda: con.execute(qd.oracle).fetchall())
-            ratio = s / d if d > 0 else float("inf")
-            faster = " **(spark faster)**" if ratio < 1 else ""
-            print(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.2f}x{faster} |")
-        else:
-            print(f"| {name} | {s:.3f} | n/a (rows-only) | — |")
+        con.execute(qd.oracle).fetchall()  # warm
+        d = best_of(lambda: con.execute(qd.oracle).fetchall())
+        ratio = s / d if d > 0 else float("inf")
+        faster = " **(spark faster)**" if ratio < 1 else ""
+        print(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.2f}x{faster} |")
     spark.stop()
 
 

@@ -256,6 +256,22 @@ def write_ranged_events(n_files: int = 8) -> None:
             TO '{os.path.join(out, f"part-{i - 1}.parquet")}' (FORMAT PARQUET)
             """
         )
+    # Fail fast if a duplicate ts ever straddles a bucket boundary: the
+    # manifest-pruning tests assume strictly disjoint per-file ranges,
+    # and ntile splits on row count, not value. Holds for the current
+    # seed data (unique microsecond ts); regeneration must re-prove it.
+    bounds = con.sql(
+        f"""
+        SELECT min(ts) AS lo, max(ts) AS hi
+        FROM read_parquet('{out}/part-*.parquet', filename = 1)
+        GROUP BY filename ORDER BY lo
+        """
+    ).fetchall()
+    for (_, prev_hi), (cur_lo, _) in zip(bounds, bounds[1:]):
+        assert prev_hi < cur_lo, (
+            f"events_ranged files overlap at {prev_hi}; re-bucket on "
+            "distinct ts before committing this fixture"
+        )
 
 
 if __name__ == "__main__":
