@@ -443,3 +443,86 @@ def test_manifest_prune_never_drops_an_intersecting_file(files, lo, hi):
 
     for s in stats:
         assert (s.path in kept) == intersects(s)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's F.round / DuckDB's round use HALF_UP (away from zero) on
+    the double's exact decimal expansion; Python's round() is banker's.
+    The difference fires exactly on .5-ulp boundaries like 0.0390625
+    (caught by hypothesis) — replays must quantize the engines' way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(decimal.Decimal("1e-6"), decimal.ROUND_HALF_UP)
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(0, 5), min_size=1, max_size=45).filter(
+        lambda c: any(v > 0 for v in c)
+    ),
+)
+def test_holt_winters_fold_matches_bruteforce_replay(spark, counts):
+    """For ANY daily-count series (0 = a gap day contributing no update,
+    including gaps that skip whole weeks), the 9-state Spark fold must
+    equal a straight-line Python replay of the published recurrence at
+    the contract's rounding — seed arity, calendar-weekday seasonal
+    indexing, and gap handling all pinned by randomization rather than
+    one crafted cycle."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from parquet_exporter_spark.queries.llm8 import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_PERIOD,
+        timeseries_holt_winters,
+    )
+
+    epoch = dt.date(1970, 1, 1)
+    start = dt.date(2024, 5, 6)
+    rows, eid, series = [], 0, []
+    for off, n in enumerate(counts):
+        if n == 0:
+            continue
+        day = start + dt.timedelta(days=off)
+        series.append(((day - epoch).days % _HW_PERIOD, float(n), day))
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    dt.datetime.combine(day, dt.time(8, 0))
+                    + dt.timedelta(minutes=k),
+                    "view",
+                    1.0,
+                )
+            )
+            eid += 1
+    d = tempfile.mkdtemp(prefix="hwprop_")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    out = timeseries_holt_winters(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == len(series)
+
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    level, trend = series[0][1], 0.0
+    seas = [0.0] * _HW_PERIOD
+    for j, v, _ in series[1:]:
+        level2 = a * (v - seas[j]) + (1 - a) * (level + trend)
+        trend2 = b * (level2 - level) + (1 - b) * trend
+        seas[j] = g * (v - level2) + (1 - g) * seas[j]
+        level, trend = level2, trend2
+    next_j = ((series[-1][2] - epoch).days + 1) % _HW_PERIOD
+    assert r.level == _round6_half_up(level)
+    assert r.trend == _round6_half_up(trend)
+    assert r.season_min == _round6_half_up(min(seas))
+    assert r.season_max == _round6_half_up(max(seas))
+    assert r.forecast_1 == _round6_half_up(level + trend + seas[next_j])

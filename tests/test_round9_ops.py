@@ -362,6 +362,18 @@ def test_compaction_groups_packs_prefixes_and_isolates_partitions(spark):
     assert out[("B", "g2")] == (2, 10)  # B numbers independently
 
 
+def _round6_half_up(x: float) -> float:
+    """Spark's F.round / DuckDB's round use HALF_UP (away from zero) on
+    the double's exact decimal expansion; Python's round() is banker's.
+    The difference fires exactly on .5-ulp boundaries like 0.0390625
+    (caught by hypothesis) — replays must quantize the engines' way."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(decimal.Decimal("1e-6"), decimal.ROUND_HALF_UP)
+    )
+
+
 def test_holt_winters_learns_a_planted_weekly_cycle(spark):
     """Triple smoothing must FIRE on seasonality: 28 days of daily
     counts with one spiked weekday (8 events vs 1) must push that
@@ -418,11 +430,11 @@ def test_holt_winters_learns_a_planted_weekly_cycle(spark):
         level, trend = level2, trend2
     last_day = start + dt.timedelta(days=27)
     next_j = ((last_day - epoch).days + 1) % _HW_PERIOD
-    assert r.level == round(level, 6)
-    assert r.trend == round(trend, 6)
-    assert r.season_min == round(min(seas), 6)
-    assert r.season_max == round(max(seas), 6)
-    assert r.forecast_1 == round(level + trend + seas[next_j], 6)
+    assert r.level == _round6_half_up(level)
+    assert r.trend == _round6_half_up(trend)
+    assert r.season_min == _round6_half_up(min(seas))
+    assert r.season_max == _round6_half_up(max(seas))
+    assert r.forecast_1 == _round6_half_up(level + trend + seas[next_j])
     # the planted cycle was learned: spike weekday seasonal is strongly
     # positive, every other weekday's is negative (counts sit below the
     # level, which settles between 1 and 8)
