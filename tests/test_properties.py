@@ -161,8 +161,11 @@ def test_repetition_ratios_match_bruteforce(spark, toks):
         f"{a} {b}" for a, b in zip(toks, toks[1:])
     )
     total = sum(bigrams.values())
-    assert row.top_bigram_frac == round(max(bigrams.values()) / total, 6)
-    assert row.dup_bigram_frac == round(1.0 - len(bigrams) / total, 6)
+    # _round6_half_up, not round(): Spark rounds HALF_UP, Python's
+    # round() is banker's — small-integer ratios can land exactly on a
+    # .5 boundary at the 6th decimal (e.g. 9/32)
+    assert row.top_bigram_frac == _round6_half_up(max(bigrams.values()) / total)
+    assert row.dup_bigram_frac == _round6_half_up(1.0 - len(bigrams) / total)
 
 
 @settings(**_SETTINGS)
