@@ -203,3 +203,56 @@ def test_geo_nearest_climbs_returns_ranked_rows(spark, sf_dir):
     assert len(out) == 9
     dists = [r.dist_km for r in out]
     assert dists == sorted(dists) and dists[0] >= 0
+
+
+def _events_dir(spark, rows, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_enum_new_values_fires_on_late_appearing_type(spark):
+    """The enum-drift alarm must FIRE: 'beta_feature' appears only after
+    the time midpoint (3 rows), so it is reported with its count, while
+    'click' (both halves) and 'legacy' (old half only — a RETIRED value,
+    the detector's explicit non-goal) stay silent. Its sf0.01 driver
+    stamp is 0 = 0 (the testdata's enum is stable by design), so this
+    fixture is the proof the detector works."""
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for i in range(10):  # clock: 10 days, midpoint day 5ish
+        rows.append((i, base + dt.timedelta(days=i), 1, "click", 1.0, "{}"))
+    rows.append((100, base + dt.timedelta(days=1), 2, "legacy", 1.0, "{}"))
+    for k, off in enumerate((7, 8, 9)):
+        rows.append(
+            (200 + k, base + dt.timedelta(days=off, hours=1), 3, "beta_feature", 1.0, "{}")
+        )
+    d = _events_dir(spark, rows, "enumnew_")
+    sdf = _run_both(spark, "dq_enum_new_values", d)
+    assert [tuple(r) for r in sdf.itertuples(index=False)] == [("beta_feature", 3)]
+
+
+def test_monthly_churn_fires_on_a_user_who_leaves(spark):
+    """Churn must FIRE: user 2 is active in January only (churns), users
+    1 and 3 stay through February; March is the verdict-less last month
+    and must be excluded. The sf0.01 testdata spans a single month, so
+    the driver stamp is 0 = 0 — this fixture proves the month-shifted
+    self-join actually counts leavers."""
+    months = {1: dt.datetime(2024, 1, 10), 2: dt.datetime(2024, 2, 10), 3: dt.datetime(2024, 3, 10)}
+    rows = []
+    eid = 0
+    for user, active_in in ((1, (1, 2, 3)), (2, (1,)), (3, (1, 2, 3))):
+        for m in active_in:
+            rows.append((eid, months[m], user, "click", 1.0, "{}"))
+            eid += 1
+    d = _events_dir(spark, rows, "churn_")
+    sdf = _run_both(spark, "analytics_monthly_churn", d)
+    got = sorted(tuple(r) for r in sdf.itertuples(index=False))
+    assert got == [
+        (dt.date(2024, 1, 1), 3, 1, 0.333333),
+        (dt.date(2024, 2, 1), 2, 0, 0.0),
+    ]
