@@ -63,16 +63,16 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # driver's exact check on the new front window.
 #
 # ROUND-10 SUGGESTION (assuming CORRECTNESS_r09 lands green on the current
-# PRIORITY): exactly 48 remain unstamped after round 9 — the FULL
-# remainder fits ONE window with 2 spare slots. Take all 48 from
+# PRIORITY): exactly 49 remain unstamped after round 9 — the FULL
+# remainder fits ONE window with 1 spare slot. Take all 49 from
 # `python tools/verify_priority.py --list-unstamped` (8 timeseries_*
 # diagnostics, 22 analytics_*, 10 emb_*/similarity_hard_negatives, the
-# 7 round-9 additions — analytics_match_recognize,
+# 8 round-9 additions — analytics_match_recognize,
 # similarity_rabitq_topk, timeseries_holt_linear,
 # layout_compaction_plan, timeseries_holt_winters, graph_kcore,
-# scan_manifest_pruned — and geo_nearest_climbs, whose round-9
+# scan_manifest_pruned, scan_schema_evolution — and geo_nearest_climbs, whose round-9
 # contract fix voided its empty-result stamps via RESTAMP_AFTER_ROUND)
-# and backfill the 2 spare slots with restamps of any queries whose
+# and backfill the 1 spare slot with restamps of any queries whose
 # oracle contract changed this round. After round 10 the driver record
 # covers every registered query and the window becomes pure restamps of
 # contract upgrades.

@@ -21,6 +21,7 @@ JSONL_PATH = os.path.join(FIXTURES, "climbs_flat.jsonl")
 XML_PATH = os.path.join(FIXTURES, "climbs_flat.xml")
 PARTITIONED_EVENTS = os.path.join(FIXTURES, "events_partitioned")
 RANGED_EVENTS = os.path.join(FIXTURES, "events_ranged")
+EVOLVED_EVENTS = os.path.join(FIXTURES, "events_evolved")
 
 FLAT_SCHEMA = (
     "climb_id string, climb_name string, length_m int, yds string, latitude double"
@@ -626,6 +627,41 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_orc(nation, path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+    SELECT event_id,
+           coalesce(props, '<pre-props>') AS props_filled,
+           coalesce(device, '<pre-device>') AS device_filled,
+           CAST(props IS NULL AS BOOLEAN) AS from_gen0
+    FROM read_parquet('{EVOLVED_EVENTS}/*.parquet', union_by_name = 1)
+    """,
+    doc=(
+        "Schema-evolution scan: the fixture directory holds two "
+        "producer GENERATIONS of the events table — gen0 written before "
+        "the props/device columns existed, gen1 carrying both — and the "
+        "read reconciles them per file (Spark mergeSchema == DuckDB "
+        "union_by_name), surfacing NULL for columns a file predates. "
+        "This is the lake reality partition pruning and stats pruning "
+        "both sit on top of: a decade of files rarely shares one "
+        "schema, and an engine that demands it forces a full rewrite "
+        "per producer upgrade. mergeSchema pays one footer read per "
+        "file at planning time (the same O(files) metadata pass the "
+        "manifest writer amortizes at commit time); column pruning and "
+        "filter pushdown still apply per file against the columns that "
+        "file actually has."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.option("mergeSchema", "true").parquet(EVOLVED_EVENTS)
+    return df.select(
+        "event_id",
+        F.coalesce("props", F.lit("<pre-props>")).alias("props_filled"),
+        F.coalesce("device", F.lit("<pre-device>")).alias("device_filled"),
+        F.col("props").isNull().alias("from_gen0"),
+    )
 
 
 _MANIFEST_LO = "2024-01-23 00:00:00"

@@ -624,3 +624,30 @@ def test_rabitq_fast_rotation_tolerates_null_and_ragged_rows(spark):
     # rotation of -x is -rotation(x): the valid rows really were rotated
     for a, b in zip(got[0], got[3]):
         assert abs(a + b) < 1e-12
+
+
+def test_schema_evolution_reconciles_generations(spark):
+    """mergeSchema must surface the union schema with NULLs exactly where
+    a file predates a column: 500 gen0 rows (no props/device) and 500
+    gen1 rows, with the merged frame still answering column-pruned
+    predicates per file."""
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.queries.extras import EVOLVED_EVENTS
+
+    df = spark.read.option("mergeSchema", "true").parquet(EVOLVED_EVENTS)
+    assert set(df.columns) == {
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "device",
+    }
+    assert df.count() == 1000
+    assert df.filter(F.col("props").isNull()).count() == 500
+    assert df.filter(F.col("device").isNull()).count() == 500
+    # the two generations are disjoint halves by event_id
+    assert df.filter((F.col("event_id") < 500) & F.col("props").isNotNull()).count() == 0
+    assert df.filter((F.col("event_id") >= 500) & F.col("device").isNull()).count() == 0

@@ -274,9 +274,40 @@ def write_ranged_events(n_files: int = 8) -> None:
         )
 
 
+def write_evolved_events() -> None:
+    """Two-generation copy of the sf0.001 events for the schema-evolution
+    scan: generation 0 (first half by event_id) lacks the props column
+    and predates the device column entirely; generation 1 (second half)
+    carries props plus the added device column. Reading the directory
+    demands per-file schema reconciliation — exactly what a long-lived
+    lake accumulates as producers upgrade."""
+    import duckdb
+
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = os.path.join(OUT_DIR, "events_evolved")
+    os.makedirs(out, exist_ok=True)
+    con.sql(
+        f"""
+        COPY (SELECT event_id, ts, user_id, event_type, value
+              FROM '{src}' WHERE event_id < 500 ORDER BY event_id)
+        TO '{os.path.join(out, "gen0.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (SELECT event_id, ts, user_id, event_type, value, props,
+                     'dev-' || CAST(user_id % 3 AS VARCHAR) AS device
+              FROM '{src}' WHERE event_id >= 500 ORDER BY event_id)
+        TO '{os.path.join(out, "gen1.parquet")}' (FORMAT PARQUET)
+        """
+    )
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
     write_xml_form()
     write_partitioned_events()
     write_ranged_events()
+    write_evolved_events()
