@@ -90,6 +90,7 @@ EXTRA = [
     "timeseries_holt_winters",
     "graph_kcore",
     "scan_manifest_pruned",
+    "scan_schema_evolution",
 ]
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from parquet_exporter_spark.session import get_spark  # noqa: E402
