@@ -156,78 +156,81 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-9 driver check budget:
-# EXACTLY 50 names, matching the observed driver stamp window (a longer
-# list silently pushes its tail outside the window — caught in review
-# when agg_count_min_portable sat at position 66). CORRECTNESS_r08
-# landed 50/50 green on the round-8 PRIORITY (DRIVER_VERIFIED folds it
-# in automatically); 90 never-stamped remain entering round 9. This
-# window leads with the 8 round-8 additions (fresh operators earn
-# stamps fastest while their oracles are young — stream_token_bucket_twin
-# also carries this round's single-event oracle fix, so its first stamp
-# lands on the corrected contract), then whole families the window can
-# FINISH (fn_* x11, dq_* tail x6, agg_* tail x6, text lexical x11,
-# sample tail x3), then one-per-family starters for the round-10
-# remainder (timeseries/emb/analytics).
+# Hand-picked front of the registry for the ROUND-10 driver check
+# budget: EXACTLY 50 names, matching the observed driver stamp window.
+# CORRECTNESS_r09 landed 50/50 green on the round-9 PRIORITY
+# (DRIVER_VERIFIED folds it in automatically); exactly 49 never-stamped
+# names remained entering round 10 — this window takes ALL of them, so
+# after this round every pre-round-10 query carries a driver stamp. The
+# 50th slot is the round-10 addition similarity_rabitq_fast_topk, which
+# closes the round-9 verdict's one weak mark (the FWHT scale path is now
+# a registered query with its own bounded-error verdict oracle rather
+# than an unregistered flag). The four other round-10 additions
+# (scan_footer_stats_distributed, graph_adamic_adar,
+# timeseries_hampel_outliers, timeseries_mase,
+# timeseries_changepoint_meanshift) queue immediately after the front
+# via the self-healing module-order rule and form the round-11 window's
+# head. Order: the judge-flagged rabitq pair first (fresh oracles earn
+# stamps fastest), then the round-9 additions, the restamp-voided
+# geo_nearest_climbs, and the family tails (8 timeseries diagnostics,
+# 22 analytics, 10 emb/similarity, 2 scans).
 PRIORITY = (
-    # the 8 round-8 additions
-    "dedup_winnow_containment",
-    "text_kgram_winnowing",
-    "sql_merge_upsert",
-    "sample_priority_ppswor",
-    "timeseries_ewma_irregular",
-    "timeseries_kalman_1d",
-    "stream_token_bucket_twin",
-    "dq_counter_reset_rate",
-    # pagination straggler
-    "page_limit_offset",
-    # dq tail — finishes the family
-    "dq_row_count_anomaly",
-    "dq_cross_field_consistency",
-    "dq_total_reconciliation",
-    "dq_categorical_profile",
-    "dq_enum_new_values",
-    "dq_uniqueness_report",
-    # fn suites — finishes the family
-    "fn_try_safe_ops",
-    "fn_mask_redact",
-    "fn_explode_outer",
-    "fn_regexp_suite",
-    "fn_bit_ops",
-    "fn_codec_roundtrip",
-    "fn_uuid5_like",
-    "fn_char_suite",
-    "fn_base_conversion",
-    "fn_aes_roundtrip",
-    "fn_struct_json_roundtrip",
-    # agg tail — finishes the family
-    "agg_filter_clause",
-    "agg_rollup_grouping_id",
-    "agg_skew_kurtosis",
-    "agg_weighted_median",
-    "agg_user_entropy",
-    "agg_trimmed_mean",
-    # sample tail — finishes the family
-    "sample_proportional_quota",
-    "sample_hash_rate_sweep",
-    "sample_semantic_order",
-    # text lexical suite — finishes the family
-    "text_sentence_stats",
-    "text_nonascii_ratio",
-    "text_negative_sampling_dist",
-    "text_collocations_pmi",
-    "text_readability_score",
-    "text_hapax_ratio",
-    "text_zipf_slope",
-    "text_langid_confusion",
-    "text_bigram_entropy_rate",
-    "text_word_length_histogram",
-    "text_perplexity_buckets",
-    # one-per-family starters for the round-10 remainder
-    "timeseries_weekday_weekend_lift",
-    "timeseries_decompose_additive",
-    "emb_matryoshka_truncate",
-    "analytics_event_paths",
+    # the round-9 weak-mark pair: scale path + its exact twin
+    "similarity_rabitq_fast_topk",
+    "similarity_rabitq_topk",
+    # round-9 additions
+    "analytics_match_recognize",
+    "timeseries_holt_linear",
+    "timeseries_holt_winters",
+    "layout_compaction_plan",
+    "graph_kcore",
+    "scan_manifest_pruned",
+    "scan_schema_evolution",
+    # contract-fix restamp (RESTAMP_AFTER_ROUND voided its empty stamps)
+    "geo_nearest_climbs",
+    # timeseries diagnostics tail — finishes the family
+    "timeseries_peak_detection",
+    "timeseries_seasonality_strength",
+    "timeseries_cross_correlation",
+    "timeseries_acf",
+    "timeseries_burstiness",
+    "timeseries_realized_volatility",
+    "timeseries_dow_adjusted",
+    "timeseries_sma_crossover",
+    # embeddings / similarity tail — finishes the family
+    "emb_centroid_drift",
+    "similarity_hard_negatives",
+    "emb_knn_outlier_score",
+    "emb_label_separation",
+    "emb_quantization_error",
+    "emb_nearest_centroid_accuracy",
+    "emb_norm_profile",
+    "emb_dim_variance_topk",
+    "emb_twonn_intrinsic_dim",
+    "emb_cosine_histogram",
+    # analytics tail — finishes the family
+    "analytics_repeat_purchase_interval",
+    "analytics_new_vs_returning",
+    "analytics_cohort_ltv",
+    "analytics_monthly_churn",
+    "analytics_order_value_deciles",
+    "analytics_cumulative_users",
+    "analytics_last_touch_attribution",
+    "analytics_feature_adoption",
+    "analytics_ship_lag_monthly",
+    "analytics_user_value_trend",
+    "analytics_order_backlog",
+    "analytics_session_conversion",
+    "analytics_top_movers",
+    "analytics_activity_heatmap",
+    "analytics_dau_wau_stickiness",
+    "analytics_time_to_first_purchase",
+    "analytics_revenue_bridge",
+    "analytics_spearman_daily",
+    "analytics_lifecycle_stages",
+    "analytics_touches_before_purchase",
+    "analytics_day_n_retention",
+    "analytics_user_activity_powerlaw",
 )
 
 

@@ -697,12 +697,16 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     from datetime import datetime
 
-    from parquet_exporter_spark.sources.manifest import file_stats, prune_by_range
+    from parquet_exporter_spark.sources.manifest import (
+        file_stats,
+        prune_by_range,
+        read_kept,
+    )
 
     paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
     lo = datetime.fromisoformat(_MANIFEST_LO)
     keep = prune_by_range(file_stats(paths, "ts"), lo=lo)
-    df = spark.read.parquet(*keep)
+    df = read_kept(spark, keep, paths)
     return df.filter(
         F.col("ts").cast("timestamp") >= F.lit(_MANIFEST_LO).cast("timestamp")
     ).select("event_id", "event_type", "user_id", F.round("value", 6).alias("value"))

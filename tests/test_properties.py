@@ -282,16 +282,26 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def _events_dir(spark, rows, tmpdir_prefix):
-    """Write synthetic events rows to a temp dir read_table can serve."""
+    """Write synthetic events rows to a temp dir read_table can serve;
+    context manager so every hypothesis example cleans up its dir (a
+    bare mkdtemp accumulated hundreds of dirs across runs)."""
     import os
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix=tmpdir_prefix)
-    spark.createDataFrame(
-        rows, "event_id long, user_id long, ts timestamp, value double"
-    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
-    return d
+    try:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @settings(**_SETTINGS)
@@ -316,8 +326,8 @@ def test_token_bucket_invariants(spark, gaps):
     for i, g in enumerate(gaps):
         t += g
         rows.append((i, 1, base + dt.timedelta(seconds=t), 1.0))
-    d = _events_dir(spark, rows, "tbprop_")
-    out = stream_token_bucket_twin(spark, d).collect()[0]
+    with _events_dir(spark, rows, "tbprop_") as d:
+        out = stream_token_bucket_twin(spark, d).collect()[0]
 
     # brute-force replay (same recurrence, plain Python)
     times = sorted(range(len(gaps)), key=lambda i: (rows[i][2], rows[i][0]))
@@ -361,8 +371,8 @@ def test_kalman_estimate_stays_in_observed_hull(spark, vals):
         (i, 1, base + dt.timedelta(seconds=i), float(v))
         for i, v in enumerate(vals)
     ]
-    d = _events_dir(spark, rows, "kalprop_")
-    out = timeseries_kalman_1d(spark, d).collect()[0]
+    with _events_dir(spark, rows, "kalprop_") as d:
+        out = timeseries_kalman_1d(spark, d).collect()[0]
 
     x, p = vals[0], 1.0
     for z in vals[1:]:
@@ -395,8 +405,8 @@ def test_counter_reset_increase_never_negative(spark, vals):
         (i, 1, base + dt.timedelta(seconds=i), float(v))
         for i, v in enumerate(vals)
     ]
-    d = _events_dir(spark, rows, "ctrprop_")
-    out = dq_counter_reset_rate(spark, d).collect()[0]
+    with _events_dir(spark, rows, "ctrprop_") as d:
+        out = dq_counter_reset_rate(spark, d).collect()[0]
 
     resets = sum(1 for a, b in zip(vals, vals[1:]) if b < a)
     total = sum(b - a if b >= a else b for a, b in zip(vals, vals[1:]))
@@ -505,12 +515,18 @@ def test_holt_winters_fold_matches_bruteforce_replay(spark, counts):
                 )
             )
             eid += 1
-    d = tempfile.mkdtemp(prefix="hwprop_")
-    spark.createDataFrame(
-        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
-    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    import shutil
 
-    out = timeseries_holt_winters(spark, d).collect()
+    d = tempfile.mkdtemp(prefix="hwprop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+        out = timeseries_holt_winters(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     assert len(out) == 1
     r = out[0]
     assert r.n_days == len(series)
