@@ -165,7 +165,7 @@ DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 # 50th slot is the round-10 addition similarity_rabitq_fast_topk, which
 # closes the round-9 verdict's one weak mark (the FWHT scale path is now
 # a registered query with its own bounded-error verdict oracle rather
-# than an unregistered flag). The four other round-10 additions
+# than an unregistered flag). The five other round-10 additions
 # (scan_footer_stats_distributed, graph_adamic_adar,
 # timeseries_hampel_outliers, timeseries_mase,
 # timeseries_changepoint_meanshift) queue immediately after the front

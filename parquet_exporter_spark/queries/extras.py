@@ -713,6 +713,57 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_footer_stats_distributed",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM read_parquet('{RANGED_EVENTS}/*.parquet', filename = 1)
+    GROUP BY 1
+    """,
+    doc=(
+        "Distributed manifest BOOTSTRAP: per-file (rows, min_ts, "
+        "max_ts) harvested from parquet FOOTERS in executor tasks "
+        "(sources/manifest.file_stats_distributed — paths become a "
+        "DataFrame, mapInPandas opens footers Arrow-batched, only the "
+        "metadata rows return), closing the round-9 residue that the "
+        "sequential driver loop pays O(files) serial round-trips at a "
+        "200k-file table. The bounded collect IS the manifest (one "
+        "4-value row per file — the same rows write_manifested commits "
+        "at write time, which remains the preferred path for tables "
+        "you own the writer of; this is for directories nobody "
+        "manifested). The oracle is genuinely independent: DuckDB "
+        "SCANS THE DATA and aggregates true per-file min/max/count, so "
+        "a hash match proves the footer statistics route returns "
+        "exactly what a full scan would — the property file pruning "
+        "relies on. Timestamps travel as strftime strings on both "
+        "sides, immune to session-timezone skew (the driver replica "
+        "runs under a hostile TZ)."
+    ),
+)
+def scan_footer_stats_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from parquet_exporter_spark.sources.manifest import file_stats_distributed
+
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    stats = file_stats_distributed(spark, paths, "ts")
+    rows = [
+        (
+            os.path.basename(s.path),
+            s.num_rows,
+            s.min_value.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            s.max_value.strftime("%Y-%m-%d %H:%M:%S.%f"),
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(
+        rows, "file_name string, n_rows long, min_ts string, max_ts string"
+    )
+
+
+@query(
     "dq_file_row_distribution",
     oracle=f"""
     SELECT regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS partition_dir,

@@ -520,3 +520,111 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+_AA_TOPK = 3
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH lines AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co_edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+            FROM co_edges GROUP BY src),
+    cand AS (
+        SELECT e1.src AS a, e2.dst AS b, e1.dst AS w
+        FROM co_edges e1 JOIN co_edges e2 ON e1.dst = e2.src
+        WHERE e1.src < e2.dst),
+    nonedge AS (
+        SELECT c.a, c.b, c.w FROM cand c
+        LEFT JOIN co_edges x ON x.src = c.a AND x.dst = c.b
+        WHERE x.src IS NULL),
+    scored AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+               round(sum(1.0 / ln(d.deg)), 6) AS aa_score
+        FROM nonedge JOIN deg d ON d.node = nonedge.w
+        GROUP BY a, b)
+    SELECT a AS part_key, b AS predicted_part, CAST(rn AS BIGINT) AS rank,
+           n_common, aa_score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY a ORDER BY aa_score DESC, b) AS rn
+          FROM scored)
+    WHERE rn <= {_AA_TOPK}
+    """,
+    doc=(
+        "Adamic-Adar link prediction over the part co-purchase graph "
+        "(same DISTINCT co-order edge model as graph_kcore, "
+        "llm8.py:760): for part pairs NOT yet co-ordered, score "
+        "sum(1/ln(deg(w))) over their common co-purchase neighbors w — "
+        "rare shared neighbors vote harder than promiscuous ones, the "
+        "classic recommender/link-prediction signal degree counting "
+        "alone misses — and keep the top-3 predictions per part via a "
+        "part-keyed window (rounded score, id tiebreak: deterministic "
+        "cross-engine). The common-neighbor join composes two keyed "
+        "equi-joins and one anti-join on the SAME edge relation (no "
+        "all-pairs over parts; candidates are 2-hop walks, bounded by "
+        "TPC-H's <= 7 lines per order on the first hop), the deg side "
+        "is a map-side-combined aggregate, and the top-k cut never "
+        "leaves its part partition — the identical shape GraphFrames' "
+        "motif join would plan. At 100 TB the edge relation would be "
+        "bucketed on src so both hops and the anti-join co-locate "
+        "shuffle-free."
+    ),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        lines.alias("a")
+        .join(lines.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    ).withColumnRenamed("src", "node")
+    cand = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e2.dst").alias("b"),
+            F.col("e1.dst").alias("w"),
+        )
+    )
+    nonedge = cand.join(
+        edges,
+        (cand["a"] == edges["src"]) & (cand["b"] == edges["dst"]),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg, nonedge["w"] == deg["node"])
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.desc("aa_score"), "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _AA_TOPK)
+        .select(
+            F.col("a").alias("part_key"),
+            F.col("b").alias("predicted_part"),
+            F.col("rn").cast("long").alias("rank"),
+            "n_common",
+            "aa_score",
+        )
+    )

@@ -217,6 +217,44 @@ def _sql_rbq_signs() -> str:
     return "[" + ",".join(str(v) for v in _RBQ_SIGNS) + "]::DOUBLE[]"
 
 
+def _rbq_scored(spark: SparkSession, sf_dir: str, rotate) -> DataFrame:
+    """The shared RaBitQ pipeline up to the UNROUNDED estimator:
+    rotate -> sign/L1 signatures -> broadcast first-{_RBQ_QUERIES}
+    queries x linear signature scan -> est_raw = <q', sign(x')>/||x'||_1.
+    Both the oracle-parity expression form and the FWHT scale path
+    compose over this; only the rotation differs."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    rot = emb.select("vec_id", rotate(F.col("embedding")).alias("r"))
+    sig = rot.select(
+        "vec_id",
+        F.transform("r", lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("s"),
+        F.aggregate(
+            F.transform("r", lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b
+        ).alias("l1"),
+    )
+    q = F.broadcast(
+        rot.orderBy("vec_id")
+        .limit(_RBQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("r").alias("qr"))
+    )
+    return (
+        q.crossJoin(sig)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with("qr", "s", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.col("l1")
+            ).alias("est_raw"),
+        )
+    )
+
+
 @query(
     "similarity_rabitq_topk",
     oracle=f"""
@@ -273,44 +311,6 @@ def _sql_rbq_signs() -> str:
         "other searches."
     ),
 )
-def _rbq_scored(spark: SparkSession, sf_dir: str, rotate) -> DataFrame:
-    """The shared RaBitQ pipeline up to the UNROUNDED estimator:
-    rotate -> sign/L1 signatures -> broadcast first-{_RBQ_QUERIES}
-    queries x linear signature scan -> est_raw = <q', sign(x')>/||x'||_1.
-    Both the oracle-parity expression form and the FWHT scale path
-    compose over this; only the rotation differs."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    rot = emb.select("vec_id", rotate(F.col("embedding")).alias("r"))
-    sig = rot.select(
-        "vec_id",
-        F.transform("r", lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("s"),
-        F.aggregate(
-            F.transform("r", lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b
-        ).alias("l1"),
-    )
-    q = F.broadcast(
-        rot.orderBy("vec_id")
-        .limit(_RBQ_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("r").alias("qr"))
-    )
-    return (
-        q.crossJoin(sig)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.aggregate(
-                    F.zip_with("qr", "s", lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-                / F.col("l1")
-            ).alias("est_raw"),
-        )
-    )
-
-
 def similarity_rabitq_topk(
     spark: SparkSession, sf_dir: str, fast_rotation: bool = False
 ) -> DataFrame:

@@ -1597,3 +1597,246 @@ def timeseries_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_points"),
         F.round(fold.x, 6).alias("kalman_estimate"),
     )
+
+
+_HAMPEL_K = 3.0  # the canonical Hampel threshold (Pearson's 3-sigma
+# analogue after the 1.4826 MAD-to-sigma consistency factor); fires on
+# real spikes at both test SFs (positive-case tested on crafted data).
+
+
+@query(
+    "timeseries_hampel_outliers",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, day, v,
+               list(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS lst
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, day, v, lst,
+               (list_sort(lst)[(len(lst)+1)//2]
+                + list_sort(lst)[(len(lst)+2)//2]) / 2 AS med
+        FROM win
+    ),
+    mad AS (
+        SELECT event_type, day, v, med,
+               (list_sort([abs(x - med) for x in lst])[(len(lst)+1)//2]
+                + list_sort([abs(x - med) for x in lst])[(len(lst)+2)//2]) / 2
+                   AS mad
+        FROM med
+    )
+    SELECT event_type, day, CAST(v AS BIGINT) AS n_events,
+           round(med, 6) AS med, round(mad, 6) AS mad
+    FROM mad WHERE mad > 0 AND abs(v - med) > {_HAMPEL_K} * 1.4826 * mad
+    """,
+    doc=(
+        "Hampel filter spike detection: a day is an outlier when its "
+        "event volume deviates from the +-3-day rolling MEDIAN by more "
+        "than 3 x 1.4826 x rolling MAD — the robust twin of z-score "
+        "detection (CUSUM catches level SHIFTS, this catches SPIKES "
+        "without the spike itself inflating the threshold, which is "
+        "exactly what mean/stddev windows get wrong). Both median and "
+        "MAD come from ONE windowed collect over the bounded per-type "
+        "daily rollup (7 elements, array_sort + the same two-middle "
+        "interpolation formula in both engines — bit-identical, no "
+        "holistic-aggregate implementation drift), and the MAD=0 "
+        "degenerate case (constant window) is excluded per the "
+        "published filter. Volumes are counts, so every windowed sum "
+        "is integer-exact regardless of execution order. The window "
+        "partitions by event_type over days — at 100 TB the raw scan "
+        "reduces map-side to |types| x |days| rows before any window "
+        "sees it."
+    ),
+)
+def timeseries_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    win = daily.withColumn("lst", F.collect_list("v").over(w))
+
+    def _arr_median(arr):
+        s = F.array_sort(arr)
+        n = F.size(arr)
+        lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(s, F.floor((n + 2) / 2).cast("int"))
+        return (lo + hi) / 2
+
+    med = win.withColumn("med", _arr_median(F.col("lst")))
+    mad = med.withColumn(
+        "mad", _arr_median(F.transform("lst", lambda x: F.abs(x - F.col("med"))))
+    )
+    return mad.filter(
+        (F.col("mad") > 0)
+        & (F.abs(F.col("v") - F.col("med")) > _HAMPEL_K * 1.4826 * F.col("mad"))
+    ).select(
+        "event_type",
+        "day",
+        F.col("v").cast("long").alias("n_events"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+@query(
+    "timeseries_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, v,
+               lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+               lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(abs(v - l1)) / count(l1), 6) AS naive_mae,
+           round(sum(abs(v - l7)) / count(l7), 6) AS seasonal_mae,
+           round((sum(abs(v - l7)) / count(l7))
+                 / nullif(sum(abs(v - l1)) / count(l1), 0), 6) AS mase
+    FROM lagged GROUP BY event_type
+    """,
+    doc=(
+        "MASE (mean absolute scaled error, Hyndman-Koehler): the "
+        "weekly seasonal-naive forecast's MAE scaled by the one-step "
+        "naive MAE — the standard scale-free forecast-quality score "
+        "(< 1: weekly seasonality beats persistence; > 1: it does "
+        "not), complementing seasonality_strength's variance-ratio "
+        "view with an error-ratio view. Lags are positional over "
+        "observed days (gap days contribute no term, same contract as "
+        "the SMA/ACF family). Volumes are counts, so both MAE "
+        "numerators are integer-exact sums in any execution order and "
+        "the final divisions are single IEEE ops — deterministic "
+        "cross-engine without value rounding tricks. One partial-agg "
+        "scan to the bounded rollup, one event_type exchange shared by "
+        "both lag windows and the final group-by."
+    ),
+)
+def timeseries_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 7).over(w).alias("l7"),
+    )
+    naive = F.sum(F.abs(F.col("v") - F.col("l1"))) / F.count("l1")
+    seasonal = F.sum(F.abs(F.col("v") - F.col("l7"))) / F.count("l7")
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(naive, 6).alias("naive_mae"),
+        F.round(seasonal, 6).alias("seasonal_mae"),
+        F.round(seasonal / F.nullif(naive, F.lit(0.0)), 6).alias("mase"),
+    )
+
+
+@query(
+    "timeseries_changepoint_meanshift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, day, v,
+               sum(v) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               sum(v) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day,
+               cum / k AS mean_before,
+               (total - cum) / (n - k) AS mean_after,
+               abs(cum / k - (total - cum) / (n - k))
+                   * sqrt(CAST(k AS DOUBLE) * (n - k) / n) AS score
+        FROM stats WHERE k < n
+    )
+    SELECT event_type, day AS change_day, round(score, 6) AS score,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY score DESC, day) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    doc=(
+        "Offline single-changepoint detection (binary-segmentation "
+        "step / CUSUM max statistic): for every candidate split of the "
+        "per-type daily series, score |mean_before - mean_after| x "
+        "sqrt(k(n-k)/n) — the two-sample mean-shift statistic whose "
+        "argmax is the changepoint estimate and whose sqrt factor "
+        "de-biases edge splits — and return the best split per type "
+        "with its segment means. CUSUM (dq family) monitors drift "
+        "ONLINE against a fixed reference; this answers the "
+        "retrospective question WHERE the level changed. Every term "
+        "is exact until the final sqrt/multiply (prefix sums of "
+        "counts are integer-exact in any order; divisions and the "
+        "IEEE-correctly-rounded sqrt are single deterministic ops), "
+        "so the argmax comparison itself is bit-identical across "
+        "engines. All three windows share one event_type exchange "
+        "over the bounded rollup; recursing into segments (full "
+        "binary segmentation) repeats this same bounded query per "
+        "segment at depth O(log changepoints)."
+    ),
+)
+def timeseries_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("v").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    mean_before = F.col("cum") / F.col("k")
+    mean_after = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
+    scored = stats.select(
+        "event_type",
+        "day",
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (
+            F.abs(mean_before - mean_after)
+            * F.sqrt(
+                F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+            )
+        ).alias("score"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("score"), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round("score", 6).alias("score"),
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+        )
+    )

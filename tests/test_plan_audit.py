@@ -334,6 +334,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "linear sign+L1 signature scan — the rotated twin of "
         "similarity_binary_quantized's exact-baseline shape",
     ),
+    "similarity_rabitq_fast_topk": (
+        {"bnlj"},
+        "same bounded 3-row broadcast-query shape as "
+        "similarity_rabitq_topk, appearing in both the FWHT branch "
+        "under verdict and its in-query exact ground-truth twin",
+    ),
 }
 
 # Round 9 flipped the audit to flag single_partition_x1 too (the >1

@@ -1,0 +1,257 @@
+"""Round-10 hardening: the distributed manifest bootstrap must be
+contract-identical to the sequential footer walk, empty pruning must
+degrade to an empty scan instead of raising, manifest refresh must be
+atomic, the registered RaBitQ fast-path verdict must carry the FWHT
+plan (not just the expression twin), and the new Hampel/changepoint
+detectors must be proven to FIRE on crafted data (the round-9
+zero-row-positive lesson, applied at birth instead of backfilled)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob as _glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.queries.extras import RANGED_EVENTS
+from parquet_exporter_spark.sources.manifest import (
+    file_stats,
+    file_stats_distributed,
+    prune_by_range,
+    read_kept,
+)
+
+
+def test_distributed_footer_stats_match_sequential(spark):
+    """Same paths, same column -> byte-identical FileStat lists, in the
+    input path order, including datetime bounds surviving the tagged
+    string round-trip through the Arrow batch."""
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    assert len(paths) == 8
+    seq = file_stats(paths, "ts")
+    dist = file_stats_distributed(spark, paths, "ts")
+    assert dist == seq
+    assert [s.path for s in dist] == paths
+    assert all(isinstance(s.min_value, dt.datetime) for s in dist)
+    # numeric column bounds round-trip too
+    seq_n = file_stats(paths, "value")
+    dist_n = file_stats_distributed(spark, paths, "value")
+    assert dist_n == seq_n
+    assert all(isinstance(s.min_value, float) for s in dist_n)
+
+
+def test_distributed_footer_stats_missing_column_raises(spark):
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))[:2]
+    try:
+        file_stats_distributed(spark, paths, "no_such_col")
+    except KeyError as e:
+        assert "no_such_col" in str(e)
+    else:
+        raise AssertionError("expected KeyError for a missing column")
+
+
+def test_read_kept_empty_prune_returns_empty_with_schema(spark):
+    """A predicate outside every file's range prunes ALL files; the
+    read must yield 0 rows with the dataset's real schema instead of
+    the bare spark.read.parquet(*[]) error."""
+    paths = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    stats = file_stats(paths, "ts")
+    keep = prune_by_range(stats, lo=dt.datetime(2030, 1, 1))
+    assert keep == []
+    df = read_kept(spark, keep, paths)
+    assert df.count() == 0
+    assert set(spark.read.parquet(paths[0]).columns) == set(df.columns)
+    # non-empty keep passes straight through
+    keep2 = prune_by_range(stats, lo=stats[-1].min_value)
+    assert len(keep2) == 1
+    assert read_kept(spark, keep2, paths).count() == stats[-1].num_rows
+
+
+def test_refresh_manifest_is_atomic(spark):
+    """refresh_manifest commits via temp + os.replace: after a refresh
+    no *.tmp residue exists and the manifest is immediately readable;
+    the committed bounds equal the written data's bounds."""
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        MANIFEST_NAME,
+        read_manifest,
+        write_manifested,
+    )
+
+    d = tempfile.mkdtemp(prefix="manifatomic_")
+    try:
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        stats = write_manifested(df, d, "k", n_files=4)
+        assert len(stats) == 4
+        assert not _glob.glob(os.path.join(d, "*.tmp"))
+        got = read_manifest(d)
+        assert sorted(s.num_rows for s in got) == sorted(s.num_rows for s in stats)
+        assert os.path.exists(os.path.join(d, MANIFEST_NAME))
+        assert min(s.min_value for s in got) == 0
+        assert max(s.max_value for s in got) == 99
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rabitq_fast_verdict_true_and_plan_has_arrow(spark, sf_dir):
+    """The registered fast-path verdict must hold (every scored pair
+    within 1e-9 of the exact rotation, top-k agreeing) AND the plan
+    must actually contain the Arrow-batched FWHT stage — the scale
+    path is what is being stamped, not two copies of the expression
+    form."""
+    from parquet_exporter_spark.queries.llm8 import similarity_rabitq_fast_topk
+
+    df = similarity_rabitq_fast_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.est_within_tol and r.topk_overlap_ok
+        assert r.n_scored > 0
+
+
+def _events_dir(spark, rows, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _volume_days(counts, etype="click", start=dt.date(2024, 3, 1)):
+    rows, eid = [], 0
+    for off, n in enumerate(counts):
+        day = start + dt.timedelta(days=off)
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    dt.datetime.combine(day, dt.time(9, 0)) + dt.timedelta(minutes=k),
+                    etype,
+                    1.0,
+                )
+            )
+            eid += 1
+    return rows
+
+
+def test_hampel_fires_on_spike_and_ignores_constant(spark):
+    """A single 50-event spike in an otherwise 10-per-day series must be
+    the ONLY flagged day (the spike must not inflate its own threshold
+    — the property mean/stddev windows get wrong), and a constant
+    series (MAD=0) must flag nothing."""
+    from parquet_exporter_spark.queries.timeseries import timeseries_hampel_outliers
+
+    counts = [10, 11, 10, 9, 50, 10, 11, 10, 9, 10]
+    d = _events_dir(spark, _volume_days(counts), "hampel_")
+    try:
+        got = timeseries_hampel_outliers(spark, d).collect()
+        assert [(r.day, r.n_events) for r in got] == [(dt.date(2024, 3, 5), 50)]
+        assert got[0].med == 10.0  # rolling median excludes the spike's pull
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    flat = _events_dir(spark, _volume_days([7] * 10), "hampelflat_")
+    try:
+        assert timeseries_hampel_outliers(spark, flat).count() == 0
+    finally:
+        shutil.rmtree(flat, ignore_errors=True)
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """10 days at ~10/day then 10 days at ~30/day: the argmax split must
+    land on the boundary day and the segment means must bracket it."""
+    from parquet_exporter_spark.queries.timeseries import (
+        timeseries_changepoint_meanshift,
+    )
+
+    counts = [10, 11, 9, 10, 10, 11, 9, 10, 10, 10, 30, 31, 29, 30, 30, 31, 29, 30, 30, 30]
+    d = _events_dir(spark, _volume_days(counts), "chgpt_")
+    try:
+        got = timeseries_changepoint_meanshift(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.change_day == dt.date(2024, 3, 10)  # last day of the low regime
+        assert abs(r.mean_before - 10.0) < 1.0
+        assert abs(r.mean_after - 30.0) < 1.0
+        assert r.score > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mase_seasonal_series_beats_naive(spark):
+    """A strongly weekly series (low weekends) must score MASE < 1 —
+    the seasonal-naive forecast beats persistence — and a trendless
+    noise-free constant series yields seasonal_mae = naive_mae = 0
+    with NULL mase (0/0 guarded)."""
+    from parquet_exporter_spark.queries.timeseries import timeseries_mase
+
+    weekly = [20, 20, 20, 20, 20, 5, 5] * 4  # Mon..Sun x4 (start date is a Friday;
+    # alignment doesn't matter, only the exact period-7 repetition)
+    d = _events_dir(spark, _volume_days(weekly), "mase_")
+    try:
+        got = timeseries_mase(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.seasonal_mae == 0.0  # exact weekly repetition
+        assert r.naive_mae > 0
+        assert r.mase == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    const = _events_dir(spark, _volume_days([8] * 15), "maseconst_")
+    try:
+        r = timeseries_mase(spark, const).collect()[0]
+        assert r.naive_mae == 0.0 and r.seasonal_mae == 0.0
+        assert r.mase is None
+    finally:
+        shutil.rmtree(const, ignore_errors=True)
+
+
+def test_adamic_adar_prefers_rare_common_neighbor(spark):
+    """Crafted co-order graph: parts 1 and 2 share ONLY rare hub 3
+    (deg 2 beyond them is impossible in this fixture, so build: 1-3,
+    2-3 co-orders and a promiscuous hub 4 co-ordered with everything).
+    The (1,2) prediction must exist and score the rare hub higher than
+    the promiscuous one contributes."""
+    import math
+
+    from parquet_exporter_spark.queries.graph import graph_adamic_adar
+
+    # orders: (o, parts...) — co-order cliques
+    orders = [
+        (1, [1, 3]),
+        (2, [2, 3]),
+        (3, [1, 4]),
+        (4, [2, 4]),
+        (5, [5, 4]),
+        (6, [6, 4]),
+    ]
+    rows = []
+    ln = 0
+    for o, parts in orders:
+        for p in parts:
+            rows.append((o, ln, p))
+            ln += 1
+    d = tempfile.mkdtemp(prefix="aa_")
+    try:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_linenumber long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            (r.part_key, r.predicted_part): r
+            for r in graph_adamic_adar(spark, d).collect()
+        }
+        pair = got[(1, 2)]
+        # common neighbors of 1,2: rare hub 3 (deg 2) and busy hub 4 (deg 4)
+        assert pair.n_common == 2
+        expected = round(1 / math.log(2) + 1 / math.log(4), 6)
+        assert abs(pair.aa_score - expected) < 1e-9
+        # 1 and 3 are already connected -> never predicted
+        assert (1, 3) not in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
