@@ -511,3 +511,67 @@ def probe_ivfpq_index(
         .select(F.col("id").alias("vec_id"), "codes")
     )
     return pq_adc_topk(codes, books, q, k)
+
+
+def write_rabitq_index(rot_df: DataFrame, path: str, dim: int = 64) -> None:
+    """Persist RaBitQ 1-bit signatures for ALREADY-ROTATED vectors:
+    (vec_id, signs BIGINT, l1 DOUBLE) — one sign bit per dimension
+    packed into a single int64 (bit i set iff rotated component i > 0)
+    plus the L1 correction, the ~9-bytes-per-vector layout the RaBitQ
+    estimator serves from (the full vectors are never read at probe
+    time). ``rot_df`` must carry (vec_id, r array<double>); rotation
+    happens at build time exactly as queries/llm8.py's docstring
+    promises — compute once, serve many. Packing uses addition of
+    distinct powers of two, so bit 63 (min-long in two's complement)
+    is overflow-safe under ANSI arithmetic."""
+    sig = rot_df.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {dim - 1}), 0L, (acc, i) -> "
+            "acc + IF(element_at(r, i + 1) > 0D, shiftleft(1L, i), 0L))"
+        ).alias("signs"),
+        F.expr(
+            "aggregate(transform(r, x -> abs(x)), 0D, (acc, x) -> acc + x)"
+        ).alias("l1"),
+    )
+    sig.write.mode("overwrite").parquet(path)
+
+
+def probe_rabitq_index(
+    spark, path: str, queries_rot: DataFrame, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Serve top-k from the persisted signature table: broadcast the
+    bounded rotated-query set against a linear scan of (signs, l1) —
+    16 bytes a row — and estimate <q', sign(x')>/||x'||_1 by unpacking
+    sign bits inline (getbit), accumulating in ascending dimension
+    order so the estimate is bit-identical to the unpersisted
+    expression pipeline (each term is qr_i * (+-1), an exact product).
+    ``queries_rot`` must carry (query_id, qr array<double>). Returns
+    (query_id, neighbor_id, rank, est) with the contract's round-6 +
+    id tiebreak ranking; self-matches are excluded."""
+    sig = spark.read.parquet(path)
+    est_raw = (
+        F.expr(
+            f"aggregate(sequence(0, {dim - 1}), 0D, (acc, i) -> "
+            "acc + element_at(qr, i + 1) * (2.0D * getbit(signs, i) - 1.0D))"
+        )
+        / F.col("l1")
+    )
+    scored = (
+        F.broadcast(queries_rot)
+        .crossJoin(sig)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(est_raw, 6).alias("est"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("est"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "est"
+        )
+    )

@@ -448,6 +448,114 @@ def similarity_rabitq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rbq_scratch_path(sf_dir: str) -> str:
+    """Versioned scratch path for the persisted RaBitQ signature index
+    (the IVF/band-index freshness contract: keyed on source file
+    mtimes+sizes so regenerated testdata never reuses a stale index)."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    src = sorted(glob.glob(os.path.join(sf_dir, "embeddings*")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src
+    ) or sf_dir
+    tag = hashlib.sha256(f"{sf_dir}|{version}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_rbq_sig_{tag}")
+
+
+@query(
+    "similarity_rabitq_persisted_probe",
+    oracle=f"""
+    WITH dd AS (SELECT {_sql_rbq_signs()} AS dv),
+    rot AS (
+        SELECT vec_id,
+               [ list_sum([ (1 - 2*(bit_count(j & i) % 2)) * dv[i+1]
+                            * embedding[i+1]
+                            for i in generate_series(0, {_RBQ_DIM - 1})])
+                 / sqrt({_RBQ_DIM})
+                 for j in generate_series(0, {_RBQ_DIM - 1})] AS r
+        FROM embeddings, dd
+    ),
+    sig AS (
+        SELECT vec_id,
+               [CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END for x in r] AS s,
+               list_sum([abs(x) for x in r]) AS l1
+        FROM rot
+    ),
+    q AS (SELECT vec_id AS query_id, r AS qr FROM rot WHERE vec_id < 3),
+    scored AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_sum([qr[k] * s[k]
+                               for k in generate_series(1, {_RBQ_DIM})]) / l1,
+                     6) AS est
+        FROM q JOIN sig ON vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, est FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY est DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_RBQ_TOPK}
+    """,
+    doc=(
+        "RaBitQ SERVING from a PERSISTED signature index — the "
+        "compute-once-serve-many form the similarity_rabitq_topk "
+        "docstring promises: the corpus is rotated ONCE at build time "
+        "and committed as (vec_id, signs int64, l1) — one sign bit per "
+        "dimension packed into a single BIGINT plus the L1 correction, "
+        "~9 bytes/vector (functions/similarity.py write_rabitq_index; "
+        "published atomically via private temp dir + rename, the IVF "
+        "index protocol) — and probing reads ONLY that 16-byte-row "
+        "table, unpacking bits inline (getbit) while accumulating in "
+        "ascending dimension order, so the estimate is bit-identical "
+        "to the unpersisted expression pipeline (each term is qr_i x "
+        "+-1, an exact product) and the whole build->pack->persist->"
+        "unpack->probe round trip hash-matches DuckDB's from-scratch "
+        "replica. Build here uses the oracle-parity expression "
+        "rotation; a 100 TB index build would run rotate_hadamard_fast "
+        "(the verdict-stamped FWHT twin) and identical signs follow "
+        "except for components within one ulp of zero — the estimator "
+        "contract, not a bit-level one, is what an index serves. "
+        "Probe cost per query: |corpus| x (64 getbits + 1 fma) over "
+        "16-byte rows — 32x less IO than rescanning float32 vectors, "
+        "the whole point of the quantization."
+    ),
+)
+def similarity_rabitq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from parquet_exporter_spark.functions.similarity import (
+        probe_rabitq_index,
+        write_rabitq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rot = emb.select("vec_id", rotate_hadamard(F.col("embedding")).alias("r"))
+    path = _rbq_scratch_path(sf_dir)
+    if not os.path.isfile(os.path.join(path, "_COMPLETE")):
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
+        try:
+            write_rabitq_index(rot, tmp, dim=_RBQ_DIM)
+            with open(os.path.join(tmp, "_COMPLETE"), "w"):
+                pass
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_COMPLETE")):
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.rename(tmp, path)
+                # else: lost the publish race to an equivalent build
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    queries = rot.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("r").alias("qr")
+    )
+    return probe_rabitq_index(spark, path, queries, k=_RBQ_TOPK, dim=_RBQ_DIM)
+
+
 _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.25  # exact binary fractions: scaling by
 # them is exact in doubles, so the sequential fold is bit-identical
 # across engines (the oracle-float rule: no libm, no re-association).

@@ -340,6 +340,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "similarity_rabitq_topk, appearing in both the FWHT branch "
         "under verdict and its in-query exact ground-truth twin",
     ),
+    "similarity_rabitq_persisted_probe": (
+        {"bnlj"},
+        "the bounded 3-row rotated-query set broadcast against the "
+        "linear 16-byte-row signature scan — serving from the "
+        "persisted index IS the broadcast-probe shape",
+    ),
 }
 
 # Round 9 flipped the audit to flag single_partition_x1 too (the >1

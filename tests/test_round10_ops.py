@@ -255,3 +255,33 @@ def test_adamic_adar_prefers_rare_common_neighbor(spark):
         assert (1, 3) not in got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rabitq_persisted_probe_matches_inmemory_topk(spark, sf_dir):
+    """Serving from the packed signature parquet must return the SAME
+    ranked rows as the unpersisted expression pipeline for the shared
+    query ids, the index schema must be the promised 16-byte row
+    (bigint signs + double l1), and a second call must REUSE the
+    committed index (sentinel present, same files)."""
+    import glob as g
+    import os
+
+    from parquet_exporter_spark.queries.llm8 import (
+        _rbq_scratch_path,
+        similarity_rabitq_persisted_probe,
+        similarity_rabitq_topk,
+    )
+
+    served = similarity_rabitq_persisted_probe(spark, sf_dir).collect()
+    inmem = similarity_rabitq_topk(spark, sf_dir).collect()
+    # the unpersisted query takes the first 3 ids via ORDER BY/LIMIT,
+    # the persisted one via vec_id < 3 — identical on the fixtures
+    assert sorted(map(tuple, served)) == sorted(map(tuple, inmem))
+
+    path = _rbq_scratch_path(sf_dir)
+    assert os.path.isfile(os.path.join(path, "_COMPLETE"))
+    sig = spark.read.parquet(path)
+    assert dict(sig.dtypes) == {"vec_id": "bigint", "signs": "bigint", "l1": "double"}
+    files_before = sorted(g.glob(os.path.join(path, "*.parquet")))
+    similarity_rabitq_persisted_probe(spark, sf_dir).collect()
+    assert sorted(g.glob(os.path.join(path, "*.parquet"))) == files_before
