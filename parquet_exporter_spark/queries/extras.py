@@ -579,6 +579,81 @@ def _zorder_oracle(bits: int = 8) -> str:
     """
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    # The same unrolled xy2d integer algebra as sinks/layout.py:_hilbert_d,
+    # one chained CTE per level: quadrant digit d += s^2 * xor(3*rx, ry),
+    # then flip-within-n + swap on the ry=0 half. All-integer CASE
+    # arithmetic, so the key is hash-exact cross-engine.
+    n = 1 << bits
+    hi = n - 1
+    ctes = [
+        f"""r AS (
+        SELECT o_orderkey,
+               least(CAST(floor(percent_rank() OVER (ORDER BY o_custkey)
+                                * {n}) AS BIGINT), {hi}) AS x,
+               least(CAST(floor(percent_rank() OVER (ORDER BY o_totalprice)
+                                * {n}) AS BIGINT), {hi}) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders)"""
+    ]
+    prev = "r"
+    for lev in range(bits - 1, -1, -1):
+        s = 1 << lev
+        cur = f"lv{lev}"
+        ctes.append(
+            f"""{cur} AS (
+        SELECT o_orderkey,
+               CASE WHEN ((y >> {lev}) & 1) = 0
+                    THEN CASE WHEN ((x >> {lev}) & 1) = 1
+                              THEN {n - 1} - y ELSE y END
+                    ELSE x END AS x,
+               CASE WHEN ((y >> {lev}) & 1) = 0
+                    THEN CASE WHEN ((x >> {lev}) & 1) = 1
+                              THEN {n - 1} - x ELSE x END
+                    ELSE y END AS y,
+               d + {s * s} * xor(3 * ((x >> {lev}) & 1), (y >> {lev}) & 1) AS d
+        FROM {prev})"""
+        )
+        prev = cur
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT o_orderkey, d AS hvalue FROM {prev}"
+    )
+
+
+@query(
+    "layout_hilbert_key",
+    oracle=_hilbert_oracle(),
+    doc=(
+        "2-D HILBERT clustering key over (o_custkey, o_totalprice) — "
+        "the locality upgrade over layout_zorder_key's Morton curve: "
+        "every unit step along a Hilbert curve moves exactly one grid "
+        "cell (property-tested: bijective onto [0, 4^bits) with ZERO "
+        "adjacency violations), so a file of W consecutive curve "
+        "positions covers a ~sqrt(W)-square bounding box in BOTH "
+        "dimensions, while Morton runs cross power-of-two seams that "
+        "stretch a file's bbox across half the grid — and min-max file "
+        "skipping prunes on exactly that bbox (Delta's OPTIMIZE moved "
+        "its default curve to Hilbert for this reason). The unrolled "
+        "xy2d transform is pure integer CASE algebra (quadrant digit "
+        "xor(3*rx, ry), flip-within-n + swap), term-identical in both "
+        "engines — hash-exact, no float anywhere past the shared "
+        "percent_rank normalization. One global-rank window pair at "
+        "oracle scale; the write path composes with histogram-CDF "
+        "approx ranks exactly as write_zordered does."
+    ),
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.layout import hilbert_key
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keyed = hilbert_key(orders, ["o_custkey", "o_totalprice"], bits=8)
+    return keyed.select("o_orderkey", F.col("_hvalue").alias("hvalue"))
+
+
 @query(
     "layout_zorder_key",
     oracle=_zorder_oracle(),

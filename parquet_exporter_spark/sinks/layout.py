@@ -213,3 +213,70 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _hilbert_d(x: Column, y: Column, bits: int) -> Column:
+    """2-D Hilbert curve index of integer grid point (x, y), both in
+    [0, 2^bits): the canonical iterative xy2d transform (quadrant digit
+    (3*rx) XOR ry, then flip-within-n + swap on the lower half) as a
+    runtime HOF fold over an [x, y, d] state array — NOT a Python-level
+    unroll: substituting each level's x/y into the next level's
+    expressions doubles the Catalyst tree per level (2^bits copies of
+    the rank subexpression; the same blowup the k-core oracle's
+    MATERIALIZED CTEs exist to prevent, and it OOMs the driver at
+    bits=8), while the fold keeps ONE O(1)-size expression evaluated
+    iteratively per row. All-integer arithmetic (s = 2^lev via exact
+    double pow below 2^53, division by a power of two exact), identical
+    term-for-term to the DuckDB oracle's chained CTEs, so the key is
+    hash-exact cross-engine. Property-tested bijective onto [0, 4^bits)
+    with ZERO adjacency violations (consecutive indices are always
+    4-neighbors) — the locality guarantee Z-order lacks: Morton order
+    jumps across the grid at every power-of-two seam, Hilbert never
+    does."""
+    n = 1 << bits
+
+    def step(acc: Column, lev: Column) -> Column:
+        xs = F.element_at(acc, 1)
+        ys = F.element_at(acc, 2)
+        ds = F.element_at(acc, 3)
+        s = F.pow(F.lit(2.0), lev.cast("double")).cast("long")
+        rx = (F.floor(xs / s) % 2).cast("long")
+        ry = (F.floor(ys / s) % 2).cast("long")
+        d2 = ds + s * s * (rx * 3).bitwiseXOR(ry)
+        x2 = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - ys).otherwise(ys)).otherwise(xs)
+        y2 = F.when(ry == 0, F.when(rx == 1, F.lit(n - 1) - xs).otherwise(xs)).otherwise(ys)
+        return F.array(x2, y2, d2)
+
+    state = F.aggregate(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
+        F.array(x.cast("long"), y.cast("long"), F.lit(0).cast("long")),
+        step,
+    )
+    return F.element_at(state, 3)
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame:
+    """Attach a ``_hvalue`` 2-D Hilbert clustering key over ``cols``
+    (exactly two), percent_rank-normalized like ``zorder_key``. Same
+    role as the Morton key — range-partition + sort by it before the
+    write — but with strictly better locality: every unit step along
+    the curve moves ONE grid cell, so a file of W consecutive curve
+    positions covers a ~sqrt(W) x sqrt(W) box in BOTH dimensions,
+    while Morton runs contain power-of-two seams that stretch a file's
+    bounding box across half the grid (that bbox is exactly what
+    file/row-group min-max skipping prunes on). Delta's OPTIMIZE
+    switched its default curve to Hilbert for the same reason. The
+    exact percent_rank form is the oracle twin; a write path would
+    compose with zorder_key_approx's histogram-CDF ranks exactly as
+    write_zordered does."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key supports exactly 2 columns")
+    hi = (1 << bits) - 1
+    ranks = [
+        F.least(
+            F.floor(F.percent_rank().over(Window.orderBy(c)) * (hi + 1)).cast("long"),
+            F.lit(hi).cast("long"),
+        )
+        for c in cols
+    ]
+    return df.withColumn("_hvalue", _hilbert_d(ranks[0], ranks[1], bits))

@@ -446,6 +446,11 @@ _X1_JUSTIFIED: dict[str, str] = {
         "key; write_zordered defaults to zorder_key_approx's histogram-CDF "
         "ranks with no data-sized gather (round 9)"
     ),
+    "layout_hilbert_key": (
+        "exact: same percent_rank oracle-twin shape as layout_zorder_key; "
+        "a write path composes the Hilbert fold with zorder_key_approx's "
+        "histogram-CDF ranks, no data-sized gather"
+    ),
 }
 for _n, _why in _X1_JUSTIFIED.items():
     _prev_flags, _prev_why = ALLOWED.get(_n, (set(), ""))

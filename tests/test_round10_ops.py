@@ -285,3 +285,77 @@ def test_rabitq_persisted_probe_matches_inmemory_topk(spark, sf_dir):
     files_before = sorted(g.glob(os.path.join(path, "*.parquet")))
     similarity_rabitq_persisted_probe(spark, sf_dir).collect()
     assert sorted(g.glob(os.path.join(path, "*.parquet"))) == files_before
+
+
+def test_hilbert_key_matches_reference_and_has_perfect_adjacency(spark):
+    """The Spark HOF-fold xy2d must equal a straight-line Python
+    reference on the FULL 32x32 grid, be bijective onto [0, 4^bits),
+    and have ZERO adjacency violations (consecutive curve indices are
+    4-neighbors) — the locality property that distinguishes Hilbert
+    from Morton, where seam jumps are expected and measured here as a
+    contrast."""
+    from parquet_exporter_spark.sinks.layout import _hilbert_d, _interleave
+
+    bits = 5
+    n = 1 << bits
+
+    def ref_xy2d(x, y):
+        d, s = 0, n >> 1
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.d
+        for r in grid.select(
+            "x", "y", _hilbert_d(F.col("x"), F.col("y"), bits).alias("d")
+        ).collect()
+    }
+    assert len(got) == n * n
+    pos = {}
+    for (x, y), d in got.items():
+        assert d == ref_xy2d(x, y)
+        pos[d] = (x, y)
+    assert sorted(pos) == list(range(n * n))  # bijective
+    hil_jumps = sum(
+        1
+        for d in range(n * n - 1)
+        if abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) != 1
+    )
+    assert hil_jumps == 0
+    # contrast: Morton on the same grid DOES jump at power-of-two seams
+    mor = {
+        r.z: (r.x, r.y)
+        for r in grid.select(
+            "x", "y", _interleave([F.col("x"), F.col("y")], bits).alias("z")
+        ).collect()
+    }
+    mor_jumps = sum(
+        1
+        for z in range(n * n - 1)
+        if abs(mor[z][0] - mor[z + 1][0]) + abs(mor[z][1] - mor[z + 1][1]) != 1
+    )
+    assert mor_jumps > 0
+
+
+def test_hilbert_key_rejects_wrong_arity(spark, sf_dir):
+    import pytest
+
+    from parquet_exporter_spark.sinks.layout import hilbert_key
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        hilbert_key(orders, ["o_custkey"])
+    with pytest.raises(ValueError):
+        hilbert_key(orders, ["o_custkey", "o_totalprice", "o_orderkey"])
