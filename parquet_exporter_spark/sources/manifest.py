@@ -80,8 +80,33 @@ def file_stats_distributed(spark, paths: list[str], column: str) -> list[FileSta
     from pyspark.sql import functions as F  # noqa: F401  (spark session present)
 
     def _read_footers(batches):
+        # Self-contained closure: the driver's executors may not have this
+        # repo importable (neutral cwd, no PYTHONPATH), so referencing the
+        # module-level _enc would pickle-by-reference and die with
+        # ModuleNotFoundError — caught by the round-10 verify_full replica.
         import pandas as pd
         import pyarrow.parquet as pq
+
+        def _enc(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "b:1" if v else "b:0"
+            if isinstance(v, int):
+                return "i:%d" % v
+            if isinstance(v, float):
+                return "f:" + repr(v)
+            if isinstance(v, str):
+                return "s:" + v
+            if isinstance(v, bytes):
+                return "y:" + v.hex()
+            import datetime as dt
+
+            if isinstance(v, dt.datetime):
+                return "t:" + v.isoformat()
+            if isinstance(v, dt.date):
+                return "d:" + v.isoformat()
+            return "s:" + str(v)
 
         for b in batches:
             rows = []
@@ -130,34 +155,14 @@ def file_stats_distributed(spark, paths: list[str], column: str) -> list[FileSta
     return [by_path[p] for p in paths]
 
 
-def _enc(v):
-    """Footer min/max to a type-tagged string, so ONE string schema in
-    the mapInPandas output covers int, float, string, timestamp and
-    date bounds without ambiguity (a string column whose min is '123'
-    must not come back as an int)."""
-    if v is None:
-        return None
-    if isinstance(v, bool):  # bool before int: bool is an int subclass
-        return "b:1" if v else "b:0"
-    if isinstance(v, int):
-        return "i:%d" % v
-    if isinstance(v, float):
-        return "f:" + repr(v)
-    if isinstance(v, str):
-        return "s:" + v
-    if isinstance(v, bytes):
-        return "y:" + v.hex()
-    import datetime as dt
-
-    if isinstance(v, dt.datetime):
-        return "t:" + v.isoformat()
-    if isinstance(v, dt.date):
-        return "d:" + v.isoformat()
-    return "s:" + str(v)
-
-
 def _dec(v):
-    """Invert _enc on the driver."""
+    """Invert the worker-side type-tagged encoding on the driver. The
+    encoder lives INSIDE file_stats_distributed's mapInPandas closure
+    (self-contained so executors never import this module); the tag set
+    here must mirror it: b/i/f/s/y/t/d. Tagging exists because ONE
+    string schema carries int, float, string, timestamp and date bounds
+    without ambiguity (a string column whose min is '123' must not come
+    back as an int)."""
     if v is None:
         return None
     tag, payload = v[0], v[2:]
