@@ -869,3 +869,91 @@ def stream_token_bucket_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.admitted.cast("long").alias("admitted"),
         F.round(fold.tokens, 6).alias("tokens_left"),
     )
+
+
+@query(
+    "stream_spike_monitor_twin",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, day, v,
+               list(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS lst
+        FROM daily
+    ),
+    full7 AS (SELECT * FROM win WHERE len(lst) = 7),
+    med AS (
+        SELECT event_type, day, v, lst,
+               (list_sort(lst)[(len(lst)+1)//2]
+                + list_sort(lst)[(len(lst)+2)//2]) / 2 AS med
+        FROM full7
+    ),
+    mad AS (
+        SELECT event_type, day, v, med,
+               (list_sort([abs(x - med) for x in lst])[(len(lst)+1)//2]
+                + list_sort([abs(x - med) for x in lst])[(len(lst)+2)//2]) / 2
+                   AS mad
+        FROM med
+    )
+    SELECT event_type, day, CAST(v AS BIGINT) AS n_events,
+           round(med, 6) AS med, round(mad, 6) AS mad,
+           (mad > 0 AND abs(v - med) > 3.0 * 1.4826 * mad) AS is_spike
+    FROM mad
+    """,
+    doc=(
+        "Batch twin of the streaming ONLINE Hampel spike monitor "
+        "(streaming/spike_monitor.py rolling_spike_monitor): each day's "
+        "volume is tested against the median/MAD of the TRAILING 7 "
+        "previous days — the causal form an alerting stream can compute "
+        "at arrival time, versus timeseries_hampel_outliers' centered "
+        "retrospective window; the tested value is excluded from its "
+        "own window, so a spike cannot inflate the threshold that "
+        "judges it. Emits EVERY evaluated day with its verdict (not "
+        "just spikes): the hash pins med, mad, and the boolean "
+        "decision, and the streaming operator is proven equal to this "
+        "exact output on replayed micro-batches (the token-bucket twin "
+        "protocol). All inputs are integer day-counts, the median is "
+        "the shared two-middle formula, and the threshold compare runs "
+        "on exact values — deterministic cross-engine with no rounding "
+        "in the decision path. One event_type exchange over the "
+        "bounded rollup; streaming state is O(keys x 7) floats."
+    ),
+)
+def stream_spike_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    win = daily.withColumn("lst", F.collect_list("v").over(w)).filter(
+        F.size("lst") == 7
+    )
+
+    def _arr_median(arr):
+        s = F.array_sort(arr)
+        n = F.size(arr)
+        lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(s, F.floor((n + 2) / 2).cast("int"))
+        return (lo + hi) / 2
+
+    med = win.withColumn("med", _arr_median(F.col("lst")))
+    mad = med.withColumn(
+        "mad", _arr_median(F.transform("lst", lambda x: F.abs(x - F.col("med"))))
+    )
+    return mad.select(
+        "event_type",
+        "day",
+        F.col("v").cast("long").alias("n_events"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (
+            (F.col("mad") > 0)
+            & (F.abs(F.col("v") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"))
+        ).alias("is_spike"),
+    )

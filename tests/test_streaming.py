@@ -718,3 +718,102 @@ def test_dedup_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus_path).collect()
     )
     assert corpus_after == corpus_before
+
+
+def test_streaming_spike_monitor_matches_trailing_hampel(spark, tmp_path):
+    """The online Hampel monitor must (a) carry its trailing window
+    across micro-batch boundaries, (b) flag exactly the planted spike —
+    which must not inflate the threshold that judges it, (c) agree with
+    a straight-line Python replay of the shared two-middle median
+    contract on every emitted med/mad, and (d) keep a constant series
+    silent (MAD=0)."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.spike_monitor import (
+        SPIKE_WINDOW,
+        _two_middle_median,
+        rolling_spike_monitor,
+    )
+
+    base = datetime(2024, 1, 1)
+    series = {
+        # varied enough that the trailing MAD is nonzero (a window where
+        # >= 4 of 7 values equal the median has MAD = 0, and the
+        # canonical filter is correctly silent on it — the constant
+        # 'view' series pins that case): win [10,13,8,11,9,12,10] ->
+        # med 10, mad 1, threshold 4.45 -> the 50 fires, its successors
+        # don't (the spike enters their windows but cannot drag a
+        # MEDIAN/MAD the way it drags a mean/stddev)
+        "click": [10.0, 13.0, 8.0, 11.0, 9.0, 12.0, 10.0, 50.0, 10.0, 11.0],
+        "view": [7.0] * 10,
+    }
+    rows = []
+    eid = 0
+    for etype, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, base + timedelta(days=i), etype, v))
+            eid += 1
+    rows.sort(key=lambda r: r[1])
+    d = str(tmp_path / "spike_points")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, event_type string, v double"
+
+    def _write_flat(subset, filename):
+        # flat FILES, not Spark directory-parquets — the streaming file
+        # source does not recurse into subdirectories (same pattern as
+        # _write_events above)
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame(subset, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(d, filename))
+        shutil.rmtree(staging)
+
+    # split mid-series so the trailing window must survive a batch boundary
+    _write_flat(rows[: len(rows) // 2], "b1.parquet")
+    _write_flat(rows[len(rows) // 2 :], "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        rolling_spike_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("spike_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        want = sum(len(v) for v in series.values())
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM spike_out").collect()
+            if len(got) >= want:
+                break
+            _time.sleep(1)
+        assert len(got) == want
+    finally:
+        q.stop()
+
+    by_key = {(r.event_type, r.event_id): r for r in got}
+    eid = 0
+    for etype, vals in series.items():
+        for i, v in enumerate(vals):
+            r = by_key[(etype, eid)]
+            if i < SPIKE_WINDOW:
+                assert r.med is None and r.mad is None and r.is_spike is False
+            else:
+                win = sorted(vals[i - SPIKE_WINDOW : i])
+                med = _two_middle_median(win)
+                mad = _two_middle_median(sorted(abs(x - med) for x in win))
+                assert r.med == med and r.mad == mad
+                expect_spike = mad > 0 and abs(v - med) > 3.0 * 1.4826 * mad
+                assert r.is_spike == expect_spike
+            eid += 1
+    spikes = [(r.event_type, r.event_id) for r in got if r.is_spike]
+    # exactly the planted 50 (click ordinal 7) fires; the constant view
+    # series and the spike's own successors stay silent
+    assert spikes == [("click", 7)]
