@@ -838,6 +838,79 @@ def scan_footer_stats_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+HIGHCARD_SESSIONS = os.path.join(FIXTURES, "sessions_highcard")
+
+import hashlib as _hashlib
+
+_BLOOM_LOOKUP = _hashlib.md5(b"sess:4242").hexdigest()  # a known session id
+
+
+def _bloom_scratch_dir() -> str:
+    """Versioned scratch dir for the fixture's Bloom manifest (the
+    committed fixture directory stays read-only; production co-locates
+    the manifest with the data). Same mtime+size freshness key as the
+    IVF/band/rabitq scratch indexes."""
+    import glob as _glob
+    import tempfile
+
+    src_files = sorted(_glob.glob(os.path.join(HIGHCARD_SESSIONS, "*.parquet")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src_files
+    ) or HIGHCARD_SESSIONS
+    tag = _hashlib.sha256(version.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_bloomidx_{tag}")
+
+
+@query(
+    "scan_bloom_pruned",
+    oracle=f"""
+    SELECT session_id, event_id, user_id, round(amount, 4) AS amount
+    FROM read_parquet('{HIGHCARD_SESSIONS}/*.parquet')
+    WHERE session_id = '{_BLOOM_LOOKUP}'
+    """,
+    doc=(
+        "Per-file BLOOM-INDEX pruning for equality lookups on a "
+        "high-cardinality UNCLUSTERED column (sinks/bloom_index.py — "
+        "Delta's Bloom filter index pattern): the 12,000 session ids "
+        "are hash-scattered across 8 files, so every file's [min, max] "
+        "spans the whole keyspace and range-stats pruning "
+        "(scan_manifest_pruned) can skip NOTHING — the structural gap "
+        "Bloom filters exist for. One distributed pass builds a 2 KiB "
+        "filter per file (rows -> k=6 md5 bit positions -> per-(file, "
+        "word) bit_or partial agg; only set words reach the driver), "
+        "the point lookup tests the literal against each filter at "
+        "plan time, and only surviving files are listed into the scan "
+        "(~1 of 8 at the 0.6% FP design point; superset guarantee — a "
+        "Bloom has no false negatives, and the residual predicate "
+        "still runs via read_kept, which also covers the all-pruned "
+        "case). Correctness is file-skip-invariant, so the oracle is "
+        "the plain filtered read of the whole glob. At 100 TB this is "
+        "the difference between a point lookup scanning one file and "
+        "scanning the lake on any id column you didn't cluster by."
+    ),
+)
+def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.bloom_index import (
+        build_bloom_manifest,
+        prune_with_bloom,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    import glob as _glob
+
+    scratch = _bloom_scratch_dir()
+    if not os.path.isfile(os.path.join(scratch, "_bloom.parquet")):
+        build_bloom_manifest(
+            spark, HIGHCARD_SESSIONS, "session_id", manifest_dir=scratch
+        )
+    keep = prune_with_bloom(HIGHCARD_SESSIONS, _BLOOM_LOOKUP, manifest_dir=scratch)
+    all_paths = sorted(_glob.glob(os.path.join(HIGHCARD_SESSIONS, "*.parquet")))
+    df = read_kept(spark, keep, all_paths)
+    return df.filter(F.col("session_id") == _BLOOM_LOOKUP).select(
+        "session_id", "event_id", "user_id", F.round("amount", 4).alias("amount")
+    )
+
+
 @query(
     "dq_file_row_distribution",
     oracle=f"""

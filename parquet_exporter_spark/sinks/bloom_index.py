@@ -1,0 +1,141 @@
+"""Per-file Bloom-filter index: equality-lookup file skipping on
+high-cardinality UNCLUSTERED columns.
+
+Range stats (sources/manifest.py) prune a predicate only when the column
+is clustered — on a hash-scattered id every file's [min, max] spans the
+whole keyspace and nothing skips. A per-file Bloom prunes the equality
+lookup anyway: build one filter per data file at write time (Delta's
+Bloom filter index, Parquet's own bloom_filter option), test the literal
+against each filter at PLAN time, and list only the files that may
+contain it. False positives only ever ADD files — the same superset
+guarantee as stats pruning — and the residual predicate still runs.
+
+Design for 100 TB: the build is one distributed pass (rows -> k bit
+positions -> per-(file, word) bit_or partial agg — map-side combined,
+the only rows that reach the driver are set WORDS, sparse by
+construction); the committed index is metadata-sized (<= files x m/64
+rows); probing is a driver-side dict lookup per query literal, zero IO
+beyond the one manifest read. Hashing is the md5-derived scheme the
+portable sketches already use, computed with THE SAME strings on the
+build (Spark expression) and probe (Python) sides.
+
+Reference parity note: the reference engine (OpenBeta/parquet-exporter)
+has no multi-file scan planning (export.py writes single files); this
+extends the scan/sink surface per SURVEY.md section 2.2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+BLOOM_NAME = "_bloom.parquet"
+BLOOM_M = 16384  # bits per file filter (2 KiB); n=1500 keys, k=6 -> ~0.6% FP
+BLOOM_K = 6
+
+
+def _positions(value: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions of ``value`` — md5 of 'bf{i}:{value}', first 8
+    hex digits, mod m. MUST stay in lockstep with the Spark expression
+    in build_bloom_manifest (same strings, same slice, same modulus)."""
+    return [
+        int(hashlib.md5(f"bf{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def build_bloom_manifest(
+    spark,
+    path: str,
+    column: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    manifest_dir: str | None = None,
+) -> str:
+    """Build per-file Bloom filters over ``column`` for every data file
+    under ``path`` and commit them as ``_bloom.parquet`` rows
+    (file_name, word_idx, word) — sparse: only words with set bits.
+    One distributed pass; the gather is the index itself. Returns the
+    manifest path. Commit is atomic (temp + os.replace).
+    ``manifest_dir`` redirects the committed manifest (e.g. a scratch
+    dir when the data directory is a read-only committed fixture); the
+    production layout co-locates it with the data like _manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
+        F.col(column).cast("string").alias("_v"),
+    )
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), F.col("_v"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).alias(f"p{i}")
+        for i in range(k)
+    ]
+    pos = df.select("file_name", F.array(*pos_cols).alias("ps")).select(
+        "file_name", F.explode("ps").alias("pos")
+    )
+    words = (
+        pos.select(
+            "file_name",
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("file_name", "word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .collect()
+    )
+    tbl = pa.table(
+        {
+            "file_name": [r.file_name for r in words],
+            "word_idx": pa.array([r.word_idx for r in words], pa.int32()),
+            "word": pa.array([r.word for r in words], pa.int64()),
+            "m": pa.array([m] * len(words), pa.int32()),
+            "k": pa.array([k] * len(words), pa.int32()),
+        }
+    )
+    out_dir = manifest_dir or path
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, BLOOM_NAME)
+    tmp = final + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def prune_with_bloom(path: str, value, manifest_dir: str | None = None) -> list[str]:
+    """Data-file paths under ``path`` that MAY contain ``value`` in the
+    indexed column, planned from the committed Bloom manifest alone.
+    Superset guarantee: a Bloom has no false negatives, so every file
+    actually containing the value survives; ~FP-rate extra files may.
+    Files absent from the manifest are conservatively kept."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(manifest_dir or path, BLOOM_NAME)).to_pylist()
+    filters: dict[str, dict[int, int]] = {}
+    m = k = None
+    for r in t:
+        filters.setdefault(r["file_name"], {})[r["word_idx"]] = r["word"]
+        m, k = r["m"], r["k"]
+    pos = _positions(str(value), m, k)
+    keep = []
+    for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        base = os.path.basename(p)
+        if base.startswith("_"):
+            continue
+        words = filters.get(base)
+        if words is None:
+            keep.append(p)  # unindexed file: never prune blind
+            continue
+        if all(words.get(q // 64, 0) & (1 << (q % 64)) for q in pos):
+            keep.append(p)
+    return keep

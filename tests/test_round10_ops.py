@@ -359,3 +359,82 @@ def test_hilbert_key_rejects_wrong_arity(spark, sf_dir):
         hilbert_key(orders, ["o_custkey"])
     with pytest.raises(ValueError):
         hilbert_key(orders, ["o_custkey", "o_totalprice", "o_orderkey"])
+
+
+def test_bloom_index_never_false_negative_and_prunes(spark):
+    """For a spread of known session ids the OWNING file must always
+    survive pruning (Bloom = no false negatives), pruning must actually
+    bite (≈1 of 8 files at the design FP rate), the Spark-side bit
+    positions must equal the Python probe's, and an absent id's pruned
+    read must return 0 rows through the read_kept guard."""
+    import glob as g
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_exporter_spark.queries.extras import (
+        HIGHCARD_SESSIONS,
+        _bloom_scratch_dir,
+    )
+    from parquet_exporter_spark.sinks.bloom_index import (
+        BLOOM_K,
+        BLOOM_M,
+        _positions,
+        build_bloom_manifest,
+        prune_with_bloom,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    scratch = _bloom_scratch_dir()
+    if not os.path.isfile(os.path.join(scratch, "_bloom.parquet")):
+        build_bloom_manifest(spark, HIGHCARD_SESSIONS, "session_id", manifest_dir=scratch)
+    all_paths = sorted(g.glob(os.path.join(HIGHCARD_SESSIONS, "*.parquet")))
+    assert len(all_paths) == 8
+
+    # where each probe id actually lives (ground truth from the data)
+    df = spark.read.parquet(HIGHCARD_SESSIONS).select(
+        "session_id", F.input_file_name().alias("f")
+    )
+    probe_ids = [hashlib.md5(f"sess:{i}".encode()).hexdigest() for i in range(0, 12000, 997)]
+    owner = {
+        r.session_id: os.path.basename(r.f)
+        for r in df.filter(F.col("session_id").isin(probe_ids)).collect()
+    }
+    assert len(owner) == len(probe_ids)
+    kept_counts = []
+    for sid in probe_ids:
+        keep = prune_with_bloom(HIGHCARD_SESSIONS, sid, manifest_dir=scratch)
+        kept_counts.append(len(keep))
+        assert owner[sid] in {os.path.basename(p) for p in keep}  # no false negative
+    assert sum(kept_counts) / len(kept_counts) < 2.5  # pruning actually bites
+
+    # Spark build and Python probe share the exact bit-position contract
+    sid = probe_ids[0]
+    spark_pos = (
+        spark.range(1)
+        .select(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), F.lit(sid))), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % BLOOM_M
+                ).alias(f"p{i}")
+                for i in range(BLOOM_K)
+            ]
+        )
+        .collect()[0]
+    )
+    assert list(spark_pos) == _positions(sid)
+
+    # absent id: usually prunes everything; read stays schema-correct
+    absent = hashlib.md5(b"sess:not-a-real-row").hexdigest()
+    keep = prune_with_bloom(HIGHCARD_SESSIONS, absent, manifest_dir=scratch)
+    got = (
+        read_kept(spark, keep, all_paths)
+        .filter(F.col("session_id") == absent)
+        .count()
+    )
+    assert got == 0

@@ -274,6 +274,36 @@ def write_ranged_events(n_files: int = 8) -> None:
         )
 
 
+def write_highcard_sessions(n_files: int = 8, rows_per_file: int = 1500) -> None:
+    """High-cardinality UNCLUSTERED multi-file table for the Bloom
+    file-index operator: 12,000 unique session_id strings hash-scattered
+    across 8 files (so range stats can NEVER prune an equality lookup —
+    every file's [min, max] spans the whole keyspace) while each
+    session lives in exactly ONE file (so a per-file Bloom prunes a
+    point lookup to ~1 file). Deterministic: ids are md5 of a counter,
+    file assignment is a different md5 — no RNG state."""
+    import hashlib
+
+    total = n_files * rows_per_file
+    rows_by_file: list[list[tuple]] = [[] for _ in range(n_files)]
+    for i in range(total):
+        sid = hashlib.md5(f"sess:{i}".encode()).hexdigest()
+        f = int(hashlib.md5(f"file:{i}".encode()).hexdigest()[:8], 16) % n_files
+        rows_by_file[f].append((sid, i, i % 97, round((i % 1000) / 7.0, 4)))
+    out = os.path.join(OUT_DIR, "sessions_highcard")
+    os.makedirs(out, exist_ok=True)
+    for f, rows in enumerate(rows_by_file):
+        tbl = pa.table(
+            {
+                "session_id": [r[0] for r in rows],
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "amount": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out, f"part-{f}.parquet"))
+
+
 def write_evolved_events() -> None:
     """Two-generation copy of the sf0.001 events for the schema-evolution
     scan: generation 0 (first half by event_id) lacks the props column
@@ -311,3 +341,4 @@ if __name__ == "__main__":
     write_partitioned_events()
     write_ranged_events()
     write_evolved_events()
+    write_highcard_sessions()
