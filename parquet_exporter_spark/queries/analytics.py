@@ -2100,3 +2100,62 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mv", 6).alias("mean_value"),
         "n",
     ).crossJoin(F.broadcast(did))
+
+
+@query(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, sum(n) AS row_total FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           round(t.n / CAST(o.row_total AS DOUBLE), 6) AS p
+    FROM trans t JOIN tot o ON t.from_type = o.from_type
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "journeys: P(next event type | current), estimated from every "
+        "consecutive pair in each user's (ts, event_id)-ordered stream "
+        "— the user-journey model behind next-action prediction, "
+        "absorbing-state funnel analysis, and PageRank-style flow "
+        "attribution, complementing event_paths' literal trigram "
+        "counting with a normalized conditional-probability view. One "
+        "user-keyed exchange for the lead window, then a |types|^2-"
+        "bounded aggregate with map-side combine; row totals join on "
+        "the bounded matrix itself, never the raw stream. Counts are "
+        "integer-exact; each probability is one division, round-6 for "
+        "the cross-engine contract. At 100 TB the matrix stays "
+        "|types|^2 rows regardless of event count — the estimation is "
+        "embarrassingly partial-aggregable."
+    ),
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return trans.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+    )

@@ -1840,3 +1840,158 @@ def timeseries_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFr
             F.round("mean_after", 6).alias("mean_after"),
         )
     )
+
+
+def _meanshift_best_split(daily: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Best mean-shift split per partition of a (part_cols..., day, v)
+    rollup: the changepoint_meanshift statistic |mean_L - mean_R| x
+    sqrt(k(n-k)/n) arg-maxed within each partition (score desc, day
+    tiebreak). Shared by the single-changepoint query and the depth-2
+    binary segmentation — identical arithmetic at every depth."""
+    wo = Window.partitionBy(*part_cols).orderBy("day")
+    wa = Window.partitionBy(*part_cols)
+    stats = daily.select(
+        *part_cols,
+        "day",
+        "v",
+        F.sum("v").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("v").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    mean_before = F.col("cum") / F.col("k")
+    mean_after = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
+    scored = stats.select(
+        *part_cols,
+        "day",
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (
+            F.abs(mean_before - mean_after)
+            * F.sqrt(
+                F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+            )
+        ).alias("score"),
+    )
+    wr = Window.partitionBy(*part_cols).orderBy(F.desc("score"), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _binseg_oracle() -> str:
+    # One level of the recursion as a reusable CTE body: scored splits
+    # within (event_type, seg), arg-maxed. Level 1 runs it with seg =
+    # 'all'; level 2 relabels rows by the level-1 split and reruns the
+    # SAME text — the SQL twin of _meanshift_best_split's reuse.
+    def level(src: str, out: str) -> str:
+        return f"""
+    {out}_stats AS (
+        SELECT event_type, seg, day, v,
+               sum(v) OVER (PARTITION BY event_type, seg ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (PARTITION BY event_type, seg
+                                  ORDER BY day) AS k,
+               sum(v) OVER (PARTITION BY event_type, seg) AS total,
+               count(*) OVER (PARTITION BY event_type, seg) AS n
+        FROM {src}
+    ),
+    {out}_scored AS (
+        SELECT event_type, seg, day,
+               cum / k AS mean_before,
+               (total - cum) / (n - k) AS mean_after,
+               abs(cum / k - (total - cum) / (n - k))
+                   * sqrt(CAST(k AS DOUBLE) * (n - k) / n) AS score
+        FROM {out}_stats WHERE k < n
+    ),
+    {out} AS (
+        SELECT event_type, seg, day, mean_before, mean_after, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type, seg
+                                         ORDER BY score DESC, day) AS rn
+            FROM {out}_scored
+        ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH daily AS (
+        SELECT event_type, 'all' AS seg,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 3
+    ),{level("daily", "lv1")},
+    relabeled AS (
+        SELECT d.event_type,
+               CASE WHEN d.day <= s.day THEN 'L' ELSE 'R' END AS seg,
+               d.day, d.v
+        FROM daily d JOIN lv1 s ON d.event_type = s.event_type
+    ),{level("relabeled", "lv2")}
+    SELECT event_type, 1 AS level, seg, day AS change_day,
+           round(score, 6) AS score,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after
+    FROM lv1
+    UNION ALL
+    SELECT event_type, 2 AS level, seg, day AS change_day,
+           round(score, 6) AS score,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after
+    FROM lv2
+    """
+
+
+@query(
+    "timeseries_binseg_depth2",
+    oracle=_binseg_oracle(),
+    doc=(
+        "Binary segmentation to depth 2 — MULTI-changepoint detection: "
+        "the level-1 mean-shift argmax splits each type's daily series "
+        "(exactly timeseries_changepoint_meanshift), then the IDENTICAL "
+        "statistic re-runs inside each resulting half ('L'/'R' segment "
+        "labels join back on the bounded split table, never the raw "
+        "events), yielding up to 3 ranked changepoints per type — the "
+        "classic Scott-Knott/binary-segmentation recursion, each level "
+        "one more keyed window pass over the bounded rollup. Arithmetic "
+        "is the changepoint query's (integer prefix sums, exact "
+        "divisions, IEEE sqrt), so the per-level argmax stays "
+        "bit-identical cross-engine and the recursion depth only "
+        "changes WHICH partitions the same expressions run in. At full "
+        "depth-d the cost is d keyed passes — O(d) shuffles of "
+        "|types| x |days| rows, independent of event count."
+    ),
+)
+def timeseries_binseg_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v")).withColumn(
+        "seg", F.lit("all")
+    )
+    lv1 = _meanshift_best_split(daily, ["event_type", "seg"])
+    relabeled = (
+        daily.drop("seg")
+        .join(
+            lv1.select("event_type", F.col("day").alias("split_day")), "event_type"
+        )
+        .select(
+            "event_type",
+            F.when(F.col("day") <= F.col("split_day"), "L").otherwise("R").alias("seg"),
+            "day",
+            "v",
+        )
+    )
+    lv2 = _meanshift_best_split(relabeled, ["event_type", "seg"])
+
+    def out(df: DataFrame, level: int) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.lit(level).cast("int").alias("level"),
+            "seg",
+            F.col("day").alias("change_day"),
+            F.round("score", 6).alias("score"),
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+        )
+
+    return out(lv1, 1).unionByName(out(lv2, 2))

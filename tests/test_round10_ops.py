@@ -438,3 +438,41 @@ def test_bloom_index_never_false_negative_and_prunes(spark):
         .count()
     )
     assert got == 0
+
+
+def test_binseg_depth2_recovers_both_planted_shifts(spark):
+    """Three regimes (8 days each at 10, 30, 60/day): level 1 must split
+    at the stronger 30->60 boundary, level 2 must find the 10->30
+    boundary inside the left half, and the constant right half must
+    score 0 (earliest-day tiebreak)."""
+    from parquet_exporter_spark.queries.timeseries import timeseries_binseg_depth2
+
+    counts = [10] * 8 + [30] * 8 + [60] * 8
+    d = _events_dir(spark, _volume_days(counts), "binseg_")
+    try:
+        got = {(r.level, r.seg): r for r in timeseries_binseg_depth2(spark, d).collect()}
+        assert set(got) == {(1, "all"), (2, "L"), (2, "R")}
+        start = dt.date(2024, 3, 1)
+        assert got[(1, "all")].change_day == start + dt.timedelta(days=15)
+        assert got[(2, "L")].change_day == start + dt.timedelta(days=7)
+        assert got[(2, "L")].mean_before == 10.0 and got[(2, "L")].mean_after == 30.0
+        assert got[(2, "R")].score == 0.0  # constant segment: no shift
+        assert got[(1, "all")].score > got[(2, "L")].score > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_markov_transitions_rows_are_probabilities(spark, sf_dir):
+    """Transition rows must form proper conditional distributions: each
+    from_type's probabilities sum to ~1 and every n is positive."""
+    from parquet_exporter_spark.queries.analytics import analytics_markov_transitions
+
+    rows = analytics_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        assert r.n > 0 and 0 < r.p <= 1
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4
