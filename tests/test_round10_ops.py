@@ -476,3 +476,71 @@ def test_markov_transitions_rows_are_probabilities(spark, sf_dir):
         by_from[r.from_type] += r.p
     for total in by_from.values():
         assert abs(total - 1.0) < 1e-4
+
+
+def test_hilbert_files_prune_tighter_than_morton(spark):
+    """The measured claim behind hilbert_key: range-partitioning sf0.01
+    orders into 16 files by Hilbert key yields materially tighter
+    per-file bounding boxes than the Morton key on the same grid — and
+    box queries therefore touch fewer files (bboxes are exactly what
+    min-max file skipping prunes on). Deterministic: ranks, ntile
+    tiebreaks, and the box sample are all pinned."""
+    import random
+
+    from pyspark.sql import Window
+
+    from parquet_exporter_spark.sinks.layout import hilbert_key, zorder_key
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files, bits = 16, 8
+    hi = (1 << bits) - 1
+
+    def bboxes(keyed, col):
+        g = keyed.select(
+            F.least(
+                F.floor(
+                    F.percent_rank().over(Window.orderBy("o_custkey")) * (hi + 1)
+                ).cast("long"),
+                F.lit(hi),
+            ).alias("gx"),
+            F.least(
+                F.floor(
+                    F.percent_rank().over(Window.orderBy("o_totalprice")) * (hi + 1)
+                ).cast("long"),
+                F.lit(hi),
+            ).alias("gy"),
+            F.ntile(n_files).over(Window.orderBy(col, "o_orderkey")).alias("f"),
+        )
+        return g.groupBy("f").agg(
+            F.min("gx").alias("x0"),
+            F.max("gx").alias("x1"),
+            F.min("gy").alias("y0"),
+            F.max("gy").alias("y1"),
+        ).collect()
+
+    def stats(bbox):
+        area = sum((r.x1 - r.x0 + 1) * (r.y1 - r.y0 + 1) for r in bbox) / len(bbox)
+        rng = random.Random(7)
+        hits = 0
+        for _ in range(200):
+            qx, qy = rng.randint(0, hi - 32), rng.randint(0, hi - 32)
+            for r in bbox:
+                if not (r.x1 < qx or r.x0 > qx + 32 or r.y1 < qy or r.y0 > qy + 32):
+                    hits += 1
+        return area, hits / 200
+
+    h_area, h_hits = stats(
+        bboxes(hilbert_key(orders, ["o_custkey", "o_totalprice"], bits=bits), "_hvalue")
+    )
+    m_area, m_hits = stats(
+        bboxes(zorder_key(orders, ["o_custkey", "o_totalprice"], bits=bits), "_zvalue")
+    )
+    # measured round-10: 4550 vs 6916 grid-cells (0.66x) and 2.21 vs
+    # 2.98 files per 32x32 box query (0.74x); the regression bar leaves
+    # headroom but the ORDERING must hold
+    assert h_area < m_area * 0.85
+    assert h_hits < m_hits * 0.9
+    assert h_hits < 3.0  # absolute sanity: queries touch ~2 of 16 files
