@@ -545,3 +545,61 @@ def test_holt_winters_fold_matches_bruteforce_replay(spark, counts):
     assert r.season_min == _round6_half_up(min(seas))
     assert r.season_max == _round6_half_up(max(seas))
     assert r.forecast_1 == _round6_half_up(level + trend + seas[next_j])
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=2, max_size=25),
+)
+def test_changepoint_meanshift_matches_bruteforce_argmax(spark, counts):
+    """For ANY daily-count series, the windowed changepoint must equal a
+    straight-line Python argmax of the published statistic
+    |mean_L - mean_R| * sqrt(k(n-k)/n) with the day tiebreak — prefix
+    sums, divisions, and sqrt all replayed exactly."""
+    import datetime as dt
+    import math
+
+    from parquet_exporter_spark.queries.timeseries import (
+        timeseries_changepoint_meanshift,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for off, n in enumerate(counts):
+        for k in range(n):
+            rows.append(
+                (eid, 1, base + dt.timedelta(days=off, minutes=k), "view", 1.0)
+            )
+            eid += 1
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix="chgprop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(_os.path.join(d, "events.parquet"))
+        got = timeseries_changepoint_meanshift(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+    n = len(counts)
+    total = float(sum(counts))
+    best = None  # strict > keeps the EARLIEST day on ties, the contract's tiebreak
+    cum = 0.0
+    for k in range(1, n):
+        cum += counts[k - 1]
+        mb = cum / k
+        ma = (total - cum) / (n - k)
+        score = abs(mb - ma) * math.sqrt(k * (n - k) / n)
+        if best is None or score > best[0]:
+            best = (score, k - 1, mb, ma)
+    exp_score, exp_idx, exp_mb, exp_ma = best
+    assert r.change_day == (base + dt.timedelta(days=exp_idx)).date()
+    assert r.score == round(exp_score, 6)
+    assert r.mean_before == round(exp_mb, 6)
+    assert r.mean_after == round(exp_ma, 6)
