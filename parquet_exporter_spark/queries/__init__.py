@@ -165,14 +165,15 @@ DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 # 50th slot is the round-10 addition similarity_rabitq_fast_topk, which
 # closes the round-9 verdict's one weak mark (the FWHT scale path is now
 # a registered query with its own bounded-error verdict oracle rather
-# than an unregistered flag). The eleven other round-10 additions
+# than an unregistered flag). The twelve other round-10 additions
 # (similarity_rabitq_persisted_probe, scan_footer_stats_distributed,
 # scan_bloom_pruned, graph_adamic_adar, timeseries_hampel_outliers,
 # timeseries_mase, timeseries_changepoint_meanshift,
 # timeseries_binseg_depth2, layout_hilbert_key,
-# stream_spike_monitor_twin, analytics_markov_transitions) queue
+# stream_spike_monitor_twin, analytics_markov_transitions,
+# dq_drift_wasserstein) queue
 # immediately after the front via the self-healing module-order rule
-# and form the round-11 window's head — leaving ~39 spare round-11
+# and form the round-11 window's head — leaving ~38 spare round-11
 # slots for contract-upgrade restamps or round-11 additions. Order: the judge-flagged rabitq pair first (fresh oracles earn
 # stamps fastest), then the round-9 additions, the restamp-voided
 # geo_nearest_climbs, and the family tails (8 timeseries diagnostics,

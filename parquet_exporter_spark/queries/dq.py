@@ -1281,3 +1281,137 @@ def dq_counter_reset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(reset.cast("int")).cast("long").alias("n_resets"),
         F.round(F.sum(delta), 6).alias("total_increase"),
     )
+
+
+N_W1_BINS = 256
+
+
+@query(
+    "dq_drift_wasserstein",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(ts) AS lo_ts, max(ts) AS hi_ts,
+               min(value) AS lo_v, max(value) AS hi_v
+        FROM events
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(e.ts) * 2 < epoch_us(b.lo_ts) + epoch_us(b.hi_ts)
+                    THEN 'ref' ELSE 'cur' END AS period,
+               least({N_W1_BINS} - 1, greatest(0, CAST(floor(
+                   (e.value - b.lo_v) / ((b.hi_v - b.lo_v) / {N_W1_BINS})
+               ) AS INTEGER))) AS bin
+        FROM events e CROSS JOIN bounds b
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM binned GROUP BY event_type, bin
+    ),
+    spine AS (
+        SELECT t.event_type, g.b AS bin
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(0, {N_W1_BINS} - 1)) AS b) g
+    ),
+    dense AS (
+        SELECT s.event_type, s.bin,
+               coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        FROM spine s LEFT JOIN counts c
+          ON s.event_type = c.event_type AND s.bin = c.bin
+    ),
+    cdf AS (
+        SELECT event_type, bin,
+               sum(n_ref) OVER (PARTITION BY event_type ORDER BY bin)
+                   / sum(n_ref) OVER (PARTITION BY event_type) AS f_ref,
+               sum(n_cur) OVER (PARTITION BY event_type ORDER BY bin)
+                   / sum(n_cur) OVER (PARTITION BY event_type) AS f_cur
+        FROM dense
+    )
+    SELECT c.event_type,
+           round(sum(abs(f_ref - f_cur))
+                 * ((b.hi_v - b.lo_v) / {N_W1_BINS}), 6) AS w1,
+           round((b.hi_v - b.lo_v) / {N_W1_BINS}, 6) AS bin_width
+    FROM cdf c CROSS JOIN bounds b
+    GROUP BY c.event_type, b.hi_v, b.lo_v
+    """,
+    doc=(
+        "Distribution drift as the 1-D WASSERSTEIN-1 distance (earth "
+        "mover's) between the time-split halves of each type's value "
+        "distribution, on a shared 256-bin grid: W1 = bin_width x "
+        "sum_b |CDF_ref(b) - CDF_cur(b)| — the drift measure PSI and "
+        "KS structurally miss, because it weights HOW FAR mass moved, "
+        "not just that it moved (a shift of one bin and a shift across "
+        "the whole range give identical KS yet very different W1). "
+        "Densified bin spine (distinct types x generate_series) so "
+        "empty bins still carry their |CDF gap| term; CDFs are integer "
+        "cumulative counts over the bounded types x 256 table divided "
+        "once — the only full-data costs are the 4-value bounds "
+        "aggregate and one binning scan with map-side partial counts, "
+        "identical shape to dq_drift_psi. The grid approximation is "
+        "the standard practice at scale (exact W1 needs a global sort "
+        "of every value); halving the grid halves the resolution, "
+        "never the scan count."
+    ),
+)
+def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo_ts"),
+        F.max("ts").alias("hi_ts"),
+        F.min("value").alias("lo_v"),
+        F.max("value").alias("hi_v"),
+    )
+    epoch = F.unix_micros
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            epoch(F.col("ts")) * 2 < epoch(F.col("lo_ts")) + epoch(F.col("hi_ts")),
+            F.lit("ref"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.lit(N_W1_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    / ((F.col("hi_v") - F.col("lo_v")) / N_W1_BINS)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(N_W1_BINS - 1))).alias("bin"))
+    )
+    dense = spine.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("bin")
+    wa = Window.partitionBy("event_type")
+    cdf = dense.select(
+        "event_type",
+        (F.sum("n_ref").over(wo) / F.sum("n_ref").over(wa)).alias("f_ref"),
+        (F.sum("n_cur").over(wo) / F.sum("n_cur").over(wa)).alias("f_cur"),
+    )
+    width = (F.col("hi_v") - F.col("lo_v")) / N_W1_BINS
+    return (
+        cdf.groupBy("event_type")
+        .agg(F.sum(F.abs(F.col("f_ref") - F.col("f_cur"))).alias("gap_sum"))
+        .crossJoin(F.broadcast(bounds.select("lo_v", "hi_v")))
+        .select(
+            "event_type",
+            F.round(F.col("gap_sum") * width, 6).alias("w1"),
+            F.round(width, 6).alias("bin_width"),
+        )
+    )

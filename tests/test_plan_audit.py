@@ -293,6 +293,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row min/max bounds aggregate broadcast back onto the stream "
         "for binning; cardinality = 1 regardless of data size",
     ),
+    "dq_drift_wasserstein": (
+        {"bnlj", "single_partition_x2"},
+        "the dq_drift_psi bounds-broadcast shape twice (binning pass + "
+        "final width scaling); both gathers carry the partially-"
+        "aggregated 1-row min/max bounds, never data",
+    ),
     "funnel_three_step": (
         {"bnlj", "single_partition_x3"},
         "three 1-row stage counts gathered then cross-joined into the "

@@ -544,3 +544,33 @@ def test_hilbert_files_prune_tighter_than_morton(spark):
     assert h_area < m_area * 0.85
     assert h_hits < m_hits * 0.9
     assert h_hits < 3.0  # absolute sanity: queries touch ~2 of 16 files
+
+
+def test_wasserstein_measures_translation_distance(spark):
+    """A clean translation must score W1 ~= the shift distance (the
+    property PSI and KS cannot express: both saturate identically for a
+    1-bin and a whole-range shift), and identical halves must score ~0
+    — binned approximation error is bounded by one bin width."""
+    from parquet_exporter_spark.queries.dq import dq_drift_wasserstein
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # ref half (early ts): value 10; cur half (late ts): value 20
+    for i in range(100):
+        rows.append((i, 1, base + dt.timedelta(minutes=i), "click", 10.0))
+    for i in range(100):
+        rows.append((1000 + i, 1, base + dt.timedelta(days=10, minutes=i), "click", 20.0))
+    # a second type with NO drift: same values both halves
+    for i in range(100):
+        rows.append((2000 + i, 1, base + dt.timedelta(minutes=i), "view", 10.0 + (i % 11)))
+        rows.append((3000 + i, 1, base + dt.timedelta(days=10, minutes=i), "view", 10.0 + (i % 11)))
+    d = _events_dir(spark, rows, "w1drift_")
+    try:
+        got = {r.event_type: r for r in dq_drift_wasserstein(spark, d).collect()}
+        # true W1 of the click translation is 10; grid resolution is
+        # (20-10)/256 ~ 0.039, so the binned estimate sits within one width
+        assert abs(got["click"].w1 - 10.0) <= 2 * got["click"].bin_width + 1e-9
+        assert got["view"].w1 <= 2 * got["view"].bin_width + 1e-9
+        assert got["click"].w1 > 100 * got["view"].w1 or got["view"].w1 == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
