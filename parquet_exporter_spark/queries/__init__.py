@@ -156,85 +156,31 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-10 driver check
-# budget: EXACTLY 50 names, matching the observed driver stamp window.
-# CORRECTNESS_r09 landed 50/50 green on the round-9 PRIORITY
-# (DRIVER_VERIFIED folds it in automatically); exactly 49 never-stamped
-# names remained entering round 10 — this window takes ALL of them, so
-# after this round every pre-round-10 query carries a driver stamp. The
-# 50th slot is the round-10 addition similarity_rabitq_fast_topk, which
-# closes the round-9 verdict's one weak mark (the FWHT scale path is now
-# a registered query with its own bounded-error verdict oracle rather
-# than an unregistered flag). The twelve other round-10 additions
-# (similarity_rabitq_persisted_probe, scan_footer_stats_distributed,
-# scan_bloom_pruned, graph_adamic_adar, timeseries_hampel_outliers,
-# timeseries_mase, timeseries_changepoint_meanshift,
-# timeseries_binseg_depth2, layout_hilbert_key,
-# stream_spike_monitor_twin, analytics_markov_transitions,
-# dq_drift_wasserstein) queue
-# immediately after the front via the self-healing module-order rule
-# and form the round-11 window's head — leaving ~38 spare round-11
-# slots for contract-upgrade restamps or round-11 additions. Order: the judge-flagged rabitq pair first (fresh oracles earn
-# stamps fastest), then the round-9 additions, the restamp-voided
-# geo_nearest_climbs, and the family tails (8 timeseries diagnostics,
-# 22 analytics, 10 emb/similarity, 2 scans).
+# Hand-picked front of the registry for the ROUND-11 driver check
+# budget: the driver stamps EXACTLY the first 50 registry names.
+# CORRECTNESS_r10 landed 50/50 green on the round-10 PRIORITY
+# (DRIVER_VERIFIED folds it in automatically), so entering round 11
+# exactly twelve never-stamped names remain: the round-10 additions.
+# This window head takes ALL of them — done means 452/452 registered
+# queries carry a driver stamp with zero failures ever. Round-11
+# additions registered after this tuple queue immediately behind it
+# via the self-healing module-order rule and fill the ~38 spare
+# window slots without further PRIORITY edits. Order: the rabitq
+# persisted probe first (closes the compute-once-serve-many story),
+# then the scan pair, then the detector/diagnostic tail.
 PRIORITY = (
-    # the round-9 weak-mark pair: scale path + its exact twin
-    "similarity_rabitq_fast_topk",
-    "similarity_rabitq_topk",
-    # round-9 additions
-    "analytics_match_recognize",
-    "timeseries_holt_linear",
-    "timeseries_holt_winters",
-    "layout_compaction_plan",
-    "graph_kcore",
-    "scan_manifest_pruned",
-    "scan_schema_evolution",
-    # contract-fix restamp (RESTAMP_AFTER_ROUND voided its empty stamps)
-    "geo_nearest_climbs",
-    # timeseries diagnostics tail — finishes the family
-    "timeseries_peak_detection",
-    "timeseries_seasonality_strength",
-    "timeseries_cross_correlation",
-    "timeseries_acf",
-    "timeseries_burstiness",
-    "timeseries_realized_volatility",
-    "timeseries_dow_adjusted",
-    "timeseries_sma_crossover",
-    # embeddings / similarity tail — finishes the family
-    "emb_centroid_drift",
-    "similarity_hard_negatives",
-    "emb_knn_outlier_score",
-    "emb_label_separation",
-    "emb_quantization_error",
-    "emb_nearest_centroid_accuracy",
-    "emb_norm_profile",
-    "emb_dim_variance_topk",
-    "emb_twonn_intrinsic_dim",
-    "emb_cosine_histogram",
-    # analytics tail — finishes the family
-    "analytics_repeat_purchase_interval",
-    "analytics_new_vs_returning",
-    "analytics_cohort_ltv",
-    "analytics_monthly_churn",
-    "analytics_order_value_deciles",
-    "analytics_cumulative_users",
-    "analytics_last_touch_attribution",
-    "analytics_feature_adoption",
-    "analytics_ship_lag_monthly",
-    "analytics_user_value_trend",
-    "analytics_order_backlog",
-    "analytics_session_conversion",
-    "analytics_top_movers",
-    "analytics_activity_heatmap",
-    "analytics_dau_wau_stickiness",
-    "analytics_time_to_first_purchase",
-    "analytics_revenue_bridge",
-    "analytics_spearman_daily",
-    "analytics_lifecycle_stages",
-    "analytics_touches_before_purchase",
-    "analytics_day_n_retention",
-    "analytics_user_activity_powerlaw",
+    "similarity_rabitq_persisted_probe",
+    "scan_footer_stats_distributed",
+    "scan_bloom_pruned",
+    "graph_adamic_adar",
+    "timeseries_hampel_outliers",
+    "timeseries_mase",
+    "timeseries_changepoint_meanshift",
+    "timeseries_binseg_depth2",
+    "layout_hilbert_key",
+    "stream_spike_monitor_twin",
+    "analytics_markov_transitions",
+    "dq_drift_wasserstein",
 )
 
 

@@ -552,7 +552,7 @@ _AA_TOPK = 3
     SELECT a AS part_key, b AS predicted_part, CAST(rn AS BIGINT) AS rank,
            n_common, aa_score
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY a ORDER BY aa_score DESC, b) AS rn
+              PARTITION BY a ORDER BY n_common DESC, b) AS rn
           FROM scored)
     WHERE rn <= {_AA_TOPK}
     """,
@@ -564,8 +564,11 @@ _AA_TOPK = 3
         "rare shared neighbors vote harder than promiscuous ones, the "
         "classic recommender/link-prediction signal degree counting "
         "alone misses — and keep the top-3 predictions per part via a "
-        "part-keyed window (rounded score, id tiebreak: deterministic "
-        "cross-engine). The common-neighbor join composes two keyed "
+        "part-keyed window RANKED ON THE EXACT INTEGER n_common with id "
+        "tiebreak (deterministic cross-engine; the float aa_score is a "
+        "round-6 payload column excluded from ordering, so a last-ulp "
+        "libm ln() divergence can never flip the rank — the repo's "
+        "oracle-float rule). The common-neighbor join composes two keyed "
         "equi-joins and one anti-join on the SAME edge relation (no "
         "all-pairs over parts; candidates are 2-hop walks, bounded by "
         "TPC-H's <= 7 lines per order on the first hop), the deg side "
@@ -616,7 +619,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
         )
     )
-    wr = Window.partitionBy("a").orderBy(F.desc("aa_score"), "b")
+    wr = Window.partitionBy("a").orderBy(F.desc("n_common"), "b")
     return (
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _AA_TOPK)

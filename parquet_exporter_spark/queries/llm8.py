@@ -390,8 +390,11 @@ def similarity_rabitq_topk(
         "proves the fast path's RANKING and VALUES against independent "
         "ground truth, not liveness), est_within_tol (max "
         "|fast - exact| raw estimator gap <= 1e-9 over every scored "
-        "pair), and topk_overlap_ok (>= 9 of top-10 ids per query "
-        "agree — slack for a tie at the exact rounding boundary). The "
+        "pair), and topk_overlap_ok (ALL top-10 ids per query agree — "
+        "pinned at 10/10, because top_est_sum is hash-checked against "
+        "the oracle's exact-rotation top-k mass, so any one-member "
+        "divergence would fail the hash anyway; a >=9/10 slack here "
+        "would be tolerance theater). The "
         "fast branch is the plan an index build would run at 100 TB: "
         "rotation + 1-bit signatures + L1 persist as 9 bytes/vector at "
         "write time (ArrowEvalPython plan-asserted in tests); the "
@@ -443,7 +446,7 @@ def similarity_rabitq_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scored",
             "top_est_sum",
             "est_within_tol",
-            (F.col("n_overlap") >= _RBQ_TOPK - 1).alias("topk_overlap_ok"),
+            (F.col("n_overlap") == _RBQ_TOPK).alias("topk_overlap_ok"),
         )
     )
 

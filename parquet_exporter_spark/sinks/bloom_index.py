@@ -63,10 +63,24 @@ def build_bloom_manifest(
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
 
-    df = spark.read.parquet(path).select(
+    src = spark.read.parquet(path)
+    if not isinstance(src.schema[column].dataType, StringType):
+        # Build hashes Spark's CAST(col AS STRING); probe hashes Python
+        # str(value). The two renderings disagree for float/decimal/
+        # timestamp (Spark '1.0E-4' vs Python '0.0001'), which would turn
+        # Bloom false POSITIVES into false NEGATIVES and silently prune a
+        # file that contains the value. Refuse rather than break the
+        # superset guarantee.
+        raise TypeError(
+            f"bloom index supports string columns only; {column!r} is "
+            f"{src.schema[column].dataType.simpleString()} (Spark CAST-to-string "
+            "and Python str() renderings differ for non-string types)"
+        )
+    df = src.select(
         F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
-        F.col(column).cast("string").alias("_v"),
+        F.col(column).alias("_v"),
     )
     pos_cols = [
         (
@@ -115,18 +129,35 @@ def prune_with_bloom(path: str, value, manifest_dir: str | None = None) -> list[
     indexed column, planned from the committed Bloom manifest alone.
     Superset guarantee: a Bloom has no false negatives, so every file
     actually containing the value survives; ~FP-rate extra files may.
-    Files absent from the manifest are conservatively kept."""
+    Files absent from the manifest are conservatively kept; an EMPTY
+    manifest (zero rows: empty table or no set words) keeps everything.
+    ``value`` must be a str — the index is string-columns-only (see
+    build_bloom_manifest)."""
     import glob
 
     import pyarrow.parquet as pq
 
+    if not isinstance(value, str):
+        raise TypeError(
+            f"bloom probe value must be str (index is string-columns-only), "
+            f"got {type(value).__name__}"
+        )
     t = pq.read_table(os.path.join(manifest_dir or path, BLOOM_NAME)).to_pylist()
     filters: dict[str, dict[int, int]] = {}
     m = k = None
     for r in t:
         filters.setdefault(r["file_name"], {})[r["word_idx"]] = r["word"]
         m, k = r["m"], r["k"]
-    pos = _positions(str(value), m, k)
+    if m is None:
+        # Zero-row manifest: no filter was ever materialized. Keep every
+        # data file rather than raise — pruning is an optimization and
+        # "no index" must degrade to "scan everything".
+        return [
+            p
+            for p in sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not os.path.basename(p).startswith("_")
+        ]
+    pos = _positions(value, m, k)
     keep = []
     for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         base = os.path.basename(p)
