@@ -87,6 +87,19 @@ def zorder_key_approx(
     shuffle; persist upstream if the frame is expensive to produce."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key_approx supports 1-4 columns")
+    out, ranks, scratch = _approx_ranks(df, cols, bits, nbins)
+    return out.withColumn("_zvalue", _interleave(ranks, bits)).drop(*scratch)
+
+
+def _approx_ranks(
+    df: DataFrame, cols: list[str], bits: int, nbins: int
+) -> tuple[DataFrame, list[Column], list[str]]:
+    """Histogram-CDF per-dimension ranks in [0, 2^bits) with no
+    data-sized single-partition exchange — the shared scale path under
+    both curve keys (``zorder_key_approx`` interleaves them into a
+    Morton key; ``hilbert_key_approx`` folds them through the Hilbert
+    transform). Returns (frame-with-rank-columns, rank column refs,
+    scratch column names for the caller to drop)."""
     hi = (1 << bits) - 1
     bounds = df.agg(
         *[
@@ -147,8 +160,25 @@ def zorder_key_approx(
         )
         out = out.join(F.broadcast(cdf), f"__bin_{c}")
         ranks.append(F.col(f"__rank_{c}"))
-    return out.withColumn("_zvalue", _interleave(ranks, bits)).drop(
-        *[f"__{p}_{c}" for c in cols for p in ("lo", "hi", "bin", "rank")]
+    scratch = [f"__{p}_{c}" for c in cols for p in ("lo", "hi", "bin", "rank")]
+    return out, ranks, scratch
+
+
+def hilbert_key_approx(
+    df: DataFrame, cols: list[str], bits: int = ZBITS, nbins: int = 1024
+) -> DataFrame:
+    """Attach a ``_hvalue`` Hilbert key over exactly two numeric ``cols``
+    WITHOUT any data-sized single-partition exchange — the 100 TB write
+    path behind ``write_hilberted``, composing the histogram-CDF ranks
+    (``_approx_ranks``, shared with ``zorder_key_approx``) with the
+    all-integer Hilbert fold (``_hilbert_d``). Same rank resolution
+    caveats as the Morton approx form; on rank-uniform inputs with
+    nbins == 2^bits the keys equal ``hilbert_key``'s exactly (tested)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key_approx supports exactly 2 columns")
+    out, ranks, scratch = _approx_ranks(df, cols, bits, nbins)
+    return out.withColumn("_hvalue", _hilbert_d(ranks[0], ranks[1], bits)).drop(
+        *scratch
     )
 
 
@@ -215,6 +245,50 @@ def write_zordered(
     )
 
 
+def write_hilberted(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+    exact: bool = False,
+    manifest_col: str | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the 2-D HILBERT curve of
+    ``cols`` — the documented DEFAULT for two-dimensional layout: the
+    round-10 skip-tightness measurement (pinned in
+    tests/test_round10_ops.py) found Hilbert files cover 0.66x the
+    bounding-box area and box scans touch 0.74x the files vs Morton on
+    the same data, because every unit step along the Hilbert curve
+    moves one grid cell while Morton jumps across power-of-two seams
+    (the reason Delta's OPTIMIZE switched its default curve). Use
+    ``write_zordered`` only for 3-4 dimensions, which the 2-D Hilbert
+    transform doesn't cover.
+
+    Same contract as ``write_zordered``: range-partition by the curve
+    key into ``n_files`` tasks, sort within each, drop the key, write;
+    readers need no special support. Defaults to the scale-safe
+    ``hilbert_key_approx`` (histogram-CDF ranks, no data-sized
+    single-partition exchange); ``exact=True`` restores the
+    percent_rank form for bounded inputs. ``manifest_col`` additionally
+    commits the ``_manifest.parquet`` stats manifest on that column
+    (the write_manifested path) so range predicates on it plan file
+    subsets from metadata alone — the curve clusters BOTH dimensions,
+    so either makes a selective manifest."""
+    keyed = hilbert_key(df, cols) if exact else hilbert_key_approx(df, cols)
+    (
+        keyed.repartitionByRange(n_files, "_hvalue")
+        .sortWithinPartitions("_hvalue")
+        .drop("_hvalue")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    if manifest_col is not None:
+        from parquet_exporter_spark.sinks.manifest_sink import refresh_manifest
+
+        refresh_manifest(path, manifest_col)
+
+
 def _hilbert_d(x: Column, y: Column, bits: int) -> Column:
     """2-D Hilbert curve index of integer grid point (x, y), both in
     [0, 2^bits): the canonical iterative xy2d transform (quadrant digit
@@ -266,8 +340,9 @@ def hilbert_key(df: DataFrame, cols: list[str], bits: int = ZBITS) -> DataFrame:
     bounding box across half the grid (that bbox is exactly what
     file/row-group min-max skipping prunes on). Delta's OPTIMIZE
     switched its default curve to Hilbert for the same reason. The
-    exact percent_rank form is the oracle twin; a write path would
-    compose with zorder_key_approx's histogram-CDF ranks exactly as
+    exact percent_rank form is the oracle twin; the write path
+    (``write_hilberted``) composes the same fold with
+    ``hilbert_key_approx``'s histogram-CDF ranks exactly as
     write_zordered does."""
     if len(cols) != 2:
         raise ValueError("hilbert_key supports exactly 2 columns")

