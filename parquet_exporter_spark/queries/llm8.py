@@ -857,6 +857,149 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hwm_level_sql() -> str:
+    """The MULTIPLICATIVE level-update expression, textually shared by
+    every use site in the oracle (same no-lateral-let workaround as the
+    additive twin; the repeated subexpression evaluates identically)."""
+    j = "CAST(x[1] AS INT)"
+    return (
+        f"{_HW_ALPHA} * (x[2] / acc[{j} + 3])"
+        f" + {1 - _HW_ALPHA} * (acc[1] + acc[2])"
+    )
+
+
+@query(
+    "timeseries_holt_winters_mult",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    % {_HW_PERIOD} AS DOUBLE) AS j
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list([j, v] ORDER BY day) AS xs,
+               max(day) AS last_day,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, n_days, last_day,
+               list_reduce(
+                   list_prepend(
+                       CAST([xs[1][2], 0, 1, 1, 1, 1, 1, 1, 1] AS DOUBLE[]),
+                       xs[2:]),
+                   (acc, x) -> list_concat(
+                       [{_hwm_level_sql()},
+                        {_HW_BETA} * (({_hwm_level_sql()}) - acc[1])
+                            + {1 - _HW_BETA} * acc[2]],
+                       list_transform(acc[3:{2 + _HW_PERIOD}],
+                           (e, i) -> CASE WHEN i - 1 = CAST(x[1] AS INT)
+                               THEN {_HW_GAMMA} * (x[2] / ({_hwm_level_sql()}))
+                                    + {1 - _HW_GAMMA} * e
+                               ELSE e END))
+               ) AS st
+        FROM series
+    )
+    SELECT event_type, n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round((st[1] + st[2])
+                 * st[CAST((date_diff('day', DATE '1970-01-01', last_day) + 1)
+                           % {_HW_PERIOD} AS INT) + 3], 6) AS forecast_1,
+           round(list_min(st[3:{2 + _HW_PERIOD}]), 6) AS season_min,
+           round(list_max(st[3:{2 + _HW_PERIOD}]), 6) AS season_max
+    FROM folded
+    """,
+    doc=(
+        "Holt-Winters MULTIPLICATIVE triple exponential smoothing per "
+        "event_type over the daily count series — the seasonality form "
+        "retail/traffic series need, where the weekly swing scales WITH "
+        "the level (a +20% Saturday is +20% whether the week averages "
+        "100 or 10,000; the additive twin would freeze it at a fixed "
+        "row count): level' = a*(x / s_j) + (1-a)*(level+trend), "
+        "trend' = b*(level'-level) + (1-b)*trend, s_j' = g*(x / "
+        "level') + (1-g)*s_j, forecast = (level'+trend') * s_(next j). "
+        "Same rational-arithmetic fold contract as the additive twin "
+        "(llm8.py timeseries_holt_winters): exact-binary-fraction "
+        "smoothing constants, exact integer count inputs, and IEEE "
+        "division is correctly rounded like sqrt — every fold step is "
+        "bit-identical cross-engine given identical order, which the "
+        "sorted-array sequential fold guarantees. Seeded level=x1, "
+        "trend=0, seasonals all 1.0 (the multiplicative identity — a "
+        "0-seed would divide by zero on the first visit to each "
+        "weekday), prepended full-arity so a 1-day series returns the "
+        "seed unapplied on both engines. Scale shape unchanged: one "
+        "partial-agg shuffle to |event_type, day| rows, one "
+        "entity-keyed shuffle of bounded daily arrays, O(period) state "
+        "per key, applyInPandasWithState-ready."
+    ),
+)
+def timeseries_holt_winters_mult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    daily = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    daily = daily.withColumn(
+        "j", (F.datediff("day", F.lit("1970-01-01").cast("date")) % _HW_PERIOD)
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day").alias("d"), "j", "v"))
+        ).alias("xs"),
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    def step(acc, x):
+        s_j = F.element_at(acc, x["j"] + F.lit(3))
+        level, trend = F.element_at(acc, 1), F.element_at(acc, 2)
+        level2 = F.lit(a) * (x["v"] / s_j) + F.lit(1 - a) * (level + trend)
+        trend2 = F.lit(b) * (level2 - level) + F.lit(1 - b) * trend
+        s2 = F.lit(g) * (x["v"] / level2) + F.lit(1 - g) * s_j
+        seasonals = F.transform(
+            F.slice(acc, 3, _HW_PERIOD),
+            lambda e, i: F.when(i == x["j"], s2).otherwise(e),
+        )
+        return F.concat(F.array(level2, trend2), seasonals)
+
+    seed = F.concat(
+        F.array(F.element_at("xs", 1)["v"], F.lit(0.0)),
+        F.array_repeat(F.lit(1.0), _HW_PERIOD),
+    )
+    fold = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))), seed, step
+    )
+    next_j = (
+        (F.datediff("last_day", F.lit("1970-01-01").cast("date")) + 1) % _HW_PERIOD
+    )
+    st = series.select(
+        "event_type",
+        "n_days",
+        fold.alias("st"),
+        next_j.alias("next_j"),
+    )
+    seas = F.slice("st", 3, _HW_PERIOD)
+    return st.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(
+            (F.element_at("st", 1) + F.element_at("st", 2))
+            * F.element_at("st", F.col("next_j") + F.lit(3)),
+            6,
+        ).alias("forecast_1"),
+        F.round(F.array_min(seas), 6).alias("season_min"),
+        F.round(F.array_max(seas), 6).alias("season_max"),
+    )
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 10
 _KCORE_MIN_CO = 2  # edge = parts co-ordered in >= 2 distinct orders

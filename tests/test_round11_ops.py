@@ -182,3 +182,117 @@ def test_write_hilberted_clusters_box_queries_and_commits_manifest(
         .collect()
     }
     assert truth <= kept
+
+
+def _planted_mult_events(spark, prefix):
+    """70 days of counts = round(level(d) * factor[dow]) with the level
+    QUADRUPLING over the window — the regime where multiplicative
+    seasonality is the truth and additive seasonality is structurally
+    wrong (a x1.5 Saturday is +25 rows in week 1 but +100 in week 10;
+    no single additive s_j fits both)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    factors = {5: 1.5, 6: 0.5}  # Saturday up 50%, Sunday down 50%
+    start = dt.date(2024, 3, 4)  # a Monday
+    rows, eid = [], 0
+    counts = []
+    for off in range(68):  # ends on a Friday; the held-out day 69 is a Saturday
+        day = start + dt.timedelta(days=off)
+        level = 50.0 + 150.0 * off / 69.0
+        n = round(level * factors.get(day.weekday(), 1.0))
+        counts.append((day, n))
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    dt.datetime.combine(day, dt.time(9, 0))
+                    + dt.timedelta(minutes=k),
+                    "click",
+                    1.0,
+                )
+            )
+            eid += 1
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d, counts
+
+
+def test_holt_winters_mult_recovers_planted_cycle(spark):
+    """On a quadrupling level with x1.5 Saturdays and x0.5 Sundays, the
+    multiplicative fit must (a) recover the seasonal RATIO spread
+    (season_max/season_min near the planted 3x, not the additive twin's
+    level-dependent compromise) and (b) forecast the held-out next day
+    with smaller relative error than the additive twin — held out on a
+    SATURDAY, where additive's level-independent offset (learned over a
+    quadrupling level) is structurally wrong while the ratio is not."""
+    import shutil
+
+    from parquet_exporter_spark.queries.llm8 import (
+        timeseries_holt_winters,
+        timeseries_holt_winters_mult,
+    )
+
+    d, counts = _planted_mult_events(spark, "hwmult_")
+    try:
+        mult = timeseries_holt_winters_mult(spark, d).collect()[0]
+        add = timeseries_holt_winters(spark, d).collect()[0]
+        assert mult.n_days == 68 and add.n_days == 68
+        # planted ratio spread is 1.5/0.5 = 3x; smoothing from the 1.0
+        # seed keeps it below truth but far above a flat profile
+        spread = mult.season_max / mult.season_min
+        assert 1.8 < spread < 3.5, spread
+        # held-out day 71 is a Tuesday (factor 1.0): truth = next level
+        import datetime as dt
+
+        last_day, _ = counts[-1]
+        nxt = last_day + dt.timedelta(days=1)
+        assert nxt.weekday() == 5  # Saturday — the planted x1.5 day
+        truth = (50.0 + 150.0 * 68 / 69.0) * 1.5
+        rel_mult = abs(mult.forecast_1 - truth) / truth
+        rel_add = abs(add.forecast_1 - truth) / truth
+        assert rel_mult < rel_add, (rel_mult, rel_add)
+        # absolute bound is loose by design: with g=0.25 and the 1.0
+        # seed, ~9 Saturday updates leave s_sat near 1.3 (each update's
+        # x/level' reads below 1.5 because the level overshoots on
+        # seasonal days while s_j is unconverged) — smoothing bias, not
+        # an implementation defect; the comparative assertion above is
+        # the structural claim
+        assert rel_mult < 0.20, rel_mult
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_holt_winters_mult_single_day_returns_seed(spark):
+    """A 1-day series must return the full-arity seed unapplied: level =
+    the one count, trend 0, every seasonal at the multiplicative
+    identity 1.0 — the single-element-safe contract the additive twin
+    established (and the reason the seed is PREPENDED, not special-cased)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from parquet_exporter_spark.queries.llm8 import timeseries_holt_winters_mult
+
+    rows = [
+        (i, 1, dt.datetime(2024, 3, 6, 9, i), "click", 1.0) for i in range(5)
+    ]
+    d = tempfile.mkdtemp(prefix="hwmult1_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        r = timeseries_holt_winters_mult(spark, d).collect()[0]
+        assert r.n_days == 1
+        assert r.level == 5.0 and r.trend == 0.0
+        assert r.season_min == 1.0 and r.season_max == 1.0
+        assert r.forecast_1 == 5.0  # (level + 0) * 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
