@@ -819,6 +819,77 @@ def analytics_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "analytics_weekly_churn",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), weeks AS (SELECT max(week) AS last_week FROM act)
+    SELECT a.week,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(count(*) FILTER (WHERE b.user_id IS NULL) AS BIGINT) AS churned_next_week,
+           round(count(*) FILTER (WHERE b.user_id IS NULL) / CAST(count(*) AS DOUBLE), 6)
+               AS churn_rate
+    FROM act a
+    LEFT JOIN act b
+      ON b.user_id = a.user_id
+     AND b.week = CAST(a.week + INTERVAL 7 DAY AS DATE)
+    CROSS JOIN weeks
+    WHERE a.week < last_week
+    GROUP BY a.week
+    """,
+    doc=(
+        "Week-over-week churn: the monthly-churn shape on the ISO-week "
+        "grain (date_trunc('week') is Monday-based in both engines, and "
+        "week+7d is exact where month+1 needs add_months) — a user "
+        "active in week w churns if absent in w+1; the final week has "
+        "no verdict and is excluded. Registered alongside "
+        "analytics_monthly_churn because churn at the week grain FIRES "
+        "at sf0.01 (the 30-day test window holds ~4 verdict weeks but "
+        "at most one month boundary, so the monthly query's driver "
+        "stamp is structurally 0=0 there — round-10 verdict watch item; "
+        "this variant gives the same operator a row-producing stamp at "
+        "every SF). Same scale shape: the distinct (user, week) "
+        "activity table is tiny next to events, the self-join is equi "
+        "on (user, week), and the 1-row last-week bound broadcasts."
+    ),
+)
+def analytics_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    last = act.agg(F.max("week").alias("last_week"))
+    a = act.alias("a")
+    b = act.select(
+        F.col("user_id").alias("b_user"),
+        F.date_sub(F.col("week"), 7).alias("b_prev_week"),
+    ).alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b_user"))
+        & (F.col("a.week") == F.col("b_prev_week")),
+        "left",
+    )
+    return (
+        j.join(F.broadcast(last))
+        .filter(F.col("a.week") < F.col("last_week"))
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.count(F.when(F.col("b_user").isNull(), 1))
+            .cast("long")
+            .alias("churned_next_week"),
+            F.round(
+                F.count(F.when(F.col("b_user").isNull(), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@query(
     "analytics_order_value_deciles",
     oracle="""
     WITH d AS (

@@ -296,3 +296,36 @@ def test_holt_winters_mult_single_day_returns_seed(spark):
         assert r.forecast_1 == 5.0  # (level + 0) * 1.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_weekly_churn_counts_planted_churner(spark):
+    """Three users: u1 active every week, u2 vanishes after week 1,
+    u3 appears only in week 2. Week-1 verdict: 2 active, 1 churned.
+    Week 2 is the last week — no verdict row."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_weekly_churn
+
+    mon1 = dt.datetime(2024, 3, 4, 12)   # Monday
+    mon2 = dt.datetime(2024, 3, 11, 12)  # next Monday
+    rows = [
+        (1, 1, mon1, "click", 1.0),
+        (2, 2, mon1 + dt.timedelta(days=2), "click", 1.0),
+        (3, 1, mon2, "click", 1.0),
+        (4, 3, mon2 + dt.timedelta(days=3), "click", 1.0),
+    ]
+    d = tempfile.mkdtemp(prefix="wchurn_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = analytics_weekly_churn(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.week == dt.date(2024, 3, 4)
+        assert r.active_users == 2
+        assert r.churned_next_week == 1  # u2 vanished; u1 retained
+        assert r.churn_rate == 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
