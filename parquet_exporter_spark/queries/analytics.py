@@ -2230,3 +2230,293 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
     )
+
+
+@query(
+    "analytics_nelson_aalen",
+    oracle="""
+    WITH w AS (SELECT max(ts) AS wm FROM events),
+    users AS (
+        SELECT user_id,
+               date_diff('day', min(ts), max(ts)) AS duration,
+               CASE WHEN max(ts) < (SELECT wm FROM w) - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY user_id
+    ),
+    per_t AS (
+        SELECT duration AS t,
+               sum(churned) AS d,
+               count(*) AS leaving
+        FROM users GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d,
+               (SELECT count(*) FROM users) -
+               coalesce(sum(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM per_t
+    )
+    SELECT CAST(t AS INTEGER) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(sum(CAST(d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_hazard,
+           round(sum(CAST(d AS DOUBLE) / n_risk / n_risk)
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_hazard_var
+    FROM risk
+    """,
+    doc=(
+        "Nelson-Aalen cumulative-hazard estimator for user lifetime "
+        "with the SAME right-censoring model as analytics_survival_km "
+        "(active within 7 days of the corpus watermark = censored): "
+        "H(t) = sum_{t_i <= t} d_i / n_i, plus its classic variance "
+        "estimator sum d_i / n_i^2. Where KM answers 'what fraction "
+        "survives to t', NA answers 'how much churn FORCE has "
+        "accumulated by t' — the additive form is what feeds "
+        "proportional-hazards diagnostics (a straight H(t) means "
+        "constant hazard; KM's product form can't be read that way), "
+        "and exp(-H) gives the Fleming-Harrington survival alternative "
+        "when d_i/n_i is small. Each term is one exact integer "
+        "division; the cumulative sums run over the BOUNDED "
+        "per-duration table (<= |days| rows at any scale — the fact "
+        "table reduces to per-user min/max in one shuffle), the same "
+        "single-partition-waived shape as KM."
+    ),
+)
+def analytics_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("wm"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(wm))
+        .select(
+            F.datediff("last_ts", "first_ts").alias("duration"),
+            (F.col("last_ts") < F.col("wm") - F.expr("INTERVAL 7 DAY"))
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    n_users = users.count()
+    per_t = users.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.withColumn(
+        "n_risk", F.lit(n_users) - F.coalesce(F.sum("leaving").over(w_before), F.lit(0))
+    )
+    term = F.col("d").cast("double") / F.col("n_risk")
+    return risk.select(
+        F.col("t").cast("int").alias("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.sum(term).over(w_cum), 6).alias("cum_hazard"),
+        F.round(F.sum(term / F.col("n_risk")).over(w_cum), 6).alias(
+            "cum_hazard_var"
+        ),
+    )
+
+
+@query(
+    "analytics_cuped_adjustment",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS DATE)
+               + CAST(floor(date_diff('day',
+                     CAST(date_trunc('day', min(ts)) AS DATE),
+                     CAST(date_trunc('day', max(ts)) AS DATE)) / 2) AS INT)
+                   AS cutoff
+        FROM events),
+    ux AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(count(*) FILTER (
+                   WHERE CAST(date_trunc('day', ts) AS DATE)
+                         <= (SELECT cutoff FROM span)) AS BIGINT) AS x,
+               CAST(count(*) FILTER (
+                   WHERE CAST(date_trunc('day', ts) AS DATE)
+                         > (SELECT cutoff FROM span)) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ux),
+    coef AS (
+        SELECT n, sx,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS theta,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   * (n * sxy - sx * sy)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+                   AS rho2
+        FROM pooled)
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_y,
+           round((sum(y) - any_value(theta)
+                      * (sum(x) - count(*) * CAST(any_value(sx) AS DOUBLE)
+                                              / any_value(n)))
+                 / count(*), 6) AS mean_y_adj,
+           round(any_value(theta), 6) AS theta,
+           round(any_value(rho2), 6) AS var_reduction
+    FROM ux CROSS JOIN coef
+    GROUP BY variant
+    """,
+    doc=(
+        "CUPED variance reduction for A/B readouts: the post-period "
+        "metric Y (per-user event count after the span midpoint) is "
+        "adjusted by the PRE-period covariate X (count before it), "
+        "Y_adj = Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X) "
+        "pooled across variants — the industry-standard trick that "
+        "removes the between-user variance the randomization already "
+        "balanced, shrinking CIs by the reported var_reduction = rho^2 "
+        "without touching the treatment effect (E[X] is identical "
+        "across variants by randomization, here the deterministic "
+        "user_id%2 split). EVERY moment is an exact integer sum (n, "
+        "Sx, Sy, Sxx, Syy, Sxy over integer counts), theta and rho^2 "
+        "are single divisions of exact longs, and the group-level "
+        "adjusted mean uses the CLOSED FORM sum(Y_adj) = Sy_g - "
+        "theta*(Sx_g - n_g*mean(X)) — no per-row float ever sums, so "
+        "the whole readout is bit-deterministic cross-engine before "
+        "the final round-6 (the oracle-float rule, applied to a "
+        "statistic that usually ships as a numpy afterthought). Scale "
+        "shape: one user-keyed partial-agg shuffle, then 1-row pooled "
+        "moments broadcast into a 2-row group-by."
+    ),
+)
+def analytics_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_add(
+            F.to_date(F.date_trunc("day", F.min("ts"))),
+            F.floor(
+                F.datediff(
+                    F.to_date(F.date_trunc("day", F.max("ts"))),
+                    F.to_date(F.date_trunc("day", F.min("ts"))),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("cutoff")
+    )
+    ux = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.to_date(F.date_trunc("day", "ts")) <= F.col("cutoff")).cast("long")
+            ).alias("x"),
+            F.sum(
+                (F.to_date(F.date_trunc("day", "ts")) > F.col("cutoff")).cast("long")
+            ).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    )
+    pooled = ux.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    coef = pooled.select(
+        "n",
+        "sx",
+        (cov_n.cast("double") / varx_n).alias("theta"),
+        (
+            cov_n.cast("double") * cov_n / (varx_n.cast("double") * vary_n)
+        ).alias("rho2"),
+    )
+    return (
+        ux.crossJoin(F.broadcast(coef))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("mean_y"),
+            F.round(
+                (
+                    F.sum("y")
+                    - F.any_value("theta")
+                    * (
+                        F.sum("x")
+                        - F.count(F.lit(1))
+                        * F.any_value("sx").cast("double")
+                        / F.any_value("n")
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_y_adj"),
+            F.round(F.any_value("theta"), 6).alias("theta"),
+            F.round(F.any_value("rho2"), 6).alias("var_reduction"),
+        )
+    )
+
+
+@query(
+    "analytics_herfindahl_monthly",
+    oracle="""
+    WITH cust AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_custkey,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2)
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                 / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)),
+                 6) AS hhi,
+           round((CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+                 / CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE),
+                 4) AS effective_n
+    FROM cust GROUP BY month
+    """,
+    doc=(
+        "Herfindahl-Hirschman revenue concentration per month: HHI = "
+        "sum(share_i^2) over each customer's share of the month's "
+        "revenue, folded into the division-free identity sum(rev_i^2) "
+        "/ (sum rev_i)^2 so no per-customer float share is ever "
+        "computed or summed — revenue is EXACT INTEGER CENTS "
+        "(cast-to-decimal(18,2) then x100, identical rounding in both "
+        "engines since the stored doubles are within ulps of their "
+        "2-decimal values), the squares accumulate in wide integers "
+        "(Spark decimal(38,0), DuckDB HUGEINT — both exact), and one "
+        "double division lands at the end. effective_n = 1/HHI is the "
+        "'equivalent equal-size customers' reading analysts actually "
+        "quote (HHI 0.04 = 25 equal customers). Scale shape: one "
+        "partial-agg shuffle to (month, customer), one to month — the "
+        "same two-level rollup as cohort LTV; the wide-integer trick "
+        "is what keeps it exact at 100 TB where counts overflow longs."
+    ),
+)
+def analytics_herfindahl_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    cust = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_custkey",
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    sq = F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+    s = F.sum(F.col("cents")).cast("double")
+    q = F.sum(sq).cast("double")
+    return cust.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(q / (s * s), 6).alias("hhi"),
+        F.round((s * s) / q, 4).alias("effective_n"),
+    )

@@ -1415,3 +1415,120 @@ def dq_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(width, 6).alias("bin_width"),
         )
     )
+
+
+@query(
+    "dq_cramer_v",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, isodow(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT dow) AS BIGINT) AS nc
+          FROM obs),
+    grid AS (
+        -- the FULL r x c grid: a category pair that never co-occurs is
+        -- an O=0 cell whose (0-E)^2/E term chi2 requires; groupBy alone
+        -- would silently drop it and undercount association
+        SELECT rt.event_type, ct.dow, rt.r, ct.c, coalesce(obs.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs USING (event_type, dow)),
+    terms AS (
+        SELECT grid.event_type, grid.dow,
+               (CAST(o AS DOUBLE) * n.n - CAST(r AS DOUBLE) * c)
+               * (CAST(o AS DOUBLE) * n.n - CAST(r AS DOUBLE) * c)
+               / (CAST(n.n AS DOUBLE) * r * c) AS t
+        FROM grid CROSS JOIN n),
+    chi AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(t ORDER BY event_type, dow)),
+                   (acc, x) -> acc + x) AS chi2
+        FROM terms)
+    SELECT n.n AS n_rows, n.nr AS n_row_cats, n.nc AS n_col_cats,
+           CAST((n.nr - 1) * (n.nc - 1) AS BIGINT) AS dof,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (n.n * least(n.nr - 1, n.nc - 1))), 6)
+               AS cramer_v
+    FROM chi CROSS JOIN n
+    """,
+    doc=(
+        "Cramer's V association between event_type and ISO weekday — "
+        "the bounded [0,1] effect-size reading of the chi-square "
+        "independence test ('is traffic mix weekday-dependent, and how "
+        "much'), which raw chi2 can't give because it grows with N: "
+        "V = sqrt(chi2 / (N * min(r-1, c-1))). Every contingency count "
+        "is an exact integer; each cell's term uses the cross-"
+        "multiplied identity (O*N - R*C)^2 / (N*R*C) evaluated with "
+        "the SAME double operations in the same order on both engines "
+        "(products of exact-integer-valued doubles round identically; "
+        "no subtotal float E=R*C/N is materialized), zero cells are "
+        "restored by a row-domain x column-domain grid (a pair that "
+        "never co-occurs still owes its (0-E)^2/E term — dropping it "
+        "undercounts association; V=1 cases read 0.71 without it), and "
+        "the 35-cell sum is an ORDERED fold over the (event_type, "
+        "dow)-sorted term "
+        "list — no engine-dependent summation order anywhere, the "
+        "oracle-float rule for sums that round-6 alone shouldn't be "
+        "trusted to absorb. Scale shape: one partial-agg shuffle to "
+        "the r x c contingency table; everything after runs on <= 35 "
+        "rows at any data scale."
+    ),
+)
+def dq_cramer_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.expr("weekday(ts)") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    n = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    # full r x c grid: zero cells (pairs that never co-occur) still owe
+    # their (0-E)^2/E term — without them a perfect-association table
+    # reads V=0.71 instead of 1
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["event_type", "dow"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    diff = F.col("o").cast("double") * F.col("n") - F.col("r").cast("double") * F.col(
+        "c"
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "nr",
+            "nc",
+            (diff * diff / (F.col("n").cast("double") * F.col("r") * F.col("c"))).alias(
+                "t"
+            ),
+        )
+    )
+    chi = terms.groupBy("n", "nr", "nc").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "dow", "t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2")
+    )
+    return chi.select(
+        F.col("n").alias("n_rows"),
+        F.col("nr").alias("n_row_cats"),
+        F.col("nc").alias("n_col_cats"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))),
+            6,
+        ).alias("cramer_v"),
+    )

@@ -631,3 +631,239 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aa_score",
         )
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-iteration HITS, the graph_pagerank oracle pattern:
+    every CTE is MATERIALIZED (each score table is referenced by both
+    the next propagation and its own normalizer), and scores are
+    snapped to 1e-9 after every normalization on BOTH engines so
+    cross-engine float summation order cannot accumulate drift."""
+    ctes = [
+        """edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "nc AS MATERIALIZED (SELECT count(DISTINCT c) AS n FROM edges)",
+        """h0 AS MATERIALIZED (
+        SELECT DISTINCT c, round(1.0 / nc.n, 9) AS hub
+        FROM edges CROSS JOIN nc)""",
+    ]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        ctes += [
+            f"""a{i}r AS MATERIALIZED (
+            SELECT e.s, sum(h.hub) AS v FROM edges e
+            JOIN {prev_h} h ON h.c = e.c GROUP BY e.s)""",
+            f"""a{i} AS MATERIALIZED (
+            SELECT s, round(v / (SELECT sum(v) FROM a{i}r), 9) AS auth
+            FROM a{i}r)""",
+            f"""h{i}r AS MATERIALIZED (
+            SELECT e.c, sum(a.auth) AS v FROM edges e
+            JOIN a{i} a ON a.s = e.s GROUP BY e.c)""",
+            f"""h{i} AS MATERIALIZED (
+            SELECT c, round(v / (SELECT sum(v) FROM h{i}r), 9) AS hub
+            FROM h{i}r)""",
+        ]
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"""
+        SELECT s AS supp_key,
+               round(auth, 6) AS authority,
+               CAST(row_number() OVER (
+                   ORDER BY round(auth, 6) DESC, s) AS BIGINT) AS rank
+        FROM a{_HITS_ITERS}"""
+    )
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    doc=(
+        f"HITS hubs-and-authorities ({_HITS_ITERS} fixed iterations, "
+        "sum-normalized) over the DIRECTED customer->supplier purchase "
+        "graph (distinct (o_custkey, l_suppkey) pairs through "
+        "orders x lineitem): authority ranks suppliers by how much "
+        "well-connected-customer demand flows into them — the mutual "
+        "reinforcement signal raw degree misses (a supplier serving ten "
+        "broad-basket customers outranks one serving ten single-supplier "
+        "customers), and the reason HITS beats degree on bipartite-ish "
+        "commerce graphs where PageRank's random surfer has nowhere to "
+        "walk back. Each half-iteration is ONE shuffle on the receiving "
+        "key (the GraphX formulation on DataFrames, localCheckpoint "
+        "lineage truncation); normalizers are 1-row broadcast "
+        "aggregates; scores snap to 1e-9 per normalization on both "
+        "engines (the pagerank contract) so the fixed-round iteration "
+        "is hash-comparable, and the final ordering ranks on the "
+        "ROUNDED score with supplier-id tiebreak. At 100 TB the edge "
+        "relation is bucketed on the propagation key per iteration; "
+        "iterations are fixed, so the plan is a known 2x"
+        f"{_HITS_ITERS}-shuffle pipeline, never a convergence gamble."
+    ),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_cust = edges.select("c").distinct().count()
+        hubs = (
+            edges.select("c")
+            .distinct()
+            .withColumn("hub", F.round(F.lit(1.0 / n_cust), 9))
+            .localCheckpoint(eager=True)
+        )
+        auth = None
+        for _ in range(_HITS_ITERS):
+            a_raw = (
+                edges.join(hubs, "c").groupBy("s").agg(F.sum("hub").alias("v"))
+            )
+            a_tot = a_raw.agg(F.sum("v").alias("t"))
+            auth = (
+                a_raw.join(F.broadcast(a_tot))
+                .select("s", F.round(F.col("v") / F.col("t"), 9).alias("auth"))
+                .localCheckpoint(eager=True)
+            )
+            h_raw = (
+                edges.join(auth, "s").groupBy("c").agg(F.sum("auth").alias("v"))
+            )
+            h_tot = h_raw.agg(F.sum("v").alias("t"))
+            hubs = (
+                h_raw.join(F.broadcast(h_tot))
+                .select("c", F.round(F.col("v") / F.col("t"), 9).alias("hub"))
+                .localCheckpoint(eager=True)
+            )
+        w = Window.orderBy(F.desc("authority"), "supp_key")
+        return (
+            auth.select(
+                F.col("s").alias("supp_key"),
+                F.round("auth", 6).alias("authority"),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+        )
+    finally:
+        edges.unpersist()
+
+
+_JAC_TOPK = 3
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH lines AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co_edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS deg FROM co_edges GROUP BY src),
+    inter AS (
+        SELECT e1.src AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM co_edges e1 JOIN co_edges e2 ON e1.dst = e2.src
+        WHERE e1.src < e2.dst
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT i.a, i.b, i.n_inter,
+               CAST(da.deg + db.deg - 2 * i.n_inter AS BIGINT) + i.n_inter
+                   AS n_union,
+               CAST(i.n_inter AS DOUBLE)
+                   / (da.deg + db.deg - i.n_inter) AS jac
+        FROM inter i
+        JOIN deg da ON da.node = i.a
+        JOIN deg db ON db.node = i.b)
+    SELECT a AS part_key, b AS other_part, CAST(rn AS BIGINT) AS rank,
+           n_inter, n_union, round(jac, 6) AS jaccard
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY a ORDER BY jac DESC, b) AS rn
+          FROM scored)
+    WHERE rn <= {_JAC_TOPK}
+    """,
+    doc=(
+        "Neighborhood-Jaccard link scoring over the part co-purchase "
+        "graph (same DISTINCT co-order edge model as graph_kcore / "
+        "graph_adamic_adar): for part pairs sharing >= 1 co-purchase "
+        "neighbor, |N(a) n N(b)| / |N(a) u N(b)| — the normalized "
+        "common-neighbor signal that corrects Adamic-Adar's hub bias "
+        "(two parts each co-bought with everything score low here). "
+        "EVERY quantity is exact integer arithmetic (intersection from "
+        "the 2-hop join, union = deg(a)+deg(b)-inter), and the ranking "
+        "orders on the RAW division of those exact integers — IEEE "
+        "division of identical operands is bit-identical cross-engine, "
+        "so no libm call and no float summation enters the ordering "
+        "(the oracle-float rule the adamic-adar fix established); the "
+        "rounded jaccard is payload. Same scale shape as the siblings: "
+        "two keyed equi-joins on the edge relation, a map-side-combined "
+        "degree aggregate, and a part-keyed top-k window; at 100 TB the "
+        "edge relation is bucketed on src so both hops co-locate."
+    ),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        lines.alias("a")
+        .join(lines.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    inter = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
+            ).alias("jac"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("jac"), "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _JAC_TOPK)
+        .select(
+            F.col("a").alias("part_key"),
+            F.col("b").alias("other_part"),
+            F.col("rn").cast("long").alias("rank"),
+            "n_inter",
+            "n_union",
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )

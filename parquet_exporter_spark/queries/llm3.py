@@ -201,3 +201,68 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.round(F.sum(F.col("tf") * F.col("logp")) / F.sum("tf"), 6).alias("avg_logprob")
     )
+
+
+@query(
+    "text_duplicate_line_fraction",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents),
+    per_line AS (
+        SELECT doc_id, line, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(length(line) AS BIGINT) AS chars
+        FROM lines GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_lines,
+           CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+           round(CAST(sum(cnt - 1) AS DOUBLE) / sum(cnt), 6)
+               AS dup_line_frac,
+           CASE WHEN sum(cnt * chars) = 0 THEN 0.0
+                ELSE round(CAST(sum((cnt - 1) * chars) AS DOUBLE)
+                           / sum(cnt * chars), 6) END AS dup_char_frac
+    FROM per_line GROUP BY doc_id
+    """,
+    doc=(
+        "Per-document duplicate-line fraction — the Gopher repetition "
+        "rule at LINE granularity (their 'duplicate line fraction' and "
+        "'duplicate line character fraction' signals), catching "
+        "templated/boilerplate pages whose repetition is structural "
+        "(repeated nav rows, chat logs, scraped tables) and invisible "
+        "to the char-n-gram repetition ratio: n_dup_lines counts every "
+        "occurrence beyond a line's first, and dup_char_frac weights "
+        "those occurrences by character mass so one long repeated "
+        "banner outweighs many empty lines. All-integer counts with "
+        "one final division (round-6); empty documents degrade to the "
+        "single empty line with 0 fractions rather than 0/0. Scale "
+        "shape: one explode + (doc, line)-keyed partial agg, one "
+        "doc-keyed reduce — at 100 TB the line key would be "
+        "xxhash64(line) so the shuffle carries 8-byte keys, the "
+        "dedup_boilerplate_chunks trick."
+    ),
+)
+def text_duplicate_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.length("line").cast("long").alias("chars"),
+    )
+    tot_chars = F.sum(F.col("cnt") * F.col("chars"))
+    return per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_lines"),
+        F.round(F.sum(F.col("cnt") - 1).cast("double") / F.sum("cnt"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.when(tot_chars == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.sum((F.col("cnt") - 1) * F.col("chars")).cast("double") / tot_chars,
+                6,
+            )
+        )
+        .alias("dup_char_frac"),
+    )

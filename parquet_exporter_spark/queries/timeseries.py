@@ -1995,3 +1995,190 @@ def timeseries_binseg_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(lv1, 1).unionByName(out(lv2, 2))
+
+
+_CROSTON_ALPHA = 0.25  # exact binary fraction, the fold-family rule
+
+
+@query(
+    "timeseries_croston",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE) AS ed,
+               CAST(count(*) AS DOUBLE) AS q
+        FROM events WHERE event_type = 'purchase' AND user_id < 200
+        GROUP BY 1, 2),
+    s AS (
+        SELECT user_id, list([ed, q] ORDER BY ed) AS xs,
+               CAST(count(*) AS BIGINT) AS n_demand_days
+        FROM d GROUP BY user_id),
+    folded AS (
+        SELECT user_id, n_demand_days,
+               list_reduce(
+                   list_prepend(CAST([xs[1][2], 1, xs[1][1]] AS DOUBLE[]),
+                                xs[2:]),
+                   (acc, x) -> [{_CROSTON_ALPHA} * x[2]
+                                    + {1 - _CROSTON_ALPHA} * acc[1],
+                                {_CROSTON_ALPHA} * (x[1] - acc[3])
+                                    + {1 - _CROSTON_ALPHA} * acc[2],
+                                x[1]]) AS st
+        FROM s)
+    SELECT user_id, n_demand_days,
+           round(st[1], 6) AS demand_level,
+           round(st[2], 6) AS interval_level,
+           round(st[1] / st[2], 6) AS forecast_per_day
+    FROM folded
+    """,
+    doc=(
+        "Croston's method for INTERMITTENT demand — the estimator for "
+        "series that are zero most days (a user's purchases), where "
+        "ordinary exponential smoothing decays toward zero between "
+        "demands and forecasts garbage: smooth the nonzero demand sizes "
+        "and the inter-demand intervals as two separate EWMAs updated "
+        "ONLY at demand points (z' = a*q + (1-a)z, p' = a*gap + "
+        "(1-a)p), and forecast demand-per-day as z/p. The zero days "
+        "never materialize anywhere — intermittency is carried by the "
+        "integer day gaps between consecutive demand rows, so the fold "
+        "input is |demand days| per user, not |days| (the reason "
+        "Croston scales where a dense daily spine would not). Same "
+        "rational-arithmetic fold contract as the EWMA/Holt family: "
+        "a=1/4 exact binary fraction, integer counts and integer gaps, "
+        "explicit full-arity prepended seed (z=first demand, p=1, "
+        "prev=first day) so a single-demand user returns the seed "
+        "unapplied on both engines. Scale shape: one partial-agg "
+        "shuffle to (user, day) rows, one user-keyed shuffle of "
+        "bounded demand arrays, O(1) state per user, "
+        "applyInPandasWithState-ready."
+    ),
+)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 200)
+    )
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("ed"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("q"))
+    s = d.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ed", "q"))).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_demand_days"),
+    )
+    a = _CROSTON_ALPHA
+
+    def step(acc, x):
+        z = F.lit(a) * x["q"] + F.lit(1 - a) * F.element_at(acc, 1)
+        p = F.lit(a) * (x["ed"] - F.element_at(acc, 3)) + F.lit(1 - a) * F.element_at(
+            acc, 2
+        )
+        return F.array(z, p, x["ed"])
+
+    seed = F.array(
+        F.element_at("xs", 1)["q"], F.lit(1.0), F.element_at("xs", 1)["ed"]
+    )
+    fold = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))), seed, step
+    )
+    return s.select(
+        "user_id",
+        "n_demand_days",
+        F.round(fold[0], 6).alias("demand_level"),
+        F.round(fold[1], 6).alias("interval_level"),
+        F.round(fold[0] / fold[1], 6).alias("forecast_per_day"),
+    )
+
+
+_BOLL_WIN = 7  # trailing days per band; current day excluded (hampel lesson)
+_BOLL_K = 2.0  # exact binary fraction band width
+
+
+@query(
+    "timeseries_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    win AS (
+        SELECT event_type, day, n_events,
+               CAST(count(*) OVER w AS BIGINT) AS wn,
+               CAST(sum(n_events) OVER w AS BIGINT) AS sx,
+               CAST(sum(n_events * n_events) OVER w AS BIGINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_BOLL_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, n_events,
+           round(mid, 6) AS band_mid,
+           round(mid + {_BOLL_K} * sd, 6) AS band_upper,
+           round(mid - {_BOLL_K} * sd, 6) AS band_lower,
+           n_events > mid + {_BOLL_K} * sd
+               OR n_events < mid - {_BOLL_K} * sd AS is_breakout
+    FROM (SELECT *,
+                 CAST(sx AS DOUBLE) / {_BOLL_WIN} AS mid,
+                 sqrt(CAST({_BOLL_WIN} * sxx - sx * sx AS DOUBLE)
+                      / {_BOLL_WIN * (_BOLL_WIN - 1)}) AS sd
+          FROM win WHERE wn = {_BOLL_WIN})
+    """,
+    doc=(
+        f"Bollinger bands over the per-event-type daily count series: a "
+        f"{_BOLL_WIN}-day TRAILING window (current day excluded, so a "
+        "spike can never inflate its own band — the Hampel causality "
+        "rule) yields mid = mean and +/-"
+        f"{_BOLL_K} sample-stddev bands, with is_breakout flagging days "
+        "outside them — the volatility-scaled alternative to fixed "
+        "thresholds (quiet series get tight bands, noisy ones wide). "
+        "Cross-engine exactness WITHOUT any float summation: the window "
+        "aggregates are INTEGER sums (sx, sxx over integer counts — "
+        "exact in both engines), variance comes from the integer "
+        f"identity ({_BOLL_WIN}*sxx - sx^2) / "
+        f"{_BOLL_WIN * (_BOLL_WIN - 1)} whose numerator is computed in "
+        "exact long arithmetic and divided once, and sqrt is IEEE "
+        "correctly-rounded — so mid/sd/bands are bit-identical given "
+        "identical rows, with round-6 only at the boundary (documented "
+        "long-overflow bound: daily counts past ~2^26 per key need the "
+        "decimal widening the HHI query uses). Only full windows emit "
+        "(wn = "
+        f"{_BOLL_WIN}), so warmup days carry no under-sampled verdict. "
+        "Scale shape: one partial-agg shuffle to |type, day| rows, then "
+        "a key-partitioned window over bounded daily rows — never the "
+        "events."
+    ),
+)
+def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_BOLL_WIN, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("wn"),
+        F.sum("n_events").over(w).cast("long").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long").alias("sxx"),
+    ).filter(F.col("wn") == _BOLL_WIN)
+    mid = F.col("sx").cast("double") / _BOLL_WIN
+    sd = F.sqrt(
+        (F.lit(_BOLL_WIN) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (_BOLL_WIN * (_BOLL_WIN - 1))
+    )
+    return win.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(mid, 6).alias("band_mid"),
+        F.round(mid + _BOLL_K * sd, 6).alias("band_upper"),
+        F.round(mid - _BOLL_K * sd, 6).alias("band_lower"),
+        (
+            (F.col("n_events") > mid + _BOLL_K * sd)
+            | (F.col("n_events") < mid - _BOLL_K * sd)
+        ).alias("is_breakout"),
+    )

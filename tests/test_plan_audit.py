@@ -151,6 +151,35 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row last-month scalar broadcast; the churn self-join is equi "
         "on (user, month)",
     ),
+    "analytics_weekly_churn": (
+        {"bnlj", "single_partition_x1"},
+        "1-row last-week scalar broadcast (the monthly-churn shape at "
+        "week grain); the churn self-join is equi on (user, week)",
+    ),
+    "analytics_nelson_aalen": (
+        {"bnlj", "single_partition_x2"},
+        "1-row watermark scalar broadcast; the hazard windows are "
+        "global-order but run over the BOUNDED per-duration table "
+        "(<= |days| rows at any scale) — the same shape as its KM twin",
+    ),
+    "analytics_cuped_adjustment": (
+        {"bnlj", "single_partition_x3"},
+        "1-row span-cutoff, 1-row pooled-moments, and 1-row theta/rho2 "
+        "scalars broadcast onto the user table; the only data-sized "
+        "work is the user-keyed partial agg, and the final group-by "
+        "has 2 rows",
+    ),
+    "dq_cramer_v": (
+        {"bnlj", "single_partition_x1"},
+        "1-row N/r/c scalar broadcast; the ordered chi2 fold gathers "
+        "the <= r*c (35-row) term table, never the events",
+    ),
+    "graph_hits": (
+        {"single_partition_x1"},
+        "per-iteration normalizers are 1-row sum aggregates broadcast "
+        "back; the gather carries one partially-aggregated row per "
+        "half-iteration, the propagation joins stay key-partitioned",
+    ),
     "dedup_minhash_estimate_error": (
         {"bnlj"},
         "bounded 30-doc calibration sample broadcast for all-pairs "

@@ -329,3 +329,354 @@ def test_weekly_churn_counts_planted_churner(spark):
         assert r.churn_rate == 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_purchase_graph(spark, prefix, cust_to_supps):
+    """orders + lineitem fixture encoding one (customer -> supplier)
+    edge per purchase; order keys are synthetic and unique."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    orows, lrows, ok = [], [], 0
+    for c, supps in cust_to_supps.items():
+        for s in supps:
+            ok += 1
+            orows.append((ok, c))
+            lrows.append((ok, s, 0))
+    spark.createDataFrame(orows, "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        lrows, "l_orderkey long, l_suppkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_hits_authority_separates_equal_indegree_suppliers(spark):
+    """s1 and s2 both have in-degree 2, but s1's customers are broad
+    (each also buys from s3/s4) while s2's buy nothing else: HITS must
+    rank s1's authority above s2's — the mutual-reinforcement signal
+    degree counting cannot see."""
+    from parquet_exporter_spark.queries.graph import graph_hits
+
+    d = _write_purchase_graph(
+        spark,
+        "hits_",
+        {1: [101, 103, 104], 2: [101, 103, 104], 3: [102], 4: [102]},
+    )
+    try:
+        got = {r.supp_key: r for r in graph_hits(spark, d).collect()}
+        assert got[101].authority > got[102].authority
+        assert got[101].rank < got[102].rank
+        # in-degree is tied at 2, so the separation is HITS, not degree
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jaccard_neighbors_hand_computed(spark):
+    """Orders {1,2,3} and {1,2,4}: N(3)=N(4)={1,2} so jaccard(3,4)=1.0;
+    N(1)={2,3,4}, N(2)={1,3,4} share {3,4} so jaccard(1,2)=2/4=0.5."""
+    from parquet_exporter_spark.queries.graph import graph_jaccard_neighbors
+
+    d = tempfile.mkdtemp(prefix="jac_")
+    try:
+        lrows = [(1, 0, p) for p in (1, 2, 3)] + [(2, 0, p) for p in (1, 2, 4)]
+        spark.createDataFrame(
+            lrows, "l_orderkey long, l_suppkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            (r.part_key, r.other_part): r
+            for r in graph_jaccard_neighbors(spark, d).collect()
+        }
+        assert got[(3, 4)].jaccard == 1.0
+        assert got[(3, 4)].n_inter == 2 and got[(3, 4)].n_union == 2
+        assert got[(1, 2)].jaccard == 0.5
+        assert got[(1, 2)].n_inter == 2 and got[(1, 2)].n_union == 4
+        # top-1 for part 3 is its twin 4, ahead of the 1/3-overlap pairs
+        assert got[(3, 4)].rank == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_croston_hand_computed_and_single_demand_seed(spark):
+    """u1 buys 4 on day 0, 2 on day 2, 6 on day 6 (alpha=1/4):
+    z: 4 -> 3.5 -> 4.125 ; p: 1 -> 1.25 -> 1.9375 ; forecast z/p.
+    u2 has ONE demand day: seed returned unapplied (z=q1, p=1)."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.timeseries import timeseries_croston
+
+    base = dt.datetime(2024, 3, 1, 9)
+    rows, eid = [], 0
+    for day_off, q in [(0, 4), (2, 2), (6, 6)]:
+        for k in range(q):
+            rows.append(
+                (eid, 1, base + dt.timedelta(days=day_off, minutes=k), "purchase", 1.0)
+            )
+            eid += 1
+    rows.append((eid, 2, base, "purchase", 1.0))
+    d = tempfile.mkdtemp(prefix="croston_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: r for r in timeseries_croston(spark, d).collect()}
+        r1 = got[1]
+        assert r1.n_demand_days == 3
+        assert r1.demand_level == 4.125
+        assert r1.interval_level == 1.9375
+        assert r1.forecast_per_day == round(4.125 / 1.9375, 6)
+        r2 = got[2]
+        assert r2.n_demand_days == 1
+        assert (r2.demand_level, r2.interval_level, r2.forecast_per_day) == (
+            1.0,
+            1.0,
+            1.0,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bollinger_flags_planted_spike_only_and_never_self_inflates(spark):
+    """A 60-event day in a 10-per-day series must be the only breakout,
+    and the day AFTER the spike must not be flagged merely because the
+    spike widened its band (it sits inside the widened band)."""
+    from parquet_exporter_spark.queries.timeseries import (
+        timeseries_bollinger_bands,
+    )
+
+    counts = [10, 11, 10, 9, 10, 11, 10, 60, 10, 11, 10]
+    d = _events_dir_ts(spark, counts, "boll_")
+    try:
+        got = {r.day: r for r in timeseries_bollinger_bands(spark, d).collect()}
+        # first 7 days are warmup (trailing window), days 8..11 emit
+        assert len(got) == 4
+        flags = {day: r.is_breakout for day, r in got.items()}
+        import datetime as dt
+
+        spike_day = dt.date(2024, 3, 8)
+        assert flags[spike_day] is True
+        assert all(not v for day, v in flags.items() if day != spike_day)
+        # the spike's own band came from the quiet window before it
+        assert got[spike_day].band_upper < 20
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_dir_ts(spark, counts, prefix):
+    import datetime as dt
+
+    rows, eid = [], 0
+    for off, n in enumerate(counts):
+        day = dt.date(2024, 3, 1) + dt.timedelta(days=off)
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    1,
+                    dt.datetime.combine(day, dt.time(9, 0)) + dt.timedelta(minutes=k),
+                    "click",
+                    1.0,
+                )
+            )
+            eid += 1
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """4 users, durations 0,0,2,5; watermark = last ts, users ending
+    >7d before it churn. Craft so users A,B churn at duration 0 with
+    4 at risk (H += 2/4), C churns at 2 with 2 at risk (H += 1/2),
+    D is censored at 5 (no hazard step)."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_nelson_aalen
+
+    t0 = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (1, 10, t0, "click", 1.0),                                # A: dur 0
+        (2, 11, t0, "click", 1.0),                                # B: dur 0
+        (3, 12, t0, "click", 1.0),
+        (4, 12, t0 + dt.timedelta(days=2), "click", 1.0),         # C: dur 2
+        (5, 13, t0, "click", 1.0),
+        (6, 13, t0 + dt.timedelta(days=20), "click", 1.0),        # D: dur 20, censored
+    ]
+    d = tempfile.mkdtemp(prefix="na_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r.t: r for r in analytics_nelson_aalen(spark, d).collect()}
+        assert got[0].n_risk == 4 and got[0].n_events == 2
+        assert got[0].cum_hazard == 0.5
+        assert got[2].n_risk == 2 and got[2].n_events == 1
+        assert got[2].cum_hazard == 1.0  # 2/4 + 1/2
+        assert got[20].n_events == 0  # censored: no hazard step
+        assert got[20].cum_hazard == 1.0
+        # variance: 2/16 + 1/4 = 0.375
+        assert got[2].cum_hazard_var == 0.375
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cuped_recovers_planted_covariate_slope(spark):
+    """Per-user Y ~= 2X + variant effect: theta must land near the
+    planted slope 2 and CUPED must explain most of Y's variance
+    (var_reduction = rho^2 high), while the adjusted group gap stays
+    near the planted +3 treatment effect."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_cuped_adjustment
+
+    # 20-day span, cutoff = day 10: pre = days 1..10, post = days 11..20
+    base = dt.date(2024, 3, 1)
+    rows, eid = [], 0
+    for u in range(1, 21):
+        x = u  # pre-period count: 1..20
+        y = 2 * x + (3 if u % 2 == 1 else 0)  # planted effect on variant 1
+        for k in range(x):
+            rows.append(
+                (eid, u, dt.datetime.combine(base, dt.time(9)) + dt.timedelta(minutes=k), "click", 1.0)
+            )
+            eid += 1
+        for k in range(y):
+            rows.append(
+                (
+                    eid,
+                    u,
+                    dt.datetime.combine(base + dt.timedelta(days=19), dt.time(9))
+                    + dt.timedelta(minutes=k),
+                    "click",
+                    1.0,
+                )
+            )
+            eid += 1
+    d = tempfile.mkdtemp(prefix="cuped_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r.variant: r for r in analytics_cuped_adjustment(spark, d).collect()}
+        assert 1.8 < got[0].theta < 2.2
+        assert got[0].var_reduction > 0.9
+        gap_raw = got[1].mean_y - got[0].mean_y
+        gap_adj = got[1].mean_y_adj - got[0].mean_y_adj
+        # X is balanced across variants (odd/even 1..20), so the
+        # adjustment must keep the planted +3 effect, not eat it
+        assert abs(gap_adj - 3.0) < 0.5, (gap_raw, gap_adj)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_herfindahl_extremes(spark):
+    """A monopolized month reads HHI ~1 / effective_n ~1; an
+    equal-split month over 4 customers reads HHI 0.25 / effective_n 4."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import (
+        analytics_herfindahl_monthly,
+    )
+
+    rows = [
+        # March: one whale + three crumbs
+        (1, 1, dt.date(2024, 3, 5), 9_700.00),
+        (2, 2, dt.date(2024, 3, 6), 100.00),
+        (3, 3, dt.date(2024, 3, 7), 100.00),
+        (4, 4, dt.date(2024, 3, 8), 100.00),
+        # April: four equals
+        (5, 1, dt.date(2024, 4, 5), 250.00),
+        (6, 2, dt.date(2024, 4, 6), 250.00),
+        (7, 3, dt.date(2024, 4, 7), 250.00),
+        (8, 4, dt.date(2024, 4, 8), 250.00),
+    ]
+    d = tempfile.mkdtemp(prefix="hhi_")
+    try:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = {str(r.month): r for r in analytics_herfindahl_monthly(spark, d).collect()}
+        mar, apr = got["2024-03-01"], got["2024-04-01"]
+        assert mar.n_customers == 4 and apr.n_customers == 4
+        assert mar.hhi > 0.9 and mar.effective_n < 1.2
+        assert apr.hhi == 0.25 and apr.effective_n == 4.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cramer_v_extremes(spark):
+    """Perfect association (each event_type owns one weekday) must read
+    V=1.0; a perfectly balanced 2x2 table must read V=0."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.dq import dq_cramer_v
+
+    def write_events(rows, prefix):
+        d = tempfile.mkdtemp(prefix=prefix)
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    mon = dt.datetime(2024, 3, 4, 9)   # isodow 1
+    tue = dt.datetime(2024, 3, 5, 9)   # isodow 2
+    # perfect: clicks only Monday, views only Tuesday (10 each)
+    rows = [(i, 1, mon, "click", 1.0) for i in range(10)] + [
+        (100 + i, 1, tue, "view", 1.0) for i in range(10)
+    ]
+    d = write_events(rows, "cv_perfect_")
+    try:
+        r = dq_cramer_v(spark, d).collect()[0]
+        assert r.cramer_v == 1.0 and r.dof == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # independent: both types split 50/50 across both days
+    rows = []
+    eid = 0
+    for ts in (mon, tue):
+        for et in ("click", "view"):
+            for _ in range(5):
+                rows.append((eid, 1, ts, et, 1.0))
+                eid += 1
+    d = write_events(rows, "cv_indep_")
+    try:
+        r = dq_cramer_v(spark, d).collect()[0]
+        assert r.chi2 == 0.0 and r.cramer_v == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_duplicate_line_fraction_hand_computed(spark):
+    """'a\\na\\nb' -> 3 lines, 1 dup, dup_line_frac 1/3, dup_char_frac
+    1/3 (all lines 1 char); a no-newline doc reads all zeros; an empty
+    doc degrades to one empty line with 0 fractions, not 0/0."""
+    from parquet_exporter_spark.queries.llm3 import text_duplicate_line_fraction
+
+    d = tempfile.mkdtemp(prefix="dupline_")
+    try:
+        spark.createDataFrame(
+            [
+                (1, "a\na\nb", "en", "web", 5),
+                (2, "just one line", "en", "web", 13),
+                (3, "", "en", "web", 0),
+                (4, "xx\nyy\nxx\nxx", "en", "web", 11),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in text_duplicate_line_fraction(spark, d).collect()}
+        assert (got[1].n_lines, got[1].n_dup_lines) == (3, 1)
+        assert got[1].dup_line_frac == round(1 / 3, 6)
+        assert got[1].dup_char_frac == round(1 / 3, 6)
+        assert (got[2].n_dup_lines, got[2].dup_line_frac) == (0, 0.0)
+        assert (got[3].n_lines, got[3].dup_char_frac) == (1, 0.0)
+        # doc 4: 4 lines of 2 chars, 'xx' x3 -> 2 dup occurrences
+        assert (got[4].n_dup_lines, got[4].dup_line_frac) == (2, 0.5)
+        assert got[4].dup_char_frac == 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
