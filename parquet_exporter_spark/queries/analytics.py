@@ -2520,3 +2520,127 @@ def analytics_herfindahl_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q / (s * s), 6).alias("hhi"),
         F.round((s * s) / q, 4).alias("effective_n"),
     )
+
+
+@query(
+    "analytics_auc_mann_whitney",
+    oracle="""
+    WITH uy AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT variant, y,
+               -- average tie rank = (2*min_rank + ties - 1) / 2: exact
+               -- halves, every partial sum exact below 2^52
+               (2 * rank() OVER (ORDER BY y)
+                + count(*) OVER (PARTITION BY y) - 1) / 2.0 AS avg_rank
+        FROM uy),
+    grp AS (
+        SELECT CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               sum(CASE WHEN variant = 1 THEN avg_rank ELSE 0 END) AS r1
+        FROM ranked),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM uy GROUP BY y))
+    SELECT n1, n0,
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6)
+               AS auc,
+           CASE WHEN sqrt(CAST(n1 AS DOUBLE) * n0 / 12
+                          * ((n1 + n0 + 1)
+                             - CAST(tie_term AS DOUBLE)
+                               / ((n1 + n0) * (n1 + n0 - 1.0)))) > 0
+                THEN round((r1 - n1 * (n1 + 1) / 2.0
+                            - CAST(n1 AS DOUBLE) * n0 / 2)
+                           / sqrt(CAST(n1 AS DOUBLE) * n0 / 12
+                                  * ((n1 + n0 + 1)
+                                     - CAST(tie_term AS DOUBLE)
+                                       / ((n1 + n0) * (n1 + n0 - 1.0)))), 6)
+                END AS z_score
+    FROM grp CROSS JOIN ties
+    """,
+    doc=(
+        "Mann-Whitney U / rank-sum readout between the deterministic "
+        "user_id%2 variants on per-user event counts, reported as the "
+        "AUC (= P(random treatment user > random control user), the "
+        "common-language effect size — and literally ROC-AUC when the "
+        "variant flag is a binary label, which is why this one operator "
+        "serves both A/B readouts and model-score evaluation) plus the "
+        "tie-corrected normal z. The nonparametric complement to the "
+        "mean-difference tests (ab_test_proportions, "
+        "analytics_diff_in_diff): a few whale users cannot move it. "
+        "Exactness: average tie ranks are (2*min_rank + ties - 1)/2 — "
+        "exact binary halves whose sums stay exact below 2^52, U and "
+        "AUC are single divisions of those exact values, and the tie "
+        "correction sum(t^3 - t) is an exact integer — nothing "
+        "engine-ordered anywhere before the final round-6 (z's sqrt is "
+        "IEEE correctly-rounded). Scale shape: one user-keyed "
+        "partial-agg shuffle; the rank window is global-order but runs "
+        "over the per-user table, and at 100 TB the same ranks come "
+        "from the value-histogram CDF (ties group by VALUE, so the "
+        "window collapses to |distinct y| rows — the zorder_key_approx "
+        "trick)."
+    ),
+)
+def analytics_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    uy = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("y")).select(
+        (F.col("user_id") % 2).alias("variant"), "y"
+    )
+    ranked = uy.select(
+        "variant",
+        (
+            (
+                2 * F.rank().over(Window.orderBy("y"))
+                + F.count(F.lit(1)).over(Window.partitionBy("y"))
+                - 1
+            )
+            / 2.0
+        ).alias("avg_rank"),
+    )
+    grp = ranked.agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("avg_rank")).otherwise(0.0)).alias(
+            "r1"
+        ),
+    )
+    ties = (
+        uy.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n1d = F.col("n1").cast("double")
+    n = F.col("n1") + F.col("n0")
+    sigma = F.sqrt(
+        n1d
+        * F.col("n0")
+        / 12
+        * (
+            (n + 1)
+            - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return grp.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n0",
+        u.alias("u_stat"),
+        F.round(u / (n1d * F.col("n0")), 6).alias("auc"),
+        # all-tied input makes sigma 0 (tie correction removes the whole
+        # variance): no sampling distribution exists, report NULL z
+        F.when(sigma > 0, F.round((u - n1d * F.col("n0") / 2) / sigma, 6))
+        .alias("z_score"),
+    )

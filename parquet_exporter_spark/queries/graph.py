@@ -867,3 +867,137 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_closeness_bfs",
+    oracle="""
+    WITH lines AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS MATERIALIZED (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2),
+    edges AS MATERIALIZED (SELECT src, dst FROM co WHERE n >= 2),
+    d1 AS MATERIALIZED (
+        SELECT src, dst FROM edges WHERE src % 20 = 0),
+    d2 AS MATERIALIZED (
+        SELECT DISTINCT p.src, e.dst FROM d1 p
+        JOIN edges e ON p.dst = e.src
+        WHERE p.src <> e.dst
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.src = p.src AND x.dst = e.dst)),
+    d3 AS MATERIALIZED (
+        SELECT DISTINCT p.src, e.dst FROM d2 p
+        JOIN edges e ON p.dst = e.src
+        WHERE p.src <> e.dst
+          AND NOT EXISTS (SELECT 1 FROM d1 x
+                          WHERE x.src = p.src AND x.dst = e.dst)
+          AND NOT EXISTS (SELECT 1 FROM d2 y
+                          WHERE y.src = p.src AND y.dst = e.dst)),
+    cnts AS (
+        SELECT p.src AS part_key,
+               CAST(count(*) AS BIGINT) AS c1,
+               CAST(any_value(coalesce(c2, 0)) AS BIGINT) AS c2,
+               CAST(any_value(coalesce(c3, 0)) AS BIGINT) AS c3
+        FROM d1 p
+        LEFT JOIN (SELECT src, count(*) AS c2 FROM d2 GROUP BY src) a
+               ON a.src = p.src
+        LEFT JOIN (SELECT src, count(*) AS c3 FROM d3 GROUP BY src) b
+               ON b.src = p.src
+        GROUP BY p.src)
+    SELECT part_key, c1, c2, c3,
+           round((6 * c1 + 3 * c2 + 2 * c3) / 6.0, 6) AS harmonic,
+           CAST(row_number() OVER (
+               ORDER BY 6 * c1 + 3 * c2 + 2 * c3 DESC, part_key) AS BIGINT)
+               AS rank
+    FROM cnts
+    """,
+    doc=(
+        "Harmonic closeness centrality within 3 hops from SAMPLED PIVOT "
+        "sources (part_key % 20 = 0 — the deterministic stand-in for "
+        "the random pivot set) over the >= 2-co-order part graph (the "
+        "same sparsified edge relation graph_kcore peels): sum(1/dist) "
+        "over the c1 direct, c2 two-hop, c3 three-hop neighbors — the "
+        "centrality that credits a part for the BREADTH of the basket "
+        "neighborhood it reaches, well-defined on disconnected graphs "
+        "(unreachable = 0 contribution), where raw degree sees one hop. "
+        "The 1/3 terms are not binary-exact, so the score is folded "
+        "into the INTEGER numerator 6*c1 + 3*c2 + 2*c3 over common "
+        "denominator 6: the ranking orders on that exact integer (id "
+        "tiebreak) and harmonic is one deterministic division — no "
+        "float sum, no libm (the oracle-float rule). Hop sets are "
+        "level-peeled frontiers (d2 excludes direct, d3 excludes both) "
+        "with DISTINCT dedup, all keyed equi/anti-joins. The pivot "
+        "sampling IS the scale design, not a shortcut: exact all-pairs "
+        "closeness is O(n*m) and was measured infeasible even at "
+        "sf0.01 on the dense >= 1-co-order graph (231k edges); "
+        "Eppstein-Wang-style sampled pivots bound the frontier to "
+        "O(pivots * avg 3-hop ball) at ANY scale, and the estimate "
+        "sharpens by adding pivots, not by touching more graph."
+    ),
+)
+def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        lines.alias("a")
+        .join(lines.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+    try:
+        d1 = edges.filter(F.col("src") % 20 == 0).persist()
+        d2 = (
+            d1.alias("p")
+            .join(edges.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .filter(F.col("p.src") != F.col("e.dst"))
+            .select(F.col("p.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(d1, ["src", "dst"], "left_anti")
+            .persist()
+        )
+        d3 = (
+            d2.alias("p")
+            .join(edges.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .filter(F.col("p.src") != F.col("e.dst"))
+            .select(F.col("p.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(d1, ["src", "dst"], "left_anti")
+            .join(d2, ["src", "dst"], "left_anti")
+        )
+        c1 = d1.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        c2 = d2.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        c3 = d3.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("c3"))
+        cnts = (
+            c1.join(c2, "src", "left")
+            .join(c3, "src", "left")
+            .select(
+                F.col("src").alias("part_key"),
+                "c1",
+                F.coalesce("c2", F.lit(0)).cast("long").alias("c2"),
+                F.coalesce("c3", F.lit(0)).cast("long").alias("c3"),
+            )
+        )
+        numer = 6 * F.col("c1") + 3 * F.col("c2") + 2 * F.col("c3")
+        w = Window.orderBy(F.desc(numer), "part_key")
+        out = cnts.select(
+            "part_key",
+            "c1",
+            "c2",
+            "c3",
+            F.round(numer / 6.0, 6).alias("harmonic"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        edges.unpersist()

@@ -2182,3 +2182,110 @@ def timeseries_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_events") < mid - _BOLL_K * sd)
         ).alias("is_breakout"),
     )
+
+
+_DOMP_MAX_LAG = 10
+
+
+@query(
+    "timeseries_dominant_period",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, k.k, daily.cnt AS x,
+               lag(daily.cnt, k.k) OVER (
+                   PARTITION BY event_type, k.k ORDER BY daily.day) AS y
+        FROM daily CROSS JOIN generate_series(2, {_DOMP_MAX_LAG}) AS k(k)),
+    mom AS (
+        SELECT event_type, k,
+               CAST(count(y) AS BIGINT) AS n,
+               CAST(sum(x) FILTER (WHERE y IS NOT NULL) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) FILTER (WHERE y IS NOT NULL) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY 1, 2),
+    r AS (
+        SELECT event_type, k, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * (n * syy - sy * sy)) AS acf
+        FROM mom
+        WHERE n >= 3 AND n * sxx > sx * sx AND n * syy > sy * sy)
+    SELECT event_type, CAST(k AS BIGINT) AS dominant_lag,
+           round(acf, 6) AS acf, n AS n_pairs
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY acf DESC, k) AS rn
+          FROM r)
+    WHERE rn = 1
+    """,
+    doc=(
+        f"Dominant period detection: argmax over lags 2-{_DOMP_MAX_LAG} "
+        "of the lag-k autocorrelation of each event_type's daily count "
+        "series — 'what cycle length does this series actually have', "
+        "the question the full ACF table (timeseries_acf) leaves to "
+        "the reader and the Holt-Winters period constant hard-codes. "
+        "Unlike the ACF query this does NOT call engine corr(): the "
+        "correlation is rebuilt from EXACT INTEGER MOMENTS (n, Sx, Sy, "
+        "Sxy, Sxx, Syy over paired integer counts — every sum exact in "
+        "longs), so both engines produce the bit-identical double and "
+        "the ARGMAX cannot flip on a last-ulp disagreement, which is "
+        "precisely the failure mode an argmax over engine-float corr "
+        "values would invite (id tiebreak on the lag for exact ties). "
+        "Degenerate lags (constant series or < 3 pairs) are excluded "
+        "from candidacy rather than scored NaN. Scale shape: one "
+        "partial-agg shuffle to |type, day| rows, a bounded "
+        f"{_DOMP_MAX_LAG - 1}-row-per-type lag replication, and "
+        "windows over the per-type daily rollup — never the events."
+    ),
+)
+def timeseries_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ks = spark.range(2, _DOMP_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    rep = daily.crossJoin(F.broadcast(ks))
+    w = Window.partitionBy("event_type", "k").orderBy("day")
+    expr = F.when(F.col("k") == 2, F.lag("cnt", 2).over(w))
+    for i in range(3, _DOMP_MAX_LAG + 1):
+        expr = expr.when(F.col("k") == i, F.lag("cnt", i).over(w))
+    lagged = rep.select(
+        "event_type", "k", F.col("cnt").alias("x"), expr.alias("y")
+    )
+    paired = F.col("y").isNotNull()
+    mom = lagged.groupBy("event_type", "k").agg(
+        F.count("y").cast("long").alias("n"),
+        F.sum(F.when(paired, F.col("x"))).cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(paired, F.col("x") * F.col("x"))).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = mom.filter(
+        (F.col("n") >= 3) & (varx > 0) & (vary > 0)
+    ).select(
+        "event_type",
+        "k",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(varx.cast("double") * vary)
+        ).alias("acf"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("acf"), "k")
+    return (
+        r.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("dominant_lag"),
+            F.round("acf", 6).alias("acf"),
+            F.col("n").alias("n_pairs"),
+        )
+    )

@@ -174,6 +174,19 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row N/r/c scalar broadcast; the ordered chi2 fold gathers "
         "the <= r*c (35-row) term table, never the events",
     ),
+    "analytics_auc_mann_whitney": (
+        {"bnlj", "single_partition_x2"},
+        "1-row tie-correction scalar broadcast; the rank window is "
+        "global-order but runs over the per-user table (bounded "
+        "relative to events — the documented histogram-CDF rank path "
+        "replaces it at 100 TB), and the final gather carries one "
+        "partially-aggregated verdict row",
+    ),
+    "timeseries_dominant_period": (
+        {"bnlj"},
+        "bounded 9-row lag spine broadcast-replicated over the daily "
+        "rollup — the same shape as timeseries_acf's lag table",
+    ),
     "graph_hits": (
         {"single_partition_x1"},
         "per-iteration normalizers are 1-row sum aggregates broadcast "

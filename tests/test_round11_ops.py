@@ -680,3 +680,94 @@ def test_duplicate_line_fraction_hand_computed(spark):
         assert got[4].dup_char_frac == 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_auc_mann_whitney_extremes(spark):
+    """Perfect separation (every odd user out-counts every even user)
+    must read AUC 1.0; identical distributions must read AUC 0.5 with
+    u_stat = n1*n0/2."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_auc_mann_whitney
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+
+    def write(counts, prefix):
+        rows, eid = [], 0
+        for u, c in counts.items():
+            for k in range(c):
+                rows.append((eid, u, t0 + dt.timedelta(minutes=k), "click", 1.0))
+                eid += 1
+        d = tempfile.mkdtemp(prefix=prefix)
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    # odd users (variant 1): 10..13 events; even users: 1..4
+    d = write({1: 10, 3: 11, 5: 12, 7: 13, 2: 1, 4: 2, 6: 3, 8: 4}, "auc_sep_")
+    try:
+        r = analytics_auc_mann_whitney(spark, d).collect()[0]
+        assert (r.n1, r.n0) == (4, 4)
+        assert r.auc == 1.0 and r.u_stat == 16.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # identical: every user has 5 events -> all tied, AUC 0.5
+    d = write({u: 5 for u in range(1, 9)}, "auc_tied_")
+    try:
+        r = analytics_auc_mann_whitney(spark, d).collect()[0]
+        assert r.auc == 0.5 and r.u_stat == 8.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_closeness_hand_computed_chain(spark):
+    """Pivot 20 on the chain 20-1-2-3 (each link co-ordered twice so it
+    survives the >=2 filter): c1=1, c2=1, c3=1, harmonic = 11/6, and a
+    second pivot 40 has two direct neighbors that never co-occur with
+    each other, so its 2/3-hop sets are empty: (2, 0, 0)."""
+    from parquet_exporter_spark.queries.graph import graph_closeness_bfs
+
+    d = tempfile.mkdtemp(prefix="close_")
+    try:
+        # two orders per link make the co-order count >= 2
+        links = [(20, 1), (1, 2), (2, 3), (40, 5), (40, 6)]
+        lrows, ok = [], 0
+        for a, b in links:
+            for _ in range(2):
+                ok += 1
+                lrows += [(ok, 0, a), (ok, 0, b)]
+        spark.createDataFrame(
+            lrows, "l_orderkey long, l_suppkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {r.part_key: r for r in graph_closeness_bfs(spark, d).collect()}
+        assert set(got) == {20, 40}  # pivots only (% 20 == 0)
+        r20 = got[20]
+        assert (r20.c1, r20.c2, r20.c3) == (1, 1, 1)
+        assert r20.harmonic == round(11 / 6, 6)
+        r40 = got[40]
+        assert (r40.c1, r40.c2, r40.c3) == (2, 0, 0)
+        assert r40.harmonic == 2.0
+        # integer-numerator ranking: 40's 12/6 beats 20's 11/6
+        assert r40.rank == 1 and r20.rank == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dominant_period_finds_planted_cycle_with_tiebreak(spark):
+    """Counts cycling [40,10,10,10,10] for 40 days have perfect lag-5
+    AND lag-10 autocorrelation; the detector must report 5 — the
+    planted period — via the exact-tie lowest-lag tiebreak."""
+    from parquet_exporter_spark.queries.timeseries import (
+        timeseries_dominant_period,
+    )
+
+    counts = [40, 10, 10, 10, 10] * 8
+    d = _events_dir_ts(spark, counts, "domp_")
+    try:
+        r = timeseries_dominant_period(spark, d).collect()[0]
+        assert r.dominant_lag == 5
+        assert r.acf == 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
