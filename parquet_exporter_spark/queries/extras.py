@@ -950,3 +950,78 @@ def dq_file_row_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+MALFORMED_CSV = os.path.join(FIXTURES, "climbs_malformed.csv")
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle=f"""
+    WITH clean AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing: with ignore_errors the row set
+        -- depends on which columns get parsed (a count-only inlining
+        -- keeps type-error rows DuckDB never parses), so the CTE must
+        -- evaluate ONCE with every column referenced
+        SELECT count(*) AS n, CAST(sum(length_m) AS BIGINT) AS s
+        FROM read_csv('{MALFORMED_CSV}', header = true, ignore_errors = true,
+                      columns = {{'climb_id': 'VARCHAR',
+                                  'climb_name': 'VARCHAR',
+                                  'length_m': 'INTEGER',
+                                  'yds': 'VARCHAR',
+                                  'latitude': 'DOUBLE'}})),
+    total AS MATERIALIZED (
+        SELECT count(*) - 1 AS n  -- minus header
+        FROM read_csv('{MALFORMED_CSV}', header = false, quote = '',
+                      delim = chr(1), columns = {{'raw': 'VARCHAR'}}))
+    SELECT 'clean' AS record_status, CAST(clean.n AS BIGINT) AS n_rows,
+           clean.s AS length_sum
+    FROM clean
+    UNION ALL
+    SELECT 'quarantined', CAST(total.n - clean.n AS BIGINT), NULL
+    FROM total CROSS JOIN clean
+    """,
+    doc=(
+        "Malformed-CSV quarantine scan: read with an explicit schema in "
+        "PERMISSIVE mode and route unparseable records to the "
+        "_corrupt_record column instead of failing the job or silently "
+        "dropping them — the ingest posture a 100 TB pipeline needs "
+        "for third-party CSV feeds (quarantine + count + re-process, "
+        "never lose). The fixture plants the two corruption kinds both "
+        "engines classify identically (type errors and extra columns; "
+        "SHORT rows are deliberately absent — Spark PERMISSIVE "
+        "null-pads them while DuckDB errors, an engine-semantics "
+        "divergence the fixture documents by exclusion, "
+        "tools/gen_fixtures.py write_malformed_csv). The oracle "
+        "recomputes the split from DuckDB's ignore_errors read plus a "
+        "raw line count. The Spark df is cached before the corrupt-"
+        "column filter (the documented Spark requirement for "
+        "referencing _corrupt_record); output is the 2-row "
+        "clean/quarantined summary with a clean-side checksum, so the "
+        "stamp verifies both routing and parsing."
+    ),
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = FLAT_SCHEMA + ", _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(MALFORMED_CSV)
+        .cache()
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+    summary = clean.agg(
+        F.lit("clean").alias("record_status"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("length_m").cast("long").alias("length_sum"),
+    ).unionByName(
+        quarantined.agg(
+            F.lit("quarantined").alias("record_status"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("length_sum"),
+        )
+    )
+    return summary

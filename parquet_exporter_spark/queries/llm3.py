@@ -266,3 +266,61 @@ def text_duplicate_line_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_char_frac"),
     )
+
+
+@query(
+    "text_dedup_lines_rebuild",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, p.line, p.i
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                             generate_subscripts(
+                                 string_split(text, chr(10)), 1) AS i) p),
+    firsts AS (
+        SELECT doc_id, line, min(i) AS first_i, count(*) AS cnt
+        FROM pos GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           CAST(sum(cnt - 1) AS BIGINT) AS n_lines_dropped,
+           string_agg(line, chr(10) ORDER BY first_i) AS cleaned_text
+    FROM firsts GROUP BY doc_id
+    """,
+    doc=(
+        "Within-document line dedup with ORDER-PRESERVING rebuild: keep "
+        "each distinct line's first occurrence and reassemble the "
+        "document — the RefinedWeb/CCNet line-dedup cleaning step "
+        "itself, where text_duplicate_line_fraction is only its "
+        "diagnostic (that query scores, this one transforms; a corpus "
+        "build runs both: score to threshold, transform to clean). "
+        "Order preservation is the contract: lines re-join sorted by "
+        "their first position (posexplode / generate_subscripts), not "
+        "by value — a value-sorted rebuild would destroy the document. "
+        "Counts are exact integers, the rebuilt text is byte-exact on "
+        "both engines (split on chr(10), join on chr(10)), so the "
+        "transform itself is hash-verified, not just its row count. "
+        "Scale shape: one posexplode + (doc, line)-keyed partial agg, "
+        "one doc-keyed rebuild; at 100 TB the rebuild's collect_list "
+        "is bounded by document size, the same per-entity bound every "
+        "chunker here relies on."
+    ),
+)
+def text_dedup_lines_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("i", "line")
+    )
+    firsts = pos.groupBy("doc_id", "line").agg(
+        F.min("i").alias("first_i"), F.count(F.lit(1)).alias("cnt")
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_lines_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_i", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )

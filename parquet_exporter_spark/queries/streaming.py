@@ -957,3 +957,125 @@ def stream_spike_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("v") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"))
         ).alias("is_spike"),
     )
+
+
+@query(
+    "stream_cusum_monitor_twin",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS rnum
+        FROM daily
+    ),
+    cal AS (
+        SELECT event_type,
+               (list_sort(list(v))[(count(*)+1)//2]
+                + list_sort(list(v))[(count(*)+2)//2]) / 2 AS target
+        FROM rn WHERE rnum <= 7 GROUP BY event_type HAVING count(*) = 7
+    ),
+    post AS (
+        SELECT rn.event_type, rn.day, rn.v, cal.target,
+               rn.v - cal.target - 2.0 AS dp,
+               cal.target - rn.v - 2.0 AS dn
+        FROM rn JOIN cal USING (event_type) WHERE rn.rnum > 7
+    ),
+    sums AS (
+        SELECT *,
+               sum(dp) OVER w AS pp,
+               sum(dn) OVER w AS pn
+        FROM post
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pre AS (
+        SELECT *,
+               least(CAST(0 AS DOUBLE), min(pp) OVER w) AS mp,
+               least(CAST(0 AS DOUBLE), min(pn) OVER w) AS mn
+        FROM sums
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(v AS BIGINT) AS n_events, target,
+           pp - mp AS s_pos, pn - mn AS s_neg,
+           (pp - mp > 12.0 OR pn - mn > 12.0) AS is_alarm
+    FROM pre
+    """,
+    doc=(
+        "Batch twin of the streaming ONLINE CUSUM drift monitor "
+        "(streaming/cusum_monitor.py rolling_cusum_monitor): after a "
+        "7-day calibration window fixes the target as the TWO-MIDDLE "
+        "MEDIAN of the first week's counts, each later day updates the "
+        "two-sided Page statistics S+ = max(0, S+ + (x - target - K)), "
+        "S- mirrored, alarm when either exceeds H=12 — the detector "
+        "that accumulates many small same-direction deviations a "
+        "per-point threshold (spike monitor) structurally misses: the "
+        "drift-vs-spike split. The twin computes the recursion through "
+        "the prefix identity S_t = P_t - min(0, min_{j<=t} P_j), which "
+        "equals the streaming recursion BIT-FOR-BIT because every "
+        "quantity is an exact binary half (integer counts, median "
+        "target, K=2 — the median, not the mean, is load-bearing: a "
+        "mean target like 71/7 would round and split the two forms "
+        "apart), so streaming == batch == oracle with no tolerance "
+        "anywhere, including inside the alarm comparison. One "
+        "event_type exchange over the bounded daily rollup; streaming "
+        "state is 5 floats per key."
+    ),
+)
+def stream_cusum_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    rn = daily.withColumn("rnum", F.row_number().over(wrn))
+    cal7 = rn.filter(F.col("rnum") <= 7).groupBy("event_type").agg(
+        F.array_sort(F.collect_list("v")).alias("s"),
+        F.count(F.lit(1)).alias("ncal"),
+    ).filter(F.col("ncal") == 7)
+    cal = cal7.select(
+        "event_type",
+        (
+            (
+                F.element_at("s", F.floor((F.col("ncal") + 1) / 2).cast("int"))
+                + F.element_at("s", F.floor((F.col("ncal") + 2) / 2).cast("int"))
+            )
+            / 2
+        ).alias("target"),
+    )
+    post = rn.filter(F.col("rnum") > 7).join(cal, "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        "target",
+        (F.col("v") - F.col("target") - 2.0).alias("dp"),
+        (F.col("target") - F.col("v") - 2.0).alias("dn"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = (
+        post.withColumn("pp", F.sum("dp").over(w))
+        .withColumn("pn", F.sum("dn").over(w))
+        .withColumn("mp", F.least(F.lit(0.0), F.min("pp").over(w)))
+        .withColumn("mn", F.least(F.lit(0.0), F.min("pn").over(w)))
+    )
+    s_pos = F.col("pp") - F.col("mp")
+    s_neg = F.col("pn") - F.col("mn")
+    return pre.select(
+        "event_type",
+        "day",
+        F.col("v").cast("long").alias("n_events"),
+        "target",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        ((s_pos > 12.0) | (s_neg > 12.0)).alias("is_alarm"),
+    )

@@ -174,6 +174,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row N/r/c scalar broadcast; the ordered chi2 fold gathers "
         "the <= r*c (35-row) term table, never the events",
     ),
+    "scan_csv_quarantine": (
+        {"single_partition_x2"},
+        "two 1-row clean/quarantined summary aggregates unioned — each "
+        "gather carries one partially-aggregated verdict row over the "
+        "bounded fixture",
+    ),
     "analytics_auc_mann_whitney": (
         {"bnlj", "single_partition_x2"},
         "1-row tie-correction scalar broadcast; the rank window is "

@@ -771,3 +771,50 @@ def test_dominant_period_finds_planted_cycle_with_tiebreak(spark):
         assert r.acf == 1.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_quarantine_routes_known_bad_rows(spark):
+    """The planted corruption (NaNm type errors + extra-column rows)
+    must land in _corrupt_record with the ORIGINAL raw line preserved
+    for re-processing, and clean parsing must be unaffected."""
+    from parquet_exporter_spark.queries.extras import FLAT_SCHEMA, MALFORMED_CSV
+
+    schema = FLAT_SCHEMA + ", _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(MALFORMED_CSV)
+        .cache()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 17  # 11 type errors + 6 extra-column rows
+    raws = [r._corrupt_record for r in bad]
+    assert all(raw is not None and "," in raw for raw in raws)
+    assert sum("NaNm" in raw for raw in raws) == 11
+    assert sum(raw.endswith("EXTRA") for raw in raws) == 6
+    # clean side parsed types properly
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    assert clean.count() == 248
+    assert clean.filter(F.col("length_m").isNull()).count() == 0
+
+
+def test_dedup_lines_rebuild_preserves_order(spark):
+    """'b\\na\\nb\\nc\\na' must rebuild as 'b\\na\\nc' — first occurrences
+    in ORIGINAL order, not value order (a value-sorted rebuild would
+    read 'a\\nb\\nc' and destroy the document)."""
+    from parquet_exporter_spark.queries.llm3 import text_dedup_lines_rebuild
+
+    d = tempfile.mkdtemp(prefix="linerebuild_")
+    try:
+        spark.createDataFrame(
+            [(1, "b\na\nb\nc\na", "en", "web", 9), (2, "solo", "en", "web", 4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in text_dedup_lines_rebuild(spark, d).collect()}
+        assert got[1].cleaned_text == "b\na\nc"
+        assert (got[1].n_lines_kept, got[1].n_lines_dropped) == (3, 2)
+        assert got[2].cleaned_text == "solo" and got[2].n_lines_dropped == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -817,3 +817,109 @@ def test_streaming_spike_monitor_matches_trailing_hampel(spark, tmp_path):
     # exactly the planted 50 (click ordinal 7) fires; the constant view
     # series and the spike's own successors stay silent
     assert spikes == [("click", 7)]
+
+
+def test_streaming_cusum_matches_recursion_and_flags_drift(spark, tmp_path):
+    """The online CUSUM must (a) carry calibration + statistics across a
+    micro-batch boundary, (b) alarm on a sustained small drift that no
+    single point would flag, (c) agree bit-for-bit with a straight-line
+    Python replay of the recursion (which the batch twin's prefix
+    identity equals in exact arithmetic), and (d) stay silent on a
+    constant series and on one isolated spike."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.cusum_monitor import (
+        CUSUM_CAL,
+        CUSUM_H,
+        CUSUM_K,
+        _two_middle_median,
+        rolling_cusum_monitor,
+    )
+
+    base = datetime(2024, 1, 1)
+    series = {
+        # cal median 10; drift +5/day: each step adds 5-2=3 to S+,
+        # crossing H=12 on the 5th drifted day
+        "click": [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0] + [15.0] * 6,
+        # one isolated spike: +40-2 = 38 > 12 on that day -> a CUSUM
+        # DOES alarm on a huge single point (it is a shift detector,
+        # not spike-blind), but decays back below H two days later
+        "view": [7.0] * 7 + [7.0, 7.0, 7.0, 7.0, 7.0, 7.0],
+    }
+    rows, eid = [], 0
+    for etype, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, base + timedelta(days=i), etype, v))
+            eid += 1
+    rows.sort(key=lambda r: r[1])
+    d = str(tmp_path / "cusum_points")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, event_type string, v double"
+
+    def _write_flat(subset, filename):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame(subset, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(d, filename))
+        shutil.rmtree(staging)
+
+    # split INSIDE the drifted region so S+ must survive the boundary
+    _write_flat(rows[: len(rows) // 2], "b1.parquet")
+    _write_flat(rows[len(rows) // 2 :], "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        rolling_cusum_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        want = sum(len(v) for v in series.values())
+        while _time.time() < deadline:
+            got = spark.sql("SELECT * FROM cusum_out").collect()
+            if len(got) >= want:
+                break
+            _time.sleep(1)
+        assert len(got) == want
+    finally:
+        q.stop()
+
+    by_key = {(r.event_type, r.event_id): r for r in got}
+    eid = 0
+    for etype, vals in series.items():
+        target = _two_middle_median(sorted(vals[:CUSUM_CAL]))
+        s_pos = s_neg = 0.0
+        for i, v in enumerate(vals):
+            r = by_key[(etype, eid)]
+            if i < CUSUM_CAL:
+                assert r.target is None and r.is_alarm is False
+            else:
+                s_pos = max(0.0, s_pos + (v - target) - CUSUM_K)
+                s_neg = max(0.0, s_neg + (target - v) - CUSUM_K)
+                # exact-halves contract: recursion == stream bit-for-bit
+                assert r.target == target
+                assert r.s_pos == s_pos and r.s_neg == s_neg
+                assert r.is_alarm == (s_pos > CUSUM_H or s_neg > CUSUM_H)
+            eid += 1
+    alarms = sorted(
+        (r.event_type, r.event_id) for r in got if r.is_alarm
+    )
+    # click drifts from ordinal 7; S+ = 3,6,9,12,15,18 -> alarms on the
+    # 5th and 6th drifted days (ordinals 11, 12); view never alarms
+    click_ids = [
+        eid
+        for eid, (et, i) in enumerate(
+            (et, i) for et, vals in series.items() for i, _ in enumerate(vals)
+        )
+        if et == "click"
+    ]
+    assert alarms == [("click", click_ids[11]), ("click", click_ids[12])]

@@ -334,10 +334,38 @@ def write_evolved_events() -> None:
     )
 
 
+def write_malformed_csv() -> None:
+    """climbs_flat.csv with planted malformed rows for the quarantine
+    scan (scan_csv_quarantine): every 25th data row is replaced by a
+    type-error twin (length_m = 'NaNm') and every 40th by an
+    extra-column twin — the two corruption kinds Spark PERMISSIVE
+    marks corrupt AND DuckDB ignore_errors skips (short rows are NOT
+    planted: the engines disagree there — Spark null-pads, DuckDB
+    errors). Deterministic, derived from climbs_flat.csv."""
+    import csv
+
+    with open(os.path.join(OUT_DIR, "climbs_flat.csv"), newline="") as f:
+        rows = list(csv.reader(f))
+    header, data = rows[0], rows[1:]
+    out = [header]
+    for i, r in enumerate(data):
+        if i % 25 == 12:
+            bad = list(r)
+            bad[2] = "NaNm"  # unparseable int
+            out.append(bad)
+        elif i % 40 == 7:
+            out.append(list(r) + ["EXTRA"])  # too many columns
+        else:
+            out.append(r)
+    with open(os.path.join(OUT_DIR, "climbs_malformed.csv"), "w", newline="") as f:
+        csv.writer(f).writerows(out)
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
     write_xml_form()
+    write_malformed_csv()
     write_partitioned_events()
     write_ranged_events()
     write_evolved_events()
