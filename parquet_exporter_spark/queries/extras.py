@@ -1025,3 +1025,38 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary
+
+
+ROWGROUPED_EVENTS = os.path.join(FIXTURES, "events_rowgrouped.parquet")
+
+
+@query(
+    "scan_rowgroup_pruned",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM read_parquet('{ROWGROUPED_EVENTS}')
+    WHERE value BETWEEN 20.0 AND 25.0
+    """,
+    doc=(
+        "Row-group statistics skipping — the WITHIN-file counterpart of "
+        "manifest/file-level pruning (scan_manifest_pruned) and the "
+        "mechanism that makes clustered layouts (write_hilberted / "
+        "write_zordered) pay off INSIDE each file: the fixture is "
+        "value-sorted and written with 100-row groups, so each group's "
+        "parquet footer stats carry a tight disjoint [min, max] and the "
+        "pushed BETWEEN decodes only the ~2 overlapping groups of 10. "
+        "Spark's parquet reader applies this automatically once the "
+        "filter is PUSHED (PushedFilters plan-asserted in "
+        "tests/test_round11_ops.py, which also measures the decoded "
+        "row count vs an unsorted control through the scan metrics — "
+        "the claim is measured, not assumed). At 100 TB row-group "
+        "skipping multiplies with file pruning: manifest prunes to "
+        "O(matching files), stats prune each survivor to O(matching "
+        "groups)."
+    ),
+)
+def scan_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(ROWGROUPED_EVENTS)
+    return df.filter(F.col("value").between(20.0, 25.0)).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )

@@ -1118,3 +1118,115 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("part_key"), "core_degree")
     )
+
+
+_BT_FOLDS = 5
+
+
+@query(
+    "timeseries_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+    series AS (
+        -- 1-element arrays so list_reduce's implicit seed (= the first
+        -- element) and the 2-state acc share a type, the holt_linear
+        -- oracle's ragged-array trick (trend starts as an
+        -- out-of-bounds NULL -> coalesce 0)
+        SELECT event_type, list([v] ORDER BY day) AS xs,
+               CAST(count(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type),
+    folds AS (
+        SELECT event_type, n, xs, k.k, n - k.k AS m
+        FROM series CROSS JOIN generate_series(1, {_BT_FOLDS}) AS k(k)
+        WHERE n - k.k >= 2),
+    fitted AS (
+        SELECT event_type, CAST(k AS BIGINT) AS fold_back, m,
+               xs[CAST(m + 1 AS INT)][1] AS actual,
+               list_reduce(
+                   xs[:CAST(m AS INT)],
+                   (acc, x) -> [{_HOLT_ALPHA} * x[1]
+                                    + {1 - _HOLT_ALPHA}
+                                      * (acc[1] + coalesce(acc[2], 0.0)),
+                                {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                                    + {1 - _HOLT_ALPHA}
+                                      * (acc[1] + coalesce(acc[2], 0.0)))
+                                    - acc[1])
+                                    + {1 - _HOLT_BETA}
+                                      * coalesce(acc[2], 0.0)]) AS st
+        FROM folds)
+    SELECT event_type, fold_back,
+           CAST(m AS BIGINT) AS n_train,
+           round(st[1] + coalesce(st[2], 0.0), 6) AS forecast,
+           CAST(actual AS BIGINT) AS actual,
+           round(abs(st[1] + coalesce(st[2], 0.0) - actual), 6) AS abs_err
+    FROM fitted
+    """,
+    doc=(
+        f"Rolling-origin forecast backtest: for each of the last "
+        f"{_BT_FOLDS} days, refit the Holt linear smoother "
+        "(timeseries_holt_linear's exact fold contract — a=1/2, b=1/4, "
+        "seed level=x1 trend=0) on the series TRUNCATED before that "
+        "day and score the one-step forecast against the held-out "
+        "actual — the out-of-sample evaluation loop that separates 'the "
+        "smoother converged' from 'the smoother predicts', and the "
+        "harness MASE (timeseries_mase) plugs into as the error "
+        "numerator. Each fold is the same bit-exact rational-"
+        "arithmetic fold on a shorter prefix (integer counts, exact "
+        "binary gains), so forecast, actual, and error are all "
+        "hash-exact cross-engine. Scale shape: one partial-agg shuffle "
+        "to the daily rollup, one entity-keyed shuffle of bounded "
+        f"arrays, then {_BT_FOLDS} bounded refolds per entity — "
+        "backtesting multiplies per-ENTITY work, never re-scans the "
+        "fact table."
+    ),
+)
+def timeseries_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("dxs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "event_type", F.transform("dxs", lambda x: x["v"]).alias("xs"), "n"
+    )
+    ks = spark.range(1, _BT_FOLDS + 1).select(F.col("id").cast("long").alias("k"))
+    folds = series.crossJoin(F.broadcast(ks)).filter(
+        F.col("n") - F.col("k") >= 2
+    ).withColumn("m", (F.col("n") - F.col("k")).cast("int"))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        level = F.lit(a) * x + F.lit(1 - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        trend = F.lit(b) * (level - F.element_at(acc, 1)) + F.lit(1 - b) * F.element_at(
+            acc, 2
+        )
+        return F.array(level, trend)
+
+    fold = F.aggregate(
+        F.slice("xs", 2, F.col("m") - 1),
+        F.array(F.element_at("xs", 1), F.lit(0.0)),
+        step,
+    )
+    fitted = folds.select(
+        "event_type",
+        F.col("k").alias("fold_back"),
+        F.col("m").cast("long").alias("n_train"),
+        fold.alias("st"),
+        F.element_at("xs", F.col("m") + 1).alias("actual"),
+    )
+    fc = F.element_at("st", 1) + F.element_at("st", 2)
+    return fitted.select(
+        "event_type",
+        "fold_back",
+        "n_train",
+        F.round(fc, 6).alias("forecast"),
+        F.col("actual").cast("long").alias("actual"),
+        F.round(F.abs(fc - F.col("actual")), 6).alias("abs_err"),
+    )

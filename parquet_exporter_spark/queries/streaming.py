@@ -8,6 +8,8 @@ express.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1078,4 +1080,65 @@ def stream_cusum_monitor_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_pos.alias("s_pos"),
         s_neg.alias("s_neg"),
         ((s_pos > 12.0) | (s_neg > 12.0)).alias("is_alarm"),
+    )
+
+
+CDC_CHANGES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "cdc_changes.jsonl",
+)
+
+
+@query(
+    "cdc_debezium_parse",
+    oracle=f"""
+    WITH env AS (
+        SELECT * FROM read_json('{CDC_CHANGES}',
+            columns = {{'op': 'VARCHAR', 'ts_ms': 'BIGINT',
+                        'before': 'STRUCT(id BIGINT, name VARCHAR, balance DOUBLE)',
+                        'after': 'STRUCT(id BIGINT, name VARCHAR, balance DOUBLE)'}}))
+    SELECT ts_ms,
+           CASE op WHEN 'c' THEN 'insert' WHEN 'u' THEN 'update'
+                   ELSE 'delete' END AS change_kind,
+           coalesce(after.id, before.id) AS key_id,
+           after.name AS new_name,
+           round(after.balance, 2) AS new_balance,
+           round(before.balance, 2) AS old_balance,
+           (op = 'd') AS is_tombstone
+    FROM env
+    """,
+    doc=(
+        "Debezium change-envelope parser — the ingestion step every "
+        "Kafka-CDC pipeline runs before the merge logic this repo "
+        "already has (cdc_merge_upsert / cdc_latest_snapshot / "
+        "cdc_apply_deletes consume TYPED change rows; this produces "
+        "them from the wire format): op c/u/d plus before/after row "
+        "images parsed with an EXPLICIT struct schema (no inference in "
+        "prod paths, the scan_csv rule), key extracted as "
+        "coalesce(after.id, before.id) so deletes — whose after is "
+        "null — still carry their key, and deletes flagged as "
+        "tombstones rather than dropped. The fixture's synthetic "
+        "sequence (creates, double updates, deletes) exercises all "
+        "three kinds and null images on both sides. Scale shape: pure "
+        "per-row projection over the envelope scan — no shuffle at "
+        "all; at 100 TB this is the stateless map stage in front of "
+        "the keyed MERGE, exactly where Debezium's unwrap SMT sits."
+    ),
+)
+def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = "id bigint, name string, balance double"
+    schema = f"op string, ts_ms bigint, before struct<{img}>, after struct<{img}>"
+    env = spark.read.schema(schema).json(CDC_CHANGES)
+    return env.select(
+        "ts_ms",
+        F.when(F.col("op") == "c", "insert")
+        .when(F.col("op") == "u", "update")
+        .otherwise("delete")
+        .alias("change_kind"),
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("key_id"),
+        F.col("after.name").alias("new_name"),
+        F.round("after.balance", 2).alias("new_balance"),
+        F.round("before.balance", 2).alias("old_balance"),
+        (F.col("op") == "d").alias("is_tombstone"),
     )

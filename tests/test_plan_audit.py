@@ -193,6 +193,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "bounded 9-row lag spine broadcast-replicated over the daily "
         "rollup — the same shape as timeseries_acf's lag table",
     ),
+    "timeseries_forecast_backtest": (
+        {"bnlj"},
+        "bounded 5-row fold spine broadcast-replicated over the "
+        "per-entity series arrays — the lag-table shape",
+    ),
     "graph_hits": (
         {"single_partition_x1"},
         "per-iteration normalizers are 1-row sum aggregates broadcast "

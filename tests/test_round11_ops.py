@@ -818,3 +818,108 @@ def test_dedup_lines_rebuild_preserves_order(spark):
         assert got[2].cleaned_text == "solo" and got[2].n_lines_dropped == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _scan_output_rows(df):
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    return scan.metrics().apply("numOutputRows").value()
+
+
+def test_rowgroup_skipping_measured_against_unsorted_control(spark):
+    """The value-sorted 100-row-group fixture must decode only the
+    group(s) overlapping the pushed BETWEEN, while an unsorted control
+    with IDENTICAL row-group size decodes everything — proving the
+    saving comes from clustered row-group stats, not from the filter."""
+    import pyarrow.parquet as pq
+
+    from parquet_exporter_spark.queries.extras import ROWGROUPED_EVENTS
+
+    pred = F.col("value").between(20.0, 25.0)
+    sorted_df = spark.read.parquet(ROWGROUPED_EVENTS).filter(pred)
+    plan = sorted_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(value,20.0)" in plan
+
+    d = tempfile.mkdtemp(prefix="rg_ctrl_")
+    try:
+        # same rows, same 100-row groups, VALUE-SCATTERED order (sorted
+        # by the hash-ish event_id*2654435761 % 1000003 instead)
+        t = pq.read_table(ROWGROUPED_EVENTS)
+        import pyarrow.compute as pc
+
+        key = pc.bit_wise_and(pc.multiply(t["event_id"], 2654435761), 1048575)
+        ctrl = t.take(pc.sort_indices(key))
+        ctrl_path = os.path.join(d, "ctrl.parquet")
+        pq.write_table(ctrl, ctrl_path, row_group_size=100)
+        assert pq.ParquetFile(ctrl_path).num_row_groups == 10
+
+        ctrl_df = spark.read.parquet(ctrl_path).filter(pred)
+        sorted_rows = _scan_output_rows(sorted_df)
+        ctrl_rows = _scan_output_rows(ctrl_df)
+        # identical query answers...
+        a = {r.event_id for r in sorted_df.collect()}
+        b = {r.event_id for r in ctrl_df.collect()}
+        assert a == b and len(a) > 0
+        # ...but the clustered file decodes <= 2 groups vs all 10
+        assert sorted_rows <= 200, sorted_rows
+        assert ctrl_rows == 1000, ctrl_rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cdc_debezium_parse_semantics(spark):
+    """44 envelope rows -> 20 inserts + 20 updates + 4 tombstones; a
+    delete still carries its key from the before image, and replaying
+    parsed changes in ts order reproduces the hand-checkable final
+    state (16 live accounts, evens carrying +22.5)."""
+    from parquet_exporter_spark.queries.streaming import cdc_debezium_parse
+
+    got = cdc_debezium_parse(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 44
+    kinds = {}
+    for r in got:
+        kinds[r.change_kind] = kinds.get(r.change_kind, 0) + 1
+    assert kinds == {"insert": 20, "update": 20, "delete": 4}
+    tombs = [r for r in got if r.is_tombstone]
+    assert all(r.key_id is not None and r.new_name is None for r in tombs)
+    assert sorted(r.key_id for r in tombs) == [5, 10, 15, 20]
+    # replay: last change per key wins, tombstones remove
+    state = {}
+    for r in sorted(got, key=lambda r: r.ts_ms):
+        if r.is_tombstone:
+            state.pop(r.key_id, None)
+        else:
+            state[r.key_id] = r.new_balance
+    assert len(state) == 16
+    assert state[2] == 222.5  # 200 + 7.5 + 15
+    assert state[3] == 300.0  # odd: never updated
+
+
+def test_forecast_backtest_hand_computed(spark):
+    """Counts [4, 2, 6, 8]: fold_back=1 trains on [4, 2, 6] and must
+    forecast the Holt state hand-rolled here; fold_back=2 trains on
+    [4, 2]; fold_back=3 is dropped (1-point training rejected)."""
+    from parquet_exporter_spark.queries.llm8 import timeseries_forecast_backtest
+
+    d = _events_dir_ts(spark, [4, 2, 6, 8], "bt_")
+    try:
+        got = {r.fold_back: r for r in timeseries_forecast_backtest(spark, d).collect()}
+        assert set(got) == {1, 2}
+
+        def holt(xs):
+            level, trend = xs[0], 0.0
+            for x in xs[1:]:
+                l2 = 0.5 * x + 0.5 * (level + trend)
+                trend = 0.25 * (l2 - level) + 0.75 * trend
+                level = l2
+            return level + trend
+
+        r1 = got[1]
+        assert (r1.n_train, r1.actual) == (3, 8)
+        assert r1.forecast == round(holt([4.0, 2.0, 6.0]), 6)
+        assert r1.abs_err == round(abs(holt([4.0, 2.0, 6.0]) - 8), 6)
+        r2 = got[2]
+        assert (r2.n_train, r2.actual) == (2, 6)
+        assert r2.forecast == round(holt([4.0, 2.0]), 6)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

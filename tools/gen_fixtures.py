@@ -274,6 +274,64 @@ def write_ranged_events(n_files: int = 8) -> None:
         )
 
 
+def write_cdc_changes() -> None:
+    """Debezium-style change envelope JSONL (op c/u/d, before/after
+    images, ts_ms) over a 20-key account table — the wire format every
+    Kafka-CDC ingestion actually receives. Deterministic synthetic
+    sequence: create all 20, update the even keys twice, delete every
+    fifth — so the parsed stream contains all three op kinds and the
+    replayed latest snapshot is hand-checkable."""
+    import json as _j
+
+    out = os.path.join(OUT_DIR, "cdc_changes.jsonl")
+    rows = []
+    ts = 1700000000000
+    state = {}
+    for k in range(1, 21):
+        after = {"id": k, "name": f"acct-{k:03d}", "balance": round(100.0 * k, 2)}
+        rows.append({"op": "c", "ts_ms": ts, "before": None, "after": after})
+        state[k] = after
+        ts += 1000
+    for rnd in (1, 2):
+        for k in range(2, 21, 2):
+            before = dict(state[k])
+            after = dict(before)
+            after["balance"] = round(before["balance"] + 7.5 * rnd, 2)
+            rows.append({"op": "u", "ts_ms": ts, "before": before, "after": after})
+            state[k] = after
+            ts += 1000
+    for k in range(5, 21, 5):
+        rows.append({"op": "d", "ts_ms": ts, "before": dict(state[k]), "after": None})
+        del state[k]
+        ts += 1000
+    with open(out, "w") as f:
+        for r in rows:
+            f.write(_j.dumps(r) + "\n")
+
+
+def write_rowgrouped_events(rows_per_group: int = 100) -> None:
+    """Single-file copy of the sf0.001 events table sorted by VALUE and
+    written with tiny row groups (100 rows -> 10 groups), for the
+    row-group skipping operator: each group's parquet statistics carry
+    a tight disjoint [min_value, max_value], so a narrow value
+    predicate must decode only the overlapping groups — the
+    WITHIN-file counterpart of events_ranged's file-level pruning.
+    Deterministic: derived from the driver's seed-42 testdata."""
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = con.sql(
+        f"""SELECT event_id, ts, user_id, event_type, value, props
+            FROM '{src}' ORDER BY value, event_id"""
+    ).arrow()
+    out = os.path.join(OUT_DIR, "events_rowgrouped.parquet")
+    _pq.write_table(tbl, out, row_group_size=rows_per_group)
+    pf = _pq.ParquetFile(out)
+    assert pf.num_row_groups >= 8, pf.num_row_groups
+
+
 def write_highcard_sessions(n_files: int = 8, rows_per_file: int = 1500) -> None:
     """High-cardinality UNCLUSTERED multi-file table for the Bloom
     file-index operator: 12,000 unique session_id strings hash-scattered
@@ -370,3 +428,5 @@ if __name__ == "__main__":
     write_ranged_events()
     write_evolved_events()
     write_highcard_sessions()
+    write_rowgrouped_events()
+    write_cdc_changes()
