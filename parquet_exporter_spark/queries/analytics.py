@@ -2644,3 +2644,127 @@ def analytics_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sigma > 0, F.round((u - n1d * F.col("n0") / 2) / sigma, 6))
         .alias("z_score"),
     )
+
+
+@query(
+    "analytics_audience_overlap",
+    oracle="""
+    WITH aud AS (
+        SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(any_value(na.n) AS BIGINT) AS n_a,
+           CAST(any_value(nb.n) AS BIGINT) AS n_b,
+           round(CAST(count(*) AS DOUBLE)
+                 / (any_value(na.n) + any_value(nb.n) - count(*)), 6)
+               AS jaccard,
+           round(CAST(count(*) AS DOUBLE)
+                 / least(any_value(na.n), any_value(nb.n)), 6)
+               AS containment
+    FROM aud a
+    JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN (SELECT event_type, count(*) AS n FROM aud GROUP BY 1) na
+      ON na.event_type = a.event_type
+    JOIN (SELECT event_type, count(*) AS n FROM aud GROUP BY 1) nb
+      ON nb.event_type = b.event_type
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Pairwise audience-overlap matrix across event types: for every "
+        "type pair, the EXACT user intersection plus Jaccard and "
+        "containment (overlap coefficient) — the 'do my segments reach "
+        "the same people' readout ad/product teams sketch with "
+        "theta-sketch intersections; here the per-type audiences are "
+        "distinct (type, user) rows so the intersection is one "
+        "user-keyed equi self-join and every quantity is an exact "
+        "integer with two deterministic divisions at the end (union "
+        "via inclusion-exclusion, never a float sum). Scale shape: the "
+        "distinct audience table is bounded by users x types; the "
+        "self-join shuffles once on user_id and the pair rollup is "
+        "|types|^2 rows. At true sketch scale (billions of users) the "
+        "SAME query shape runs over the exact bitmap family "
+        "(agg_bitmap_exact_distinct) or HLL union/intersection "
+        "estimates — this is the exact anchor those estimators are "
+        "judged against."
+    ),
+)
+def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    j = pairs.join(na, "type_a").join(nb, "type_b")
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_overlap",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("n_overlap").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_overlap").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("containment"),
+    )
+
+
+@query(
+    "analytics_srm_check",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0
+        FROM (SELECT DISTINCT user_id FROM events))
+    SELECT n1, n0,
+           round(CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0), 6)
+               AS chi2,
+           CAST((n1 - n0) * (n1 - n0) AS DOUBLE) / (n1 + n0) > 3.841459
+               AS srm_detected
+    FROM counts
+    """,
+    doc=(
+        "Sample-ratio-mismatch guard for the 50/50 user_id%2 split: the "
+        "1-dof chi-square (n1-n0)^2/(n1+n0) against the 3.84 critical "
+        "value (p<0.05) — the sanity gate every experimentation "
+        "platform runs BEFORE reading any metric, because a biased "
+        "assignment invalidates the whole readout (the CUPED and "
+        "Mann-Whitney queries here assume the split it checks). Exact "
+        "integer counts, one deterministic division, and the boolean "
+        "compares that exact double against an exact literal — nothing "
+        "engine-ordered. Scale shape: one distinct-user shuffle "
+        "collapsing to a 1-row verdict."
+    ),
+)
+def analytics_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    counts = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    diff = F.col("n1") - F.col("n0")
+    chi2 = (diff * diff).cast("double") / (F.col("n1") + F.col("n0"))
+    return counts.select(
+        "n1",
+        "n0",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
+    )

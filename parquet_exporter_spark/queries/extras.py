@@ -1060,3 +1060,40 @@ def scan_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("value").between(20.0, 25.0)).select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
+
+
+NESTED_CLIMBS = os.path.join(FIXTURES, "climbs.parquet")
+
+
+@query(
+    "scan_nested_pushdown",
+    oracle=f"""
+    SELECT uuid AS climb_id, grades.yds AS yds,
+           round(metadata.lat, 6) AS lat
+    FROM read_parquet('{NESTED_CLIMBS}')
+    WHERE metadata.lat > 40.0 AND type.sport
+    """,
+    doc=(
+        "Nested-field predicate pushdown + schema pruning on the "
+        "reference's own document model (fixtures/climbs.parquet, the "
+        "R3/R9 nested struct shape): filter on metadata.lat and "
+        "type.sport, project two leaf fields — the plan must show BOTH "
+        "a nested PushedFilters entry (metadata.lat reaches the parquet "
+        "reader as a column-chunk-stats filter) and a PRUNED ReadSchema "
+        "that fetches only the referenced struct leaves, not the whole "
+        "grades/type/metadata/content trees (asserted in "
+        "tests/test_round11_ops.py). At 100 TB nested pruning is the "
+        "difference between reading two leaf columns and "
+        "deserializing every document's full struct payload — the "
+        "columnar win nested data only keeps if the reader honors it."
+    ),
+)
+def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(NESTED_CLIMBS)
+    return df.filter(
+        (F.col("metadata.lat") > 40.0) & F.col("type.sport")
+    ).select(
+        F.col("uuid").alias("climb_id"),
+        F.col("grades.yds").alias("yds"),
+        F.round("metadata.lat", 6).alias("lat"),
+    )

@@ -174,6 +174,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row N/r/c scalar broadcast; the ordered chi2 fold gathers "
         "the <= r*c (35-row) term table, never the events",
     ),
+    "analytics_srm_check": (
+        {"single_partition_x1"},
+        "1-row verdict gather carrying one partially-aggregated "
+        "variant-count row over the distinct-user rollup",
+    ),
     "scan_csv_quarantine": (
         {"single_partition_x2"},
         "two 1-row clean/quarantined summary aggregates unioned — each "

@@ -923,3 +923,89 @@ def test_forecast_backtest_hand_computed(spark):
         assert r2.forecast == round(holt([4.0, 2.0]), 6)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_nested_pushdown_plan_prunes_schema_and_pushes_filter(spark):
+    """The nested scan's plan must push the metadata.lat predicate to
+    the reader and read a PRUNED schema — only the referenced struct
+    leaves, no content/description, no grades.vscale/french."""
+    from parquet_exporter_spark.queries.extras import scan_nested_pushdown
+
+    df = scan_nested_pushdown(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "metadata.lat" in plan, plan[:2000]
+    import re
+
+    rs = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "description" not in rs and "vscale" not in rs and "french" not in rs
+    assert "lat" in rs and "yds" in rs
+
+
+def test_audience_overlap_hand_computed(spark):
+    """click audience {1,2,3}, view {2,3,4}, purchase {9}: overlap(click,
+    view) = 2, jaccard 2/4, containment 2/3; purchase pairs with
+    nothing (no shared user -> no row)."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_audience_overlap
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    rows = []
+    eid = 0
+    for et, users in [("click", [1, 2, 3]), ("view", [2, 3, 4]), ("purchase", [9])]:
+        for u in users:
+            for _ in range(2):  # duplicates must not inflate the audience
+                rows.append((eid, u, t0, et, 1.0))
+                eid += 1
+    d = tempfile.mkdtemp(prefix="aud_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.type_a, r.type_b): r
+            for r in analytics_audience_overlap(spark, d).collect()
+        }
+        assert set(got) == {("click", "view")}
+        r = got[("click", "view")]
+        assert (r.n_overlap, r.n_a, r.n_b) == (2, 3, 3)
+        assert r.jaccard == 0.5 and r.containment == round(2 / 3, 6)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_srm_check_fires_on_biased_split(spark):
+    """A 40-vs-10 split must flag SRM (chi2 = 900/50 = 18 > 3.84); a
+    25/25 split must not (chi2 = 0)."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.analytics import analytics_srm_check
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+
+    def write(user_ids, prefix):
+        rows = [(i, u, t0, "click", 1.0) for i, u in enumerate(user_ids)]
+        d = tempfile.mkdtemp(prefix=prefix)
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, value double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    # 40 odd users, 10 even users
+    biased = [2 * k + 1 for k in range(40)] + [2 * k for k in range(1, 11)]
+    d = write(biased, "srm_bias_")
+    try:
+        r = analytics_srm_check(spark, d).collect()[0]
+        assert (r.n1, r.n0) == (40, 10)
+        assert r.chi2 == 18.0 and r.srm_detected is True
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    d = write([2 * k + 1 for k in range(25)] + [2 * k for k in range(1, 26)], "srm_ok_")
+    try:
+        r = analytics_srm_check(spark, d).collect()[0]
+        assert r.chi2 == 0.0 and r.srm_detected is False
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
