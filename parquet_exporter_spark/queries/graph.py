@@ -1001,3 +1001,184 @@ def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before unpersist
     finally:
         edges.unpersist()
+
+
+_CO_EDGE_SQL = """lines AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS MATERIALIZED (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2),
+    edges AS MATERIALIZED (SELECT src, dst FROM co WHERE n >= 2),
+    deg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src)"""
+
+
+def _co_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >= 2-co-order part edge relation (both directions), shared by
+    kcore / closeness / assortativity / clustering."""
+    li = read_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        lines.alias("a")
+        .join(lines.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_CO_EDGE_SQL},
+    pairs AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM edges e
+        JOIN deg da ON da.node = e.src
+        JOIN deg db ON db.node = e.dst),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs)
+    SELECT n AS n_directed_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS assortativity
+    FROM mom
+    """,
+    doc=(
+        "Degree assortativity of the >= 2-co-order part graph: the "
+        "Pearson correlation of endpoint degrees over every directed "
+        "edge (Newman's r) — positive means hubs prefer hubs "
+        "(resilient core, dedup clusters collapse together), negative "
+        "means hub-and-spoke (remove the hub and the neighborhood "
+        "shatters), the one-number structure summary degree "
+        "distributions can't give. Rebuilt from EXACT INTEGER MOMENTS "
+        "over the edge-endpoint pairs (n, Sx, Sy, Sxy, Sxx, Syy — the "
+        "timeseries_dominant_period contract), so the correlation is "
+        "bit-identical cross-engine before round-6; the symmetric edge "
+        "relation makes x/y moments equal, which the oracle computes "
+        "rather than assumes. Scale shape: degree is one "
+        "map-side-combined aggregate, the endpoint join is two keyed "
+        "equi-joins on the edge relation, and the moments collapse to "
+        "one row."
+    ),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges_sparse(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("x"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("y"))
+    pairs = (
+        edges.join(da, edges.src == da.a)
+        .join(db, edges.dst == db.b)
+        .select("x", "y")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num.cast("double") / F.sqrt(vx.cast("double") * vy), 6).alias(
+            "assortativity"
+        ),
+    )
+
+
+@query(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH {_CO_EDGE_SQL},
+    wedges AS (
+        SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+        FROM edges e1 JOIN edges e2
+          ON e1.src = e2.src AND e1.dst < e2.dst),
+    tri AS (
+        SELECT w.v, CAST(count(*) AS BIGINT) AS triangles
+        FROM wedges w
+        JOIN edges x ON x.src = w.a AND x.dst = w.b
+        GROUP BY w.v)
+    SELECT d.node AS part_key, d.deg,
+           coalesce(t.triangles, 0) AS triangles,
+           round(CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                 / (d.deg * (d.deg - 1)), 6) AS clustering
+    FROM deg d LEFT JOIN tri t ON t.v = d.node
+    WHERE d.deg >= 2
+    """,
+    doc=(
+        "Local clustering coefficient per part over the >= 2-co-order "
+        "graph: 2*triangles(v) / (deg(v)*(deg(v)-1)) — how close each "
+        "node's neighborhood is to a clique, the per-node refinement "
+        "of graph_triangle_count's global number (a part can sit in "
+        "many triangles yet cluster weakly if its degree is huge; this "
+        "is the signal that separates 'bridge' parts from 'community' "
+        "parts for basket segmentation). Triangles come from the "
+        "wedge-then-close formulation — enumerate each node's "
+        "neighbor PAIRS once (a < b), close them against the edge "
+        "relation with one equi-join — the canonical distributed "
+        "shape whose cost is sum(deg^2), bounded here by the "
+        "sparsified relation exactly as graph_kcore bounds it; at "
+        "100 TB the degree-ordered orientation halves the wedge count "
+        "on hubs. All-integer counts, one deterministic division, "
+        "round-6 at the boundary; isolated and degree-1 nodes are "
+        "excluded (coefficient undefined)."
+    ),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges_sparse(spark, sf_dir).persist()
+    try:
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        wedges = (
+            edges.alias("e1")
+            .join(edges.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+            .filter(F.col("e1.dst") < F.col("e2.dst"))
+            .select(
+                F.col("e1.src").alias("v"),
+                F.col("e1.dst").alias("a"),
+                F.col("e2.dst").alias("b"),
+            )
+        )
+        closed = wedges.join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+        )
+        tri = closed.groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("triangles")
+        )
+        out = (
+            deg.filter(F.col("deg") >= 2)
+            .join(tri, deg.src == tri.v, "left")
+            .select(
+                F.col("src").alias("part_key"),
+                "deg",
+                F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+                F.round(
+                    (2 * F.coalesce("triangles", F.lit(0))).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ).alias("clustering"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()

@@ -174,6 +174,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row N/r/c scalar broadcast; the ordered chi2 fold gathers "
         "the <= r*c (35-row) term table, never the events",
     ),
+    "graph_assortativity": (
+        {"single_partition_x1"},
+        "1-row moments gather carrying one partially-aggregated "
+        "six-sum row over the edge-endpoint pairs",
+    ),
     "analytics_srm_check": (
         {"single_partition_x1"},
         "1-row verdict gather carrying one partially-aggregated "

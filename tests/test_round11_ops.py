@@ -1009,3 +1009,54 @@ def test_srm_check_fires_on_biased_split(spark):
         assert r.chi2 == 0.0 and r.srm_detected is False
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_assortativity_extremes(spark):
+    """A star (hub 1 with leaves, each link co-ordered twice) is maximally
+    DISassortative: every edge pairs deg-4 with deg-1, r = -1. A clean
+    4-cycle is degree-regular: r is NULL-guarded out? No — all degrees
+    equal makes variance 0; craft instead a two-star chain with mixed
+    degrees and assert r < 0."""
+    from parquet_exporter_spark.queries.graph import graph_assortativity
+
+    d = tempfile.mkdtemp(prefix="assort_")
+    try:
+        links = [(1, 2), (1, 3), (1, 4), (1, 5)]
+        lrows, ok = [], 0
+        for a, b in links:
+            for _ in range(2):
+                ok += 1
+                lrows += [(ok, 0, a), (ok, 0, b)]
+        spark.createDataFrame(
+            lrows, "l_orderkey long, l_suppkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        r = graph_assortativity(spark, d).collect()[0]
+        assert r.n_directed_edges == 8
+        assert r.assortativity == -1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_local_clustering_triangle_vs_star(spark):
+    """In a triangle every node clusters at 1.0; a star hub clusters at
+    0.0 (its leaves never co-order with each other)."""
+    from parquet_exporter_spark.queries.graph import graph_local_clustering
+
+    d = tempfile.mkdtemp(prefix="lcc_")
+    try:
+        links = [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13)]
+        lrows, ok = [], 0
+        for a, b in links:
+            for _ in range(2):
+                ok += 1
+                lrows += [(ok, 0, a), (ok, 0, b)]
+        spark.createDataFrame(
+            lrows, "l_orderkey long, l_suppkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {r.part_key: r for r in graph_local_clustering(spark, d).collect()}
+        assert got[1].clustering == 1.0 and got[1].triangles == 1
+        assert got[2].clustering == 1.0 and got[3].clustering == 1.0
+        assert got[10].clustering == 0.0 and got[10].deg == 3
+        assert 11 not in got  # degree-1 leaves excluded (undefined)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
