@@ -1060,3 +1060,69 @@ def test_local_clustering_triangle_vs_star(spark):
         assert 11 not in got  # degree-1 leaves excluded (undefined)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_time_travel_snapshot_isolation(spark):
+    """Two commits: v1 sees 2 files, v2 sees 3. An as-of-v1 read plans
+    ONLY v1's file set (the later file is invisible — snapshot
+    isolation, not just pruning), the unversioned manifest tracks the
+    newest commit, and an uncommitted version raises."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        commit_snapshot,
+        current_manifest_version,
+        manifest_versions,
+        prune_with_manifest,
+        prune_with_manifest_version,
+        read_manifest_version,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    d = tempfile.mkdtemp(prefix="ttravel_")
+    try:
+        def write_file(name, lo, hi):
+            t = spark.range(lo, hi).selectExpr(
+                "id AS k", "CAST(id AS DOUBLE) AS v"
+            ).toPandas()
+            import pyarrow as pa
+
+            pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
+                           os.path.join(d, name))
+
+        write_file("a.parquet", 0, 100)
+        write_file("b.parquet", 100, 200)
+        v1 = commit_snapshot(d, "k")
+        write_file("c.parquet", 200, 300)
+        v2 = commit_snapshot(d, "k")
+        assert (v1, v2) == (1, 2)
+        assert manifest_versions(d) == [1, 2]
+        assert current_manifest_version(d) == 2
+
+        # as-of v1: file c is invisible even though its range matches
+        kept_v1 = prune_with_manifest_version(d, 1, lo=0, hi=300)
+        assert sorted(os.path.basename(p) for p in kept_v1) == [
+            "a.parquet",
+            "b.parquet",
+        ]
+        all_files = sorted(
+            p
+            for p in __import__("glob").glob(os.path.join(d, "*.parquet"))
+            if not os.path.basename(p).startswith("_")
+        )
+        assert read_kept(spark, kept_v1, all_files).count() == 200
+        # current (v2) and the unversioned manifest both see c
+        assert len(read_manifest_version(d)) == 3
+        assert sorted(
+            os.path.basename(p) for p in prune_with_manifest(d, lo=250, hi=260)
+        ) == ["c.parquet"]
+        # version pruning still prunes WITHIN the snapshot's file set
+        assert sorted(
+            os.path.basename(p)
+            for p in prune_with_manifest_version(d, 1, lo=150, hi=160)
+        ) == ["b.parquet"]
+        with _pytest.raises(FileNotFoundError):
+            read_manifest_version(d, 99)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

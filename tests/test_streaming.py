@@ -923,3 +923,81 @@ def test_streaming_cusum_matches_recursion_and_flags_drift(spark, tmp_path):
         if et == "click"
     ]
     assert alarms == [("click", click_ids[11]), ("click", click_ids[12])]
+
+
+def test_streaming_cusum_checkpoint_restart_carries_state(spark, tmp_path):
+    """A KILLED-and-restarted CUSUM query must resume from the
+    checkpointed state store: the calibration and accumulated S+ built
+    before the stop must carry into the restarted run (a from-scratch
+    restart would re-calibrate on drifted data and never alarm), and
+    the combined output must equal the straight-line recursion."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.cusum_monitor import (
+        CUSUM_CAL,
+        CUSUM_H,
+        CUSUM_K,
+        _two_middle_median,
+        rolling_cusum_monitor,
+    )
+
+    watch = str(tmp_path / "cusum_in")
+    out = str(tmp_path / "cusum_out_pq")
+    ckpt = str(tmp_path / "cusum_ckpt")
+    os.makedirs(watch)
+    base = datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0] + [15.0] * 6
+    rows = [
+        (i, base + timedelta(days=i), "click", v) for i, v in enumerate(vals)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, v double"
+
+    def _write_flat(subset, filename):
+        staging = os.path.join(watch, f"__staging_{filename}")
+        spark.createDataFrame(subset, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(watch, filename))
+        shutil.rmtree(staging)
+
+    def run_available_now():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        q = (
+            rolling_cusum_monitor(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # first run: calibration + the first 3 drifted days (S+ reaches 9)
+    _write_flat(rows[:10], "b1.parquet")
+    run_available_now()
+    # process dies here; the remaining drift arrives while it is down
+    _write_flat(rows[10:], "b2.parquet")
+    run_available_now()
+
+    got = {r.event_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == len(vals)  # nothing replayed twice
+    target = _two_middle_median(sorted(vals[:CUSUM_CAL]))
+    s_pos = 0.0
+    alarms = []
+    for i, v in enumerate(vals):
+        r = got[i]
+        if i < CUSUM_CAL:
+            assert r.target is None
+        else:
+            s_pos = max(0.0, s_pos + (v - target) - CUSUM_K)
+            assert r.target == target  # calibration survived the restart
+            assert r.s_pos == s_pos  # accumulated state survived
+            if r.is_alarm:
+                alarms.append(i)
+    # S+ = 3,6,9 | restart | 12,15,18 -> alarms fire on ordinals 11, 12
+    assert alarms == [11, 12]
