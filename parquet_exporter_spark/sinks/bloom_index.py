@@ -16,8 +16,17 @@ the only rows that reach the driver are set WORDS, sparse by
 construction); the committed index is metadata-sized (<= files x m/64
 rows); probing is a driver-side dict lookup per query literal, zero IO
 beyond the one manifest read. Hashing is the md5-derived scheme the
-portable sketches already use, computed with THE SAME strings on the
-build (Spark expression) and probe (Python) sides.
+portable sketches already use.
+
+Typed columns (round 12): both sides hash THE SAME canonical string —
+Spark's own CAST(col AS STRING). The build casts the native column; the
+probe renders its literal through an actual Spark cast of the SAME
+stored column type (1-row plan, never a Python str()), so int / date /
+timestamp / float / decimal keys index correctly. Python str() rendering
+is only trusted for string columns (where it is the identity); for any
+other type a mismatched rendering (Spark '1.0E-4' vs Python '0.0001')
+would turn Bloom false positives into FALSE NEGATIVES, which is why the
+probe refuses to guess and requires a SparkSession for non-string types.
 
 Reference parity note: the reference engine (OpenBeta/parquet-exporter)
 has no multi-file scan planning (export.py writes single files); this
@@ -34,14 +43,28 @@ BLOOM_M = 16384  # bits per file filter (2 KiB); n=1500 keys, k=6 -> ~0.6% FP
 BLOOM_K = 6
 
 
-def _positions(value: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
-    """The k bit positions of ``value`` — md5 of 'bf{i}:{value}', first 8
-    hex digits, mod m. MUST stay in lockstep with the Spark expression
-    in build_bloom_manifest (same strings, same slice, same modulus)."""
+def _positions(rendered: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions of an already-CANONICALIZED value string —
+    md5 of 'bf{i}:{rendered}', first 8 hex digits, mod m. MUST stay in
+    lockstep with the Spark expression in build_bloom_manifest (same
+    strings, same slice, same modulus)."""
     return [
-        int(hashlib.md5(f"bf{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        int(hashlib.md5(f"bf{i}:{rendered}".encode()).hexdigest()[:8], 16) % m
         for i in range(k)
     ]
+
+
+def render_probe_literal(spark, value, dtype: str) -> str:
+    """Render ``value`` exactly as the build side rendered the column:
+    CAST(CAST(value AS <dtype>) AS STRING) executed BY SPARK on a 1-row
+    frame. Using Spark's own cast on both sides is what lifts the old
+    string-only restriction safely — Python str() and Spark CAST
+    disagree for float/decimal/timestamp ('0.0001' vs '1.0E-4'), and any
+    disagreement breaks the no-false-negative guarantee."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(value,)], f"v {dtype}")
+    return df.select(F.col("v").cast("string").alias("r")).first()["r"]
 
 
 def build_bloom_manifest(
@@ -55,33 +78,24 @@ def build_bloom_manifest(
     """Build per-file Bloom filters over ``column`` for every data file
     under ``path`` and commit them as ``_bloom.parquet`` rows
     (file_name, word_idx, word) — sparse: only words with set bits.
-    One distributed pass; the gather is the index itself. Returns the
-    manifest path. Commit is atomic (temp + os.replace).
-    ``manifest_dir`` redirects the committed manifest (e.g. a scratch
-    dir when the data directory is a read-only committed fixture); the
-    production layout co-locates it with the data like _manifest."""
+    One distributed pass; the gather is the index itself. The column's
+    Spark type is committed alongside (``dtype``) so probes render
+    their literal through the identical cast chain. NULLs are skipped
+    (an equality probe can never match NULL). Returns the manifest
+    path. Commit is atomic (temp + os.replace). ``manifest_dir``
+    redirects the committed manifest (e.g. a scratch dir when the data
+    directory is a read-only committed fixture); the production layout
+    co-locates it with the data like _manifest."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType
 
     src = spark.read.parquet(path)
-    if not isinstance(src.schema[column].dataType, StringType):
-        # Build hashes Spark's CAST(col AS STRING); probe hashes Python
-        # str(value). The two renderings disagree for float/decimal/
-        # timestamp (Spark '1.0E-4' vs Python '0.0001'), which would turn
-        # Bloom false POSITIVES into false NEGATIVES and silently prune a
-        # file that contains the value. Refuse rather than break the
-        # superset guarantee.
-        raise TypeError(
-            f"bloom index supports string columns only; {column!r} is "
-            f"{src.schema[column].dataType.simpleString()} (Spark CAST-to-string "
-            "and Python str() renderings differ for non-string types)"
-        )
+    dtype = src.schema[column].dataType.simpleString()
     df = src.select(
         F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
-        F.col(column).alias("_v"),
-    )
+        F.col(column).cast("string").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
     pos_cols = [
         (
             F.conv(
@@ -113,6 +127,7 @@ def build_bloom_manifest(
             "word": pa.array([r.word for r in words], pa.int64()),
             "m": pa.array([m] * len(words), pa.int32()),
             "k": pa.array([k] * len(words), pa.int32()),
+            "dtype": pa.array([dtype] * len(words), pa.string()),
         }
     )
     out_dir = manifest_dir or path
@@ -124,30 +139,34 @@ def build_bloom_manifest(
     return final
 
 
-def prune_with_bloom(path: str, value, manifest_dir: str | None = None) -> list[str]:
+def prune_with_bloom(
+    path: str, value, manifest_dir: str | None = None, spark=None
+) -> list[str]:
     """Data-file paths under ``path`` that MAY contain ``value`` in the
     indexed column, planned from the committed Bloom manifest alone.
     Superset guarantee: a Bloom has no false negatives, so every file
     actually containing the value survives; ~FP-rate extra files may.
     Files absent from the manifest are conservatively kept; an EMPTY
     manifest (zero rows: empty table or no set words) keeps everything.
-    ``value`` must be a str — the index is string-columns-only (see
-    build_bloom_manifest)."""
+
+    For a string-typed index a plain str probes directly (str() is the
+    identity rendering). For any other indexed type, ``spark`` (or an
+    active session) is REQUIRED: the literal is rendered through
+    Spark's own cast chain so the probe hashes exactly what the build
+    hashed — guessing with Python str() could silently prune a file
+    that contains the value."""
     import glob
 
     import pyarrow.parquet as pq
 
-    if not isinstance(value, str):
-        raise TypeError(
-            f"bloom probe value must be str (index is string-columns-only), "
-            f"got {type(value).__name__}"
-        )
     t = pq.read_table(os.path.join(manifest_dir or path, BLOOM_NAME)).to_pylist()
     filters: dict[str, dict[int, int]] = {}
     m = k = None
+    dtype = "string"
     for r in t:
         filters.setdefault(r["file_name"], {})[r["word_idx"]] = r["word"]
         m, k = r["m"], r["k"]
+        dtype = r.get("dtype") or "string"  # pre-round-12 manifests: string-only
     if m is None:
         # Zero-row manifest: no filter was ever materialized. Keep every
         # data file rather than raise — pruning is an optimization and
@@ -157,7 +176,22 @@ def prune_with_bloom(path: str, value, manifest_dir: str | None = None) -> list[
             for p in sorted(glob.glob(os.path.join(path, "*.parquet")))
             if not os.path.basename(p).startswith("_")
         ]
-    pos = _positions(value, m, k)
+    if dtype == "string" and isinstance(value, str):
+        rendered = value
+    else:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise TypeError(
+                f"bloom probe on a {dtype!r} index needs a SparkSession to "
+                "render the literal through Spark's own CAST (Python str() "
+                "rendering differs and would break the no-false-negative "
+                "guarantee)"
+            )
+        rendered = render_probe_literal(spark, value, dtype)
+    pos = _positions(rendered, m, k)
     keep = []
     for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         base = os.path.basename(p)

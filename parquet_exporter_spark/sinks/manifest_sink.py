@@ -118,17 +118,37 @@ def prune_with_manifest(path: str, lo: Any = None, hi: Any = None) -> list[str]:
 
 # ---------------------------------------------------------------------------
 # Versioned snapshots: time travel over the manifest (Iceberg's snapshot
-# log reduced to its analytics core). Each commit freezes the CURRENT
-# data-file listing + stats as an immutable `_manifest.v{N}.parquet`;
+# log reduced to its analytics core). Each commit freezes a data-file
+# listing + stats as an immutable `_manifest.v{N}.parquet`;
 # `_manifest_current` is a version-hint file flipped atomically AFTER the
 # snapshot lands, so a reader resolves "current" or any historical N with
 # one metadata read and never observes a torn commit. Time-travel reads
 # plan against the file SET of that version — files added later are
-# invisible, exactly Iceberg's snapshot isolation — and require the
-# referenced files to still exist (no vacuum here; production pairs this
-# with a retention policy before deleting data files).
+# invisible, exactly Iceberg's snapshot isolation.
+#
+# Concurrency + retention (round 12): the snapshot file itself is the
+# compare-and-swap arbiter — it is claimed with a hard-link publish
+# (os.link fails with EEXIST if the version was already taken), so of two
+# racing committers that both computed version N+1 exactly one wins and
+# the loser gets a retryable CommitConflictError, never a silent
+# overwrite. Version numbering derives from max(existing snapshot files,
+# hint), so a lost/deleted hint can never restart numbering at 1 and
+# clobber immutable history. `expire_snapshots` completes the lifecycle:
+# drop old snapshot versions and (optionally) physically delete data
+# files no surviving version references — Iceberg's expire_snapshots +
+# remove_orphan_files pattern. Logical deletes (compaction) happen by
+# committing with an explicit `data_files` subset; the replaced files
+# stay on disk for old-version readers until expiry vacuums them.
 
 VERSION_HINT = "_manifest_current"
+HINT_LOCK = "_manifest_hint.lock"
+
+
+class CommitConflictError(RuntimeError):
+    """Another committer claimed the same snapshot version first.
+
+    Retryable: re-invoke commit_snapshot — it recomputes the next free
+    version from the now-longer snapshot chain."""
 
 
 def _snapshot_name(version: int) -> str:
@@ -156,23 +176,72 @@ def current_manifest_version(path: str) -> int | None:
         return int(f.read().strip())
 
 
-def commit_snapshot(path: str, cluster_col: str) -> int:
-    """Freeze the current data-file listing + stats as the next manifest
-    version and flip the current pointer to it. Returns the new version.
-    Commit order is the crash-safe one: snapshot file first (temp +
-    rename), THEN the hint (temp + rename) — a crash between the two
-    leaves an orphan snapshot and an older current, never a dangling
-    pointer. Also refreshes the unversioned `_manifest.parquet` so
-    non-time-travel readers (prune_with_manifest) keep working."""
+def _flip_hint_monotonic(path: str, version: int) -> None:
+    """Advance the hint to ``version`` unless a NEWER commit already
+    flipped it. The read-compare-replace runs under a tiny O_EXCL lock
+    file (held for microseconds, bounded spin) so two winners of
+    DIFFERENT versions can't interleave and regress the pointer."""
+    import time
+
+    hint = os.path.join(path, VERSION_HINT)
+    lock = os.path.join(path, HINT_LOCK)
+    deadline = time.monotonic() + 10.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise CommitConflictError(
+                    f"hint lock {lock} held too long (stale lock? remove it "
+                    "if no committer is running)"
+                ) from None
+            time.sleep(0.001)
+    try:
+        committed = current_manifest_version(path) or 0
+        if version > committed:
+            tmp = hint + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, hint)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+def commit_snapshot(
+    path: str, cluster_col: str, data_files: list[str] | None = None
+) -> int:
+    """Freeze a data-file listing + stats as the next manifest version
+    and flip the current pointer to it. Returns the new version.
+
+    ``data_files`` (basenames or paths under ``path``) pins the exact
+    file set of the new version — the logical-delete half of compaction:
+    replaced files stay on disk for old-version readers and are
+    physically removed later by ``expire_snapshots``. Default is every
+    non-underscore ``*.parquet`` under ``path``.
+
+    Commit order is the crash-safe one: snapshot file first, THEN the
+    hint — a crash between the two leaves an orphan snapshot and an
+    older current, never a dangling pointer (and readers reject
+    above-hint orphans, see read_manifest_version). The snapshot is
+    PUBLISHED WITH os.link, which fails if the version already exists:
+    that hard-link CAS makes concurrent committers safe — exactly one
+    wins the version, the loser raises retryable CommitConflictError.
+    Version numbering is max(snapshot files, hint) + 1, so a lost hint
+    can never restart numbering and overwrite immutable history."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    data_files = sorted(
-        p
-        for p in glob.glob(os.path.join(path, "*.parquet"))
-        if not os.path.basename(p).startswith("_")
-    )
-    stats = file_stats(data_files, cluster_col)
+    if data_files is None:
+        files = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(p).startswith("_")
+        )
+    else:
+        files = sorted(os.path.join(path, os.path.basename(p)) for p in data_files)
+    stats = file_stats(files, cluster_col)
     table = pa.table(
         {
             "file_name": [os.path.basename(s.path) for s in stats],
@@ -181,22 +250,72 @@ def commit_snapshot(path: str, cluster_col: str) -> int:
             "max_value": [s.max_value for s in stats],
         }
     )
-    version = (current_manifest_version(path) or 0) + 1
+    version = (
+        max(manifest_versions(path) + [current_manifest_version(path) or 0]) + 1
+    )
+    import threading
+    import uuid
+
     snap = os.path.join(path, _snapshot_name(version))
-    tmp = snap + ".tmp"
+    tmp = snap + f".tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
-    os.replace(tmp, snap)
-    # keep the unversioned manifest in lockstep (same atomic pattern)
+    try:
+        os.link(tmp, snap)  # CAS: EEXIST iff another committer won this version
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot v{version} already committed under {path}; "
+            "re-read and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    # keep the unversioned manifest in lockstep (atomic replace — it
+    # mirrors the NEWEST commit, so last-writer-wins is correct here)
     cur = os.path.join(path, MANIFEST_NAME)
     tmp = cur + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, cur)
-    hint = os.path.join(path, VERSION_HINT)
-    tmp = hint + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, hint)
+    _flip_hint_monotonic(path, version)
     return version
+
+
+def expire_snapshots(
+    path: str, keep_n: int, vacuum: bool = True
+) -> dict[str, list]:
+    """Retention: drop all but the newest ``keep_n`` COMMITTED snapshot
+    versions, and (with ``vacuum``) physically delete data files that
+    only the expired versions reference — the deferred half of
+    compaction's logical delete. Never touches: files referenced by any
+    kept version, files on disk but in no manifest (a concurrent
+    committer's uncommitted batch), snapshots above the hint (an
+    in-flight commit's unpublished version), or the unversioned
+    `_manifest.parquet`. Run it from the single maintenance job, like
+    Iceberg's expire_snapshots. Returns
+    {"removed_versions": [...], "removed_files": [...]}."""
+    if keep_n < 1:
+        raise ValueError("keep_n must be >= 1 (the current version must survive)")
+    committed = current_manifest_version(path)
+    if committed is None:
+        return {"removed_versions": [], "removed_files": []}
+    versions = [v for v in manifest_versions(path) if v <= committed]
+    kept = versions[-keep_n:]
+    expired = [v for v in versions if v not in kept]
+    if not expired:
+        return {"removed_versions": [], "removed_files": []}
+    kept_files: set[str] = set()
+    for v in kept:
+        kept_files.update(s.path for s in read_manifest_version(path, v))
+    removed_files: list[str] = []
+    if vacuum:
+        expired_files: set[str] = set()
+        for v in expired:
+            expired_files.update(s.path for s in read_manifest_version(path, v))
+        for p in sorted(expired_files - kept_files):
+            if os.path.isfile(p):
+                os.unlink(p)
+                removed_files.append(os.path.basename(p))
+    for v in expired:
+        os.unlink(os.path.join(path, _snapshot_name(v)))
+    return {"removed_versions": expired, "removed_files": removed_files}
 
 
 def read_manifest_version(path: str, version: int | None = None) -> list[FileStat]:
@@ -205,10 +324,19 @@ def read_manifest_version(path: str, version: int | None = None) -> list[FileSta
     FileNotFoundError for a version that was never committed."""
     import pyarrow.parquet as pq
 
+    committed = current_manifest_version(path)
     if version is None:
-        version = current_manifest_version(path)
+        version = committed
         if version is None:
             raise FileNotFoundError(f"no manifest snapshot committed under {path}")
+    elif committed is not None and version > committed:
+        # A snapshot file above the hint is a crash-orphan or an
+        # in-flight commit: it was never published, so it is not
+        # readable history (the advice's orphan-read hole).
+        raise FileNotFoundError(
+            f"manifest version {version} under {path} was never committed "
+            f"(current is {committed})"
+        )
     snap = os.path.join(path, _snapshot_name(version))
     if not os.path.isfile(snap):
         raise FileNotFoundError(snap)
@@ -231,3 +359,67 @@ def prune_with_manifest_version(
     query plan. Files appended after that commit are invisible by
     construction — snapshot isolation, not just pruning."""
     return prune_by_range(read_manifest_version(path, version), lo=lo, hi=hi)
+
+
+def streaming_snapshot_commit(
+    batch_df: DataFrame, batch_id: int, path: str, cluster_col: str
+) -> int | None:
+    """foreachBatch handler: land one micro-batch as a deterministic
+    data file and commit it as the next manifest snapshot — a streaming
+    job whose output is a queryable, TIME-TRAVELABLE table (every batch
+    = one snapshot version, `read_manifest_version` serves any as-of
+    state). Exactly-once across crash/restart: the batch's data file
+    name is a pure function of batch_id (replay overwrites its own
+    file, never appends), a replay of an already-committed batch is
+    detected via the per-batch marker OR the committed manifest itself
+    (covering the crash-between-commit-and-marker window) and skipped,
+    so the straight run and any killed-and-restarted run produce the
+    SAME snapshot chain. Commit conflicts (another committer racing the
+    version) are retried — this batch's file is already on disk, so the
+    retry just claims the next version. One streaming writer per table
+    path, like Delta's transaction-log streaming sink; returns the
+    committed version, or None for a fully-replayed batch.
+
+    Wire-up: ``df.writeStream.foreachBatch(lambda b, i:
+    streaming_snapshot_commit(b, i, path, col)).option(
+    "checkpointLocation", ckpt).start()``."""
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, f"_batch-{batch_id}.committed")
+    if os.path.isfile(marker):
+        return None  # replayed batch: fully committed before the restart
+    fname = f"batch-{batch_id:08d}.parquet"
+
+    def _mark(v: int) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, marker)
+
+    committed = current_manifest_version(path)
+    if committed is not None and any(
+        os.path.basename(s.path) == fname
+        for s in read_manifest_version(path, committed)
+    ):
+        # crash landed between commit and marker: heal the marker only
+        _mark(committed)
+        return None
+    staging = os.path.join(path, f"_staging_batch_{batch_id}")
+    (
+        batch_df.coalesce(1)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(path, fname))
+    shutil.rmtree(staging, ignore_errors=True)
+    while True:
+        try:
+            version = commit_snapshot(path, cluster_col)
+            break
+        except CommitConflictError:
+            continue  # our file is on disk; re-claim the next version
+    _mark(version)
+    return version

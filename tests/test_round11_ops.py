@@ -23,27 +23,56 @@ from parquet_exporter_spark.sinks.bloom_index import (
 )
 
 
-def test_bloom_build_rejects_non_string_column(spark):
-    """Spark renders CAST(0.0001 AS STRING) as '1.0E-4', Python str()
-    as '0.0001' — the probe would miss bits the build set. The build
-    must refuse the column up front rather than silently mis-prune."""
+def test_bloom_typed_double_column_never_false_negative(spark):
+    """Round 12 lifted the string-only restriction by rendering the
+    probe literal through Spark's OWN cast chain. The hostile rendering
+    case the old restriction guarded against — Spark shows
+    CAST(0.0001 AS STRING) as '1.0E-4', Python str() as '0.0001' — must
+    now index and probe correctly: every present value keeps its file."""
     d = tempfile.mkdtemp(prefix="pes_bloom_nonstr_")
     try:
         spark.range(100).selectExpr(
             "CAST(id AS DOUBLE) / 10000 AS v", "CAST(id AS STRING) AS s"
-        ).coalesce(1).write.mode("overwrite").parquet(d)
-        with pytest.raises(TypeError, match="string columns only"):
-            build_bloom_manifest(spark, d, "v", manifest_dir=d)
-        # the string column still builds fine
-        build_bloom_manifest(spark, d, "s", manifest_dir=d)
-        assert os.path.isfile(os.path.join(d, BLOOM_NAME))
+        ).repartition(2).write.mode("overwrite").parquet(d)
+        build_bloom_manifest(spark, d, "v", manifest_dir=d)
+        # 0.0001 is present (id=1): its file MUST survive the prune
+        rows = spark.read.parquet(d).selectExpr(
+            "v", "regexp_extract(input_file_name(), '([^/]+)$', 1) AS f"
+        ).collect()
+        homes = {r.v: r.f for r in rows}
+        keep = prune_with_bloom(d, 0.0001, manifest_dir=d, spark=spark)
+        assert any(os.path.basename(p) == homes[0.0001] for p in keep)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_bloom_probe_rejects_non_string_value():
-    with pytest.raises(TypeError, match="must be str"):
-        prune_with_bloom("/nonexistent", 0.0001)
+def test_bloom_typed_probe_requires_spark_for_rendering():
+    """A typed probe must never guess the rendering with Python str():
+    with no SparkSession available it refuses instead of mis-pruning."""
+    import pyspark.sql.session as _sess
+
+    d = tempfile.mkdtemp(prefix="pes_bloom_nospark_")
+    try:
+        tbl = pa.table(
+            {
+                "file_name": pa.array(["a.parquet"], pa.string()),
+                "word_idx": pa.array([0], pa.int32()),
+                "word": pa.array([1], pa.int64()),
+                "m": pa.array([64], pa.int32()),
+                "k": pa.array([1], pa.int32()),
+                "dtype": pa.array(["double"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, BLOOM_NAME))
+        orig = _sess.SparkSession.getActiveSession
+        _sess.SparkSession.getActiveSession = staticmethod(lambda: None)
+        try:
+            with pytest.raises(TypeError, match="needs a SparkSession"):
+                prune_with_bloom(d, 0.0001, manifest_dir=d)
+        finally:
+            _sess.SparkSession.getActiveSession = orig
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_bloom_empty_manifest_keeps_all_files(spark):

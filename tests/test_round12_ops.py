@@ -1,0 +1,337 @@
+"""Round-12 closures: the versioned manifest becomes a real
+mini-table-format (CAS concurrent-writer safety, lost-hint-proof version
+numbering, orphan-read rejection, snapshot expiry + vacuum, streaming
+exactly-once commits), and the Bloom file index extends past string
+columns by rendering probe literals through Spark's own CAST — verdict
+items 1/2/6 and the round-11 ADVICE manifest finding."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_exporter_spark.sinks.bloom_index import (
+    BLOOM_NAME,
+    _positions,
+    build_bloom_manifest,
+    prune_with_bloom,
+)
+from parquet_exporter_spark.sinks.manifest_sink import (
+    CommitConflictError,
+    commit_snapshot,
+    current_manifest_version,
+    expire_snapshots,
+    manifest_versions,
+    read_manifest_version,
+    streaming_snapshot_commit,
+)
+
+
+def _write_file(spark, d, name, lo, hi):
+    t = (
+        spark.range(lo, hi)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .toPandas()
+    )
+    pq.write_table(
+        pa.Table.from_pandas(t, preserve_index=False), os.path.join(d, name)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manifest: CAS commits, version derivation, orphans, expiry
+
+
+def test_manifest_cas_two_racing_committers(spark):
+    """Two committers that both computed version 2 must not both win:
+    the hard-link publish is the CAS — exactly one succeeds, the loser
+    gets a RETRYABLE CommitConflictError and its retry lands as 3.
+    History stays strictly append-only throughout."""
+    d = tempfile.mkdtemp(prefix="pes_cas_")
+    try:
+        _write_file(spark, d, "a.parquet", 0, 100)
+        assert commit_snapshot(d, "k") == 1
+
+        barrier = threading.Barrier(2)
+        results: list = [None, None]
+
+        def racer(i):
+            barrier.wait()
+            try:
+                results[i] = commit_snapshot(d, "k")
+            except CommitConflictError as e:
+                results[i] = e
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(2)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        wins = [r for r in results if isinstance(r, int)]
+        losses = [r for r in results if isinstance(r, CommitConflictError)]
+        # the torn window is small: either both serialized cleanly
+        # (versions 2 and 3) or one lost and retries
+        if losses:
+            assert wins == [2] and len(losses) == 1
+            assert commit_snapshot(d, "k") == 3  # the retry path
+        else:
+            assert sorted(wins) == [2, 3]
+        assert manifest_versions(d) == [1, 2, 3]
+        assert current_manifest_version(d) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_numbering_survives_lost_hint(spark):
+    """Deleting the hint file must NOT restart numbering at 1 and
+    overwrite immutable history (the round-11 advice hole): the next
+    commit derives its version from the snapshot files themselves."""
+    d = tempfile.mkdtemp(prefix="pes_losthint_")
+    try:
+        _write_file(spark, d, "a.parquet", 0, 100)
+        commit_snapshot(d, "k")
+        _write_file(spark, d, "b.parquet", 100, 200)
+        commit_snapshot(d, "k")
+        v1_before = pq.read_table(
+            os.path.join(d, "_manifest.v1.parquet")
+        ).to_pylist()
+        os.unlink(os.path.join(d, "_manifest_current"))
+        _write_file(spark, d, "c.parquet", 200, 300)
+        assert commit_snapshot(d, "k") == 3  # not 1
+        assert manifest_versions(d) == [1, 2, 3]
+        v1_after = pq.read_table(
+            os.path.join(d, "_manifest.v1.parquet")
+        ).to_pylist()
+        assert v1_after == v1_before  # v1 history untouched
+        assert len(read_manifest_version(d, 1)) == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_orphan_above_hint_is_not_readable(spark):
+    """A snapshot file whose version is above the committed hint is a
+    crash-orphan / in-flight commit — reading it would serve
+    never-published state. It must raise, and the next commit must skip
+    (never overwrite) the orphan's slot."""
+    d = tempfile.mkdtemp(prefix="pes_orphan_")
+    try:
+        _write_file(spark, d, "a.parquet", 0, 100)
+        commit_snapshot(d, "k")
+        shutil.copy(
+            os.path.join(d, "_manifest.v1.parquet"),
+            os.path.join(d, "_manifest.v2.parquet"),
+        )  # simulate a crash between snapshot publish and hint flip
+        with pytest.raises(FileNotFoundError, match="never committed"):
+            read_manifest_version(d, 2)
+        _write_file(spark, d, "b.parquet", 100, 200)
+        assert commit_snapshot(d, "k") == 3  # orphan slot skipped
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_compaction_then_expiry_vacuums_replaced_files(spark):
+    """The full compaction lifecycle: commit v2 with an explicit file
+    set that logically drops a.parquet (which stays on disk for v1
+    readers), then expire_snapshots(keep_n=1) deletes the v1 snapshot
+    AND physically vacuums a.parquet — but never a file a kept version
+    still references, never an unreferenced newcomer, and never with
+    keep_n < 1."""
+    d = tempfile.mkdtemp(prefix="pes_expire_")
+    try:
+        _write_file(spark, d, "a.parquet", 0, 100)
+        _write_file(spark, d, "b.parquet", 100, 200)
+        commit_snapshot(d, "k")
+        _write_file(spark, d, "c.parquet", 200, 300)
+        commit_snapshot(d, "k", data_files=["b.parquet", "c.parquet"])
+        # v1 readers still work: a.parquet is logically dropped, not gone
+        assert {os.path.basename(s.path) for s in read_manifest_version(d, 1)} == {
+            "a.parquet",
+            "b.parquet",
+        }
+        _write_file(spark, d, "uncommitted.parquet", 300, 400)  # in-flight batch
+
+        with pytest.raises(ValueError, match="keep_n"):
+            expire_snapshots(d, 0)
+        assert expire_snapshots(d, 5) == {
+            "removed_versions": [],
+            "removed_files": [],
+        }  # nothing old enough
+
+        rep = expire_snapshots(d, 1)
+        assert rep == {"removed_versions": [1], "removed_files": ["a.parquet"]}
+        assert not os.path.isfile(os.path.join(d, "a.parquet"))
+        # kept-version files and the uncommitted newcomer survive
+        for f in ("b.parquet", "c.parquet", "uncommitted.parquet"):
+            assert os.path.isfile(os.path.join(d, f))
+        assert manifest_versions(d) == [2]
+        with pytest.raises(FileNotFoundError):
+            read_manifest_version(d, 1)
+        assert {os.path.basename(s.path) for s in read_manifest_version(d)} == {
+            "b.parquet",
+            "c.parquet",
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming commits into the versioned manifest
+
+
+def test_streaming_snapshot_commit_exactly_once_semantics(spark):
+    """The foreachBatch handler contract, replay-by-replay: each batch
+    commits exactly one snapshot version; a replay with the marker
+    intact is a no-op; a replay after a crash BETWEEN commit and marker
+    (marker deleted by hand) detects the batch in the committed
+    manifest, heals the marker, and does NOT double-commit — so any
+    killed-and-restarted run converges on the straight run's chain."""
+    d = tempfile.mkdtemp(prefix="pes_streamsnap_")
+    try:
+        b0 = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        b1 = spark.range(50, 90).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        b2 = spark.range(90, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        assert streaming_snapshot_commit(b0, 0, d, "k") == 1
+        assert streaming_snapshot_commit(b1, 1, d, "k") == 2
+        # replay with marker intact: no-op
+        assert streaming_snapshot_commit(b1, 1, d, "k") is None
+        assert manifest_versions(d) == [1, 2]
+        # crash between commit and marker: replay heals, never recommits
+        os.unlink(os.path.join(d, "_batch-1.committed"))
+        assert streaming_snapshot_commit(b1, 1, d, "k") is None
+        assert manifest_versions(d) == [1, 2]
+        assert os.path.isfile(os.path.join(d, "_batch-1.committed"))
+        assert streaming_snapshot_commit(b2, 2, d, "k") == 3
+        # the chain is queryable history: each as-of read sees its prefix
+        assert sum(s.num_rows for s in read_manifest_version(d, 1)) == 50
+        assert sum(s.num_rows for s in read_manifest_version(d, 2)) == 90
+        assert sum(s.num_rows for s in read_manifest_version(d, 3)) == 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_manifest_commit_restart_yields_same_chain(spark, tmp_path):
+    """End to end with a REAL stream: a file-source stream committing
+    into the versioned manifest, stopped and restarted from its
+    checkpoint with new files waiting, must extend the same snapshot
+    chain — committed batches are not replayed, every as-of read stays
+    stable across the restart (the verdict's compose-the-two-proofs
+    item)."""
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    def _arrive(name, lo, hi):
+        staging = os.path.join(watch, f"__staging_{name}")
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(watch, name))
+        shutil.rmtree(staging)
+
+    def _run():
+        stream = spark.readStream.schema("k long, v double").parquet(watch)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, i: streaming_snapshot_commit(b, i, table, "k")
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _arrive("f1.parquet", 0, 60)
+    _run()
+    chain_before = manifest_versions(table)
+    rows_v_first = sum(s.num_rows for s in read_manifest_version(table, chain_before[0]))
+    assert rows_v_first == 60
+
+    # stream is DOWN; two files arrive; restart from the checkpoint
+    _arrive("f2.parquet", 60, 80)
+    _arrive("f3.parquet", 80, 100)
+    _run()
+
+    chain_after = manifest_versions(table)
+    assert chain_after[: len(chain_before)] == chain_before  # append-only
+    assert len(chain_after) > len(chain_before)
+    # pre-restart history is byte-stable and the head sees everything
+    assert sum(s.num_rows for s in read_manifest_version(table, chain_before[0])) == 60
+    assert sum(s.num_rows for s in read_manifest_version(table)) == 100
+    assert current_manifest_version(table) == chain_after[-1]
+
+
+# ---------------------------------------------------------------------------
+# Typed Bloom index: no-false-negative property across non-string types
+
+
+def test_bloom_typed_no_false_negatives_property(spark):
+    """The verdict's cross-type render-parity property: index int /
+    double / date / timestamp columns (values chosen to include the
+    renderings where Python str() and Spark CAST disagree — 1e-4
+    scientific notation, sub-second timestamps), then verify EVERY
+    present value keeps its file. The bulk check renders all probe
+    literals in one Spark pass through the same CAST chain and tests
+    the committed words directly (>1k probes); the end-to-end
+    prune_with_bloom API path is exercised on a sample per type."""
+    d = tempfile.mkdtemp(prefix="pes_bloom_typed_")
+    try:
+        n = 400
+        df = spark.range(n).selectExpr(
+            "id * 7919 % 100003 AS i",
+            "CAST(id AS DOUBLE) / 10000 AS f",
+            "date_add(DATE'2020-01-01', CAST(id % 4000 AS INT)) AS d",
+            "timestamp_millis(1577836800000 + id * 61003) AS t",
+        )
+        df.repartition(4).write.mode("overwrite").parquet(d)
+        homes = {
+            c: {
+                r["val"]: r["f"]
+                for r in spark.read.parquet(d)
+                .selectExpr(
+                    f"{c} AS val",
+                    "regexp_extract(input_file_name(), '([^/]+)$', 1) AS f",
+                )
+                .collect()
+            }
+            for c in ("i", "f", "d", "t")
+        }
+        for col in ("i", "f", "d", "t"):
+            scratch = tempfile.mkdtemp(prefix=f"pes_bloomidx_{col}_")
+            try:
+                build_bloom_manifest(spark, d, col, manifest_dir=scratch)
+                rows = pq.read_table(os.path.join(scratch, BLOOM_NAME)).to_pylist()
+                filters: dict[str, dict[int, int]] = {}
+                for r in rows:
+                    filters.setdefault(r["file_name"], {})[r["word_idx"]] = r["word"]
+                m, k = rows[0]["m"], rows[0]["k"]
+                # bulk: Spark renders every value through the SAME cast
+                rendered = spark.read.parquet(d).selectExpr(
+                    f"CAST({col} AS STRING) AS r",
+                    "regexp_extract(input_file_name(), '([^/]+)$', 1) AS f",
+                ).collect()
+                assert len(rendered) == n
+                for r in rendered:
+                    words = filters[r["f"]]
+                    assert all(
+                        words.get(q // 64, 0) & (1 << (q % 64))
+                        for q in _positions(r["r"], m, k)
+                    ), f"false negative: {col}={r['r']!r} missing from {r['f']}"
+                # end-to-end API path on a sample (real Python values)
+                sample = list(homes[col].items())[:: max(1, n // 8)]
+                for val, home in sample:
+                    keep = prune_with_bloom(d, val, manifest_dir=scratch, spark=spark)
+                    assert any(os.path.basename(p) == home for p in keep), (
+                        f"prune_with_bloom false negative on {col}={val!r}"
+                    )
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
