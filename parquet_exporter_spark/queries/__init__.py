@@ -87,7 +87,19 @@ from parquet_exporter_spark.queries import (  # noqa: F401
 # (the old reference point's bbox was outside the fixture's lng range);
 # round 9 moved the point inside the coordinate cloud, so the query now
 # returns ranked rows and the 0 = 0 stamps prove nothing.
-RESTAMP_AFTER_ROUND: dict[str, int] = {"geo_nearest_climbs": 9}
+# Round 12 contract changes (all ADVICE closures): graph_hits now
+# carries scores as exact 1e9-scaled integers and ranks on auth_nano
+# (new column); graph_adamic_adar ranks on the exact fixed-point
+# Resource-Allocation index ra_fp (new column) instead of
+# n_common-first; graph_jaccard_neighbors scores BOTH directions of
+# each pair (the upper-triangle cut was dropped). Their r<=11 stamps
+# verified the stale contracts.
+RESTAMP_AFTER_ROUND: dict[str, int] = {
+    "geo_nearest_climbs": 9,
+    "graph_hits": 11,
+    "graph_adamic_adar": 11,
+    "graph_jaccard_neighbors": 11,
+}
 
 
 def _load_driver_verified() -> tuple[frozenset, frozenset]:

@@ -534,41 +534,49 @@ _AA_TOPK = 3
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM lines a JOIN lines b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
             FROM co_edges GROUP BY src),
     cand AS (
         SELECT e1.src AS a, e2.dst AS b, e1.dst AS w
         FROM co_edges e1 JOIN co_edges e2 ON e1.dst = e2.src
-        WHERE e1.src < e2.dst),
+        WHERE e1.src <> e2.dst),
     nonedge AS (
         SELECT c.a, c.b, c.w FROM cand c
         LEFT JOIN co_edges x ON x.src = c.a AND x.dst = c.b
         WHERE x.src IS NULL),
     scored AS (
         SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
-               round(sum(1.0 / ln(d.deg)), 6) AS aa_score
+               CAST(sum(1000000000000 // d.deg) AS BIGINT) AS ra_fp,
+               round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 6) AS aa_score
         FROM nonedge JOIN deg d ON d.node = nonedge.w
         GROUP BY a, b)
     SELECT a AS part_key, b AS predicted_part, CAST(rn AS BIGINT) AS rank,
-           n_common, aa_score
+           n_common, ra_fp, aa_score
     FROM (SELECT *, row_number() OVER (
-              PARTITION BY a ORDER BY n_common DESC, b) AS rn
+              PARTITION BY a ORDER BY ra_fp DESC, b) AS rn
           FROM scored)
     WHERE rn <= {_AA_TOPK}
     """,
     doc=(
-        "Adamic-Adar link prediction over the part co-purchase graph "
-        "(same DISTINCT co-order edge model as graph_kcore, "
-        "llm8.py:760): for part pairs NOT yet co-ordered, score "
-        "sum(1/ln(deg(w))) over their common co-purchase neighbors w — "
-        "rare shared neighbors vote harder than promiscuous ones, the "
-        "classic recommender/link-prediction signal degree counting "
-        "alone misses — and keep the top-3 predictions per part via a "
-        "part-keyed window RANKED ON THE EXACT INTEGER n_common with id "
-        "tiebreak (deterministic cross-engine; the float aa_score is a "
-        "round-6 payload column excluded from ordering, so a last-ulp "
-        "libm ln() divergence can never flip the rank — the repo's "
-        "oracle-float rule). The common-neighbor join composes two keyed "
+        "Rare-neighbor-weighted link prediction over the part "
+        "co-purchase graph (same DISTINCT co-order edge model as "
+        "graph_kcore, llm8.py:760): for part pairs NOT yet co-ordered, "
+        "weight each common co-purchase neighbor w INVERSELY to its "
+        "degree so rare shared neighbors vote harder than promiscuous "
+        "ones, and keep the top-3 predictions per part. The DECISION "
+        "path is the Resource Allocation index (Zhou-Lu-Zhang 2009, "
+        "Adamic-Adar's rational sibling: sum 1/deg(w) instead of "
+        "sum 1/ln deg(w)) computed in EXACT fixed-point integers — "
+        "each term is the integer division 1e12 div deg(w), summed as "
+        "longs, so the rarity weighting itself ranks the predictions "
+        "(round-12 advice closure: n_common-first ranking had dropped "
+        "the rarity signal from the decision) with zero libm and zero "
+        "float summation; a candidate with 2 rare shared neighbors now "
+        "outranks one with 3 promiscuous ones exactly when RA says so. "
+        "The float Adamic-Adar score stays as a round-6 PAYLOAD column "
+        "excluded from ordering (the repo's oracle-float rule). Both "
+        "directions of each pair are scored, so every part gets its "
+        "own top-k. The common-neighbor join composes two keyed "
         "equi-joins and one anti-join on the SAME edge relation (no "
         "all-pairs over parts; candidates are 2-hop walks, bounded by "
         "TPC-H's <= 7 lines per order on the first hop), the deg side "
@@ -594,12 +602,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
+        F.count(F.lit(1)).alias("deg")
     ).withColumnRenamed("src", "node")
     cand = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .filter(F.col("e1.src") != F.col("e2.dst"))
         .select(
             F.col("e1.src").alias("a"),
             F.col("e2.dst").alias("b"),
@@ -616,10 +624,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
+            F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
+            F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
+                "aa_score"
+            ),
         )
     )
-    wr = Window.partitionBy("a").orderBy(F.desc("n_common"), "b")
+    wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
     return (
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _AA_TOPK)
@@ -628,6 +639,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("predicted_part"),
             F.col("rn").cast("long").alias("rank"),
             "n_common",
+            "ra_fp",
             "aa_score",
         )
     )
@@ -639,32 +651,44 @@ _HITS_ITERS = 3
 def _hits_oracle() -> str:
     """Unrolled fixed-iteration HITS, the graph_pagerank oracle pattern:
     every CTE is MATERIALIZED (each score table is referenced by both
-    the next propagation and its own normalizer), and scores are
-    snapped to 1e-9 after every normalization on BOTH engines so
-    cross-engine float summation order cannot accumulate drift."""
+    the next propagation and its own normalizer). Scores are carried
+    between iterations as EXACT 1e9-scaled integers (nano-units): every
+    sum is a long sum (order-independent by construction), and each
+    normalization is floor((v/t) * 1e9) — two exact-long casts, one
+    IEEE division, one IEEE multiply, one floor, all correctly-rounded
+    deterministic ops on identical operands — so no float summation
+    order exists anywhere for drift to accumulate in (round-12 advice
+    closure: round-9 snapping AFTER an order-dependent float sum was
+    probabilistic, not exact)."""
     ctes = [
         """edges AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
         "nc AS MATERIALIZED (SELECT count(DISTINCT c) AS n FROM edges)",
         """h0 AS MATERIALIZED (
-        SELECT DISTINCT c, round(1.0 / nc.n, 9) AS hub
+        SELECT DISTINCT c, 1000000000 // nc.n AS hub
         FROM edges CROSS JOIN nc)""",
     ]
+    norm = (
+        "CAST(floor((CAST(v AS DOUBLE) / CAST(({t}) AS DOUBLE))"
+        " * 1000000000.0) AS BIGINT)"
+    )
     prev_h = "h0"
     for i in range(1, _HITS_ITERS + 1):
         ctes += [
             f"""a{i}r AS MATERIALIZED (
-            SELECT e.s, sum(h.hub) AS v FROM edges e
+            SELECT e.s, CAST(sum(h.hub) AS BIGINT) AS v FROM edges e
             JOIN {prev_h} h ON h.c = e.c GROUP BY e.s)""",
             f"""a{i} AS MATERIALIZED (
-            SELECT s, round(v / (SELECT sum(v) FROM a{i}r), 9) AS auth
+            SELECT s, {norm.format(t=f'SELECT CAST(sum(v) AS BIGINT) FROM a{i}r')}
+                   AS auth
             FROM a{i}r)""",
             f"""h{i}r AS MATERIALIZED (
-            SELECT e.c, sum(a.auth) AS v FROM edges e
+            SELECT e.c, CAST(sum(a.auth) AS BIGINT) AS v FROM edges e
             JOIN a{i} a ON a.s = e.s GROUP BY e.c)""",
             f"""h{i} AS MATERIALIZED (
-            SELECT c, round(v / (SELECT sum(v) FROM h{i}r), 9) AS hub
+            SELECT c, {norm.format(t=f'SELECT CAST(sum(v) AS BIGINT) FROM h{i}r')}
+                   AS hub
             FROM h{i}r)""",
         ]
         prev_h = f"h{i}"
@@ -673,9 +697,10 @@ def _hits_oracle() -> str:
         + ", ".join(ctes)
         + f"""
         SELECT s AS supp_key,
-               round(auth, 6) AS authority,
+               CAST(auth AS BIGINT) AS auth_nano,
+               round(auth / 1000000000.0, 6) AS authority,
                CAST(row_number() OVER (
-                   ORDER BY round(auth, 6) DESC, s) AS BIGINT) AS rank
+                   ORDER BY auth DESC, s) AS BIGINT) AS rank
         FROM a{_HITS_ITERS}"""
     )
 
@@ -696,10 +721,14 @@ def _hits_oracle() -> str:
         "walk back. Each half-iteration is ONE shuffle on the receiving "
         "key (the GraphX formulation on DataFrames, localCheckpoint "
         "lineage truncation); normalizers are 1-row broadcast "
-        "aggregates; scores snap to 1e-9 per normalization on both "
-        "engines (the pagerank contract) so the fixed-round iteration "
-        "is hash-comparable, and the final ordering ranks on the "
-        "ROUNDED score with supplier-id tiebreak. At 100 TB the edge "
+        "aggregates. Scores are carried between iterations as EXACT "
+        "1e9-scaled integers: long sums (order-independent), then "
+        "floor((v/t)*1e9) per normalization — a single deterministic "
+        "IEEE divide+multiply+floor on exact-long operands — so NO "
+        "order-dependent float sum exists anywhere in the recursion "
+        "(round-12 advice closure), and the final ordering ranks on "
+        "the exact integer auth_nano with supplier-id tiebreak; the "
+        "double authority column is display payload. At 100 TB the edge "
         "relation is bucketed on the propagation key per iteration; "
         "iterations are fixed, so the plan is a known 2x"
         f"{_HITS_ITERS}-shuffle pipeline, never a convergence gamble."
@@ -718,12 +747,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         n_cust = edges.select("c").distinct().count()
+        # nano-unit integer carry: hub/auth live as exact 1e9-scaled longs
         hubs = (
             edges.select("c")
             .distinct()
-            .withColumn("hub", F.round(F.lit(1.0 / n_cust), 9))
+            .withColumn("hub", F.lit(1_000_000_000 // n_cust).cast("long"))
             .localCheckpoint(eager=True)
         )
+        norm = lambda v, t: F.floor(  # noqa: E731 — one deterministic step
+            (v.cast("double") / t.cast("double")) * F.lit(1000000000.0)
+        ).cast("long")
         auth = None
         for _ in range(_HITS_ITERS):
             a_raw = (
@@ -732,7 +765,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_tot = a_raw.agg(F.sum("v").alias("t"))
             auth = (
                 a_raw.join(F.broadcast(a_tot))
-                .select("s", F.round(F.col("v") / F.col("t"), 9).alias("auth"))
+                .select("s", norm(F.col("v"), F.col("t")).alias("auth"))
                 .localCheckpoint(eager=True)
             )
             h_raw = (
@@ -741,14 +774,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             h_tot = h_raw.agg(F.sum("v").alias("t"))
             hubs = (
                 h_raw.join(F.broadcast(h_tot))
-                .select("c", F.round(F.col("v") / F.col("t"), 9).alias("hub"))
+                .select("c", norm(F.col("v"), F.col("t")).alias("hub"))
                 .localCheckpoint(eager=True)
             )
-        w = Window.orderBy(F.desc("authority"), "supp_key")
+        w = Window.orderBy(F.desc("auth_nano"), "supp_key")
         return (
             auth.select(
                 F.col("s").alias("supp_key"),
-                F.round("auth", 6).alias("authority"),
+                F.col("auth").alias("auth_nano"),
+                F.round(F.col("auth") / 1000000000.0, 6).alias("authority"),
             )
             .withColumn("rank", F.row_number().over(w).cast("long"))
         )
@@ -773,7 +807,7 @@ _JAC_TOPK = 3
     inter AS (
         SELECT e1.src AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS n_inter
         FROM co_edges e1 JOIN co_edges e2 ON e1.dst = e2.src
-        WHERE e1.src < e2.dst
+        WHERE e1.src <> e2.dst
         GROUP BY 1, 2),
     scored AS (
         SELECT i.a, i.b, i.n_inter,
@@ -798,6 +832,11 @@ _JAC_TOPK = 3
         "neighbor, |N(a) n N(b)| / |N(a) u N(b)| — the normalized "
         "common-neighbor signal that corrects Adamic-Adar's hub bias "
         "(two parts each co-bought with everything score low here). "
+        "BOTH directions of each pair are scored (round-12 advice "
+        "closure: the old upper-triangle cut silently excluded every "
+        "smaller-id partner from a part's top-3, so some parts never "
+        "appeared as part_key at all), matching the adamic-adar "
+        "sibling's per-part contract. "
         "EVERY quantity is exact integer arithmetic (intersection from "
         "the 2-hop join, union = deg(a)+deg(b)-inter), and the ranking "
         "orders on the RAW division of those exact integers — IEEE "
@@ -830,7 +869,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .filter(F.col("e1.src") != F.col("e2.dst"))
         .groupBy(
             F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
         )

@@ -251,6 +251,15 @@ def test_adamic_adar_prefers_rare_common_neighbor(spark):
         assert pair.n_common == 2
         expected = round(1 / math.log(2) + 1 / math.log(4), 6)
         assert abs(pair.aa_score - expected) < 1e-9
+        # the exact fixed-point Resource-Allocation decision quantity:
+        # 1e12 div 2 + 1e12 div 4 (round-12 ranking contract)
+        assert pair.ra_fp == 10**12 // 2 + 10**12 // 4
+        # both directions scored: (2,1) mirrors (1,2)
+        assert got[(2, 1)].ra_fp == pair.ra_fp
+        # rarity in the DECISION path: for part 5, candidate 1 shares only
+        # busy hub 4 (1 common), yet ranks by RA weight not raw count —
+        # all its candidates {1,2,6} tie at 1e12//4, so id breaks the tie
+        assert got[(5, 1)].ra_fp == 10**12 // 4
         # 1 and 3 are already connected -> never predicted
         assert (1, 3) not in got
     finally:
