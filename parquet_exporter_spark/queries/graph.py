@@ -978,6 +978,17 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _closeness_from_pivots(spark, sf_dir, pivot_mod=20)
+
+
+def _closeness_from_pivots(
+    spark: SparkSession, sf_dir: str, pivot_mod: int
+) -> DataFrame:
+    """3-hop harmonic closeness from the src % pivot_mod == 0 pivot
+    set. pivot_mod=20 is the registered sampled query; pivot_mod=1 is
+    the exact all-sources run the error-bound property test compares
+    against (feasible only on tiny graphs — the sampling IS the scale
+    design)."""
     from pyspark.sql import Window
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -995,7 +1006,7 @@ def graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        d1 = edges.filter(F.col("src") % 20 == 0).persist()
+        d1 = edges.filter(F.col("src") % pivot_mod == 0).persist()
         d2 = (
             d1.alias("p")
             .join(edges.alias("e"), F.col("p.dst") == F.col("e.src"))
