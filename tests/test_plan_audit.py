@@ -13,6 +13,21 @@ _ensure_loaded()
 
 # name -> (allowed flags, why it's fine at scale)
 ALLOWED: dict[str, tuple[set[str], str]] = {
+    "agg_tdigest_sketch": (
+        {"single_partition_x1"},
+        "the canonical batch t-digest build ranks globally once — here "
+        "a single-partition window; the 100 TB form is "
+        "repartitionByRange + per-partition offsets (range sort IS "
+        "global order, so per-range centroids concatenate), and the "
+        "output is the O(log n)-row sketch, never data-sized",
+    ),
+    "agg_kmv_distinct": (
+        {"bnlj", "single_partition_x1"},
+        "TakeOrderedAndProject keeps k=128 hashes per partition before "
+        "the driver merge (no global sort); the gather carries one "
+        "partially-aggregated stats row, and the bnlj is the 1-row "
+        "stats x 1-row truth verdict join",
+    ),
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
     "sample_fraction": (
         {"bnlj", "single_partition_x2"},

@@ -389,3 +389,66 @@ def test_closeness_sampled_pivots_exact_on_support_and_rank_faithful(spark, sf_d
         f"sample best {best_pivot} not in population top quartile "
         f"(population {len(pop_ranked)}, sample {n})"
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest + KMV sketches: structural guarantees as assertions
+
+
+def test_tdigest_sketch_partitions_rank_space_exactly(spark, sf_dir):
+    """The centroid set must partition [0, n) into disjoint, gap-free
+    rank spans whose weights are the span sizes, with each bucket's
+    rank-width <= max(1, d/4) at its distance-to-tail d — the measured
+    form of the 25%-relative-rank-error claim."""
+    from parquet_exporter_spark.queries.aggregates import agg_tdigest_sketch
+
+    rows = sorted(
+        agg_tdigest_sketch(spark, sf_dir).collect(), key=lambda r: r.min_rank
+    )
+    n = rows[-1].max_rank + 1
+    cursor = 0
+    for r in rows:
+        assert r.min_rank == cursor, f"gap/overlap at rank {cursor}"
+        assert r.weight == r.max_rank - r.min_rank + 1
+        assert r.lo_cents <= r.hi_cents
+        d = min(r.min_rank + 1, n - r.max_rank)  # distance of nearest edge
+        width = r.max_rank - r.min_rank + 1
+        # the t-digest tail bound, exactly: width-1 buckets at the very
+        # tails, else rank-width <= d/4 at tail distance d
+        assert width == 1 or width * 4 <= d, f"bucket wider than d/4: {r}"
+        cursor = r.max_rank + 1
+    assert cursor == n
+    # tail-refinement: the extreme buckets are width 1 (exact extremes)
+    assert rows[0].weight == 1 and rows[-1].weight == 1
+
+
+def test_tdigest_quantiles_bounds_hold_and_sane(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import agg_tdigest_quantiles
+
+    rows = {r.p: r for r in agg_tdigest_quantiles(spark, sf_dir).collect()}
+    assert set(rows) == {0.001, 0.01, 0.25, 0.5, 0.9, 0.99, 0.999}
+    for p, r in rows.items():
+        assert r.within_bucket_bounds, f"p={p}: exact outside bucket bounds"
+    # estimates are monotone in p (interpolation within a sorted partition)
+    ests = [rows[p].est_price for p in sorted(rows)]
+    assert ests == sorted(ests)
+
+
+def test_kmv_under_k_population_is_exact(spark):
+    """Fewer distinct keys than k: the sketch holds the entire hash set,
+    so the estimate must be the EXACT count and kth_hash NULL."""
+    import tempfile as _tf
+
+    from parquet_exporter_spark.queries.aggregates import agg_kmv_distinct
+
+    d = _tf.mkdtemp(prefix="kmv_")
+    try:
+        spark.range(500).selectExpr(
+            "id % 50 AS l_partkey", "1.0 AS l_extendedprice"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        r = agg_kmv_distinct(spark, d).collect()[0]
+        assert r.n_kept == 50 and r.kth_hash is None
+        assert r.est_distinct == 50 == r.true_distinct
+        assert r.rel_error == 0.0 and r.within_bound
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
