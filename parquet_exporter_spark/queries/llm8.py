@@ -647,6 +647,106 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_PHI = 0.875  # damping: 7/8, an exact binary fraction like alpha/beta;
+# phi/(1-phi) = 7 exactly, so the damped trend's FINITE forecast asymptote
+# level + 7*trend is itself exact arithmetic.
+
+
+@query(
+    "timeseries_holt_damped",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, list([value] ORDER BY ts, event_id) AS xs
+        FROM events WHERE user_id < 200 AND value IS NOT NULL
+        GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, CAST(len(xs) AS BIGINT) AS n_points,
+               list_reduce(xs, (acc, x) -> [
+                   {_HOLT_ALPHA} * x[1]
+                   + {1 - _HOLT_ALPHA}
+                     * (acc[1] + {_HOLT_PHI} * coalesce(acc[2], 0.0)),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                       + {1 - _HOLT_ALPHA}
+                         * (acc[1] + {_HOLT_PHI} * coalesce(acc[2], 0.0)))
+                       - acc[1])
+                   + {1 - _HOLT_BETA} * {_HOLT_PHI} * coalesce(acc[2], 0.0)
+               ]) AS st
+        FROM pts
+    )
+    SELECT user_id, n_points,
+           round(st[1], 6) AS level,
+           round(coalesce(st[2], 0.0), 6) AS trend,
+           round(st[1] + {_HOLT_PHI} * coalesce(st[2], 0.0), 6) AS forecast_1,
+           round(st[1] + ({_HOLT_PHI} + {_HOLT_PHI * _HOLT_PHI}
+                          + {_HOLT_PHI ** 3}) * coalesce(st[2], 0.0), 6)
+               AS forecast_3,
+           round(st[1] + 7.0 * coalesce(st[2], 0.0), 6) AS forecast_limit
+    FROM folded
+    """,
+    doc=(
+        "Damped-trend Holt exponential smoothing (Gardner-McKenzie) per "
+        "user — the one-parameter extension of timeseries_holt_linear "
+        "the round-11 verdict queued: level' = a*x + (1-a)*(level + "
+        "phi*trend), trend' = b*(level'-level) + (1-b)*phi*trend with "
+        f"phi={_HOLT_PHI}. Where plain Holt extrapolates its last trend "
+        "forever (the classic multi-step blow-up on noisy series), the "
+        "damped trend decays geometrically: the h-step forecast is "
+        "level + (phi + ... + phi^h)*trend and converges to the FINITE "
+        "asymptote level + phi/(1-phi)*trend — with phi=7/8 that "
+        "damping factor is exactly 7, so even the infinite-horizon "
+        "forecast is exact arithmetic. All three constants are exact "
+        "binary fractions: every fold step is products and sums of "
+        "binary-exact scalars in identical ascending order on both "
+        "engines, so the recursion is bit-identical cross-engine (the "
+        "holt_linear contract); emits the final state plus 1-step, "
+        "3-step and limit forecasts. Same scale shape as the fold "
+        "family: ONE user-keyed shuffle, O(1) state per key, streaming "
+        "twin via applyInPandasWithState unchanged."
+    ),
+)
+def timeseries_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 200) & F.col("value").isNotNull()
+    )
+    pts = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").cast("double").alias("t"),
+                    F.col("event_id").cast("double").alias("e"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ).alias("xs")
+    )
+    a, b, phi = _HOLT_ALPHA, _HOLT_BETA, _HOLT_PHI
+
+    def step(acc, x):
+        level = F.lit(a) * x.v + F.lit(1 - a) * (acc.level + F.lit(phi) * acc.trend)
+        trend = F.lit(b) * (level - acc.level) + F.lit(1 - b) * F.lit(phi) * acc.trend
+        return F.struct(level.alias("level"), trend.alias("trend"))
+
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).v.alias("level"),
+            F.lit(0.0).alias("trend"),
+        ),
+        step,
+    )
+    damp3 = phi + phi * phi + phi**3
+    return pts.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_points"),
+        F.round(fold.level, 6).alias("level"),
+        F.round(fold.trend, 6).alias("trend"),
+        F.round(fold.level + F.lit(phi) * fold.trend, 6).alias("forecast_1"),
+        F.round(fold.level + F.lit(damp3) * fold.trend, 6).alias("forecast_3"),
+        F.round(fold.level + F.lit(7.0) * fold.trend, 6).alias("forecast_limit"),
+    )
+
+
 _COMPACT_TARGET = 100  # rows per planned compaction group
 
 

@@ -2289,3 +2289,265 @@ def timeseries_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: STL-style loess trend decomposition and Cutler's RSI — the
+# seasonal-trend family's local-regression member (timeseries_decompose_
+# additive is the moving-average classical form) and the momentum
+# oscillator, both built on the repo's exact-arithmetic contract.
+
+_LOESS_H = 4  # tricube half-window: weights (h^3 - |d|^3)^3 for |d| < h.
+# h=4 keeps every weighted moment and their cross products inside int64
+# at sf1 daily-count magnitudes (max |numer| ~ 3e18 < 2^63).
+
+
+@query(
+    "timeseries_stl_loess",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, day, y,
+               CAST(day - DATE '1970-01-01' AS BIGINT) AS d
+        FROM daily),
+    pairs AS (
+        SELECT a.event_type, a.day, a.y,
+               b.d - a.d AS xo, b.y AS yj,
+               (64 - abs(b.d - a.d) * abs(b.d - a.d) * abs(b.d - a.d))
+               * (64 - abs(b.d - a.d) * abs(b.d - a.d) * abs(b.d - a.d))
+               * (64 - abs(b.d - a.d) * abs(b.d - a.d) * abs(b.d - a.d)) AS u
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type
+         AND abs(b.d - a.d) <= {_LOESS_H - 1}),
+    mom AS (
+        SELECT event_type, day, y,
+               CAST(sum(u) AS BIGINT) AS sw,
+               CAST(sum(u * xo) AS BIGINT) AS sx,
+               CAST(sum(u * yj) AS BIGINT) AS sy,
+               CAST(sum(u * xo * xo) AS BIGINT) AS sxx,
+               CAST(sum(u * xo * yj) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1, 2, 3),
+    tr AS (
+        SELECT event_type, day, y,
+               round(CASE WHEN sw * sxx - sx * sx = 0
+                          THEN CAST(y AS DOUBLE)
+                          ELSE CAST(sxx * sy - sx * sxy AS DOUBLE)
+                               / CAST(sw * sxx - sx * sx AS DOUBLE) END,
+                     6) AS trend
+        FROM mom),
+    det AS (
+        SELECT event_type, day, y, trend,
+               CAST(round((y - trend) * 1000000) AS BIGINT) AS dm
+        FROM tr),
+    seas AS (
+        SELECT event_type, day, y, trend,
+               CAST(sum(dm) OVER (PARTITION BY event_type, dayofweek(day))
+                    AS BIGINT) AS sdm,
+               CAST(count(*) OVER (PARTITION BY event_type, dayofweek(day))
+                    AS BIGINT) AS k
+        FROM det)
+    SELECT event_type, day, CAST(y AS BIGINT) AS n_events, trend,
+           round(CAST(sdm AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000.0), 6)
+               AS seasonal,
+           round(y - trend
+                 - CAST(sdm AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000.0), 6)
+               AS remainder
+    FROM seas
+    """,
+    doc=(
+        "STL-style decomposition with a LOESS trend — the "
+        "local-regression member of the seasonal family "
+        "(timeseries_decompose_additive is the classical moving-average "
+        "form; loess is what distinguishes STL, Cleveland et al. 1990): "
+        "per (event_type, day), fit a tricube-weighted local LINE over "
+        f"the +/-{_LOESS_H - 1}-day neighborhood and take its value at "
+        "the center — unlike a centered mean, the local line does not "
+        "flatten ramps or lag turning points, and it degrades "
+        "gracefully at series edges (asymmetric neighborhoods just fit "
+        "on what exists). Exact-arithmetic contract end to end: y is a "
+        "daily COUNT (integer), tricube weights (h^3-|d|^3)^3 on "
+        "integer day offsets are exact integers, every weighted moment "
+        "(Sw, Sx, Sy, Sxx, Sxy) is an integer sum, and the fitted "
+        "value (Sxx*Sy - Sx*Sxy)/(Sw*Sxx - Sx^2) is ONE deterministic "
+        "IEEE division of two exact int64s (h=4 sizes all cross "
+        "products inside int64 at sf1; single-day degenerate series "
+        "fall back to trend=y). The weekday seasonal means are exact "
+        "too: detrended values snap to 1e-6-scaled integers before the "
+        "order-independent integer sum, one division per weekday — the "
+        "exact-integer-moments rule applied to a decomposition. Scale "
+        "shape: one bounded rollup, a +/-3-day self-join on the "
+        "(type, day) rollup (equi on type; O(7) matches per row "
+        "regardless of raw-event scale), and weekday windows sharing "
+        "the type exchange — raw events are touched exactly once."
+    ),
+)
+def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    idx = daily.withColumn(
+        "d", F.datediff("day", F.lit("1970-01-01")).cast("long")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    xo = F.col("b.d") - F.col("a.d")
+    c = 64 - F.abs(xo) * F.abs(xo) * F.abs(xo)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.abs(F.col("b.d") - F.col("a.d")) <= _LOESS_H - 1),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.y").alias("y"),
+            xo.alias("xo"),
+            F.col("b.y").alias("yj"),
+            (c * c * c).alias("u"),
+        )
+    )
+    mom = pairs.groupBy("event_type", "day", "y").agg(
+        F.sum("u").cast("long").alias("sw"),
+        F.sum(F.col("u") * F.col("xo")).cast("long").alias("sx"),
+        F.sum(F.col("u") * F.col("yj")).cast("long").alias("sy"),
+        F.sum(F.col("u") * F.col("xo") * F.col("xo")).cast("long").alias("sxx"),
+        F.sum(F.col("u") * F.col("xo") * F.col("yj")).cast("long").alias("sxy"),
+    )
+    denom = F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("sxx") * F.col("sy") - F.col("sx") * F.col("sxy")
+    tr = mom.select(
+        "event_type",
+        "day",
+        "y",
+        F.round(
+            F.when(denom == 0, F.col("y").cast("double")).otherwise(
+                numer.cast("double") / denom.cast("double")
+            ),
+            6,
+        ).alias("trend"),
+    )
+    det = tr.withColumn(
+        "dm", F.round((F.col("y") - F.col("trend")) * 1000000).cast("long")
+    )
+    wd = Window.partitionBy("event_type", F.dayofweek("day"))
+    seas = det.select(
+        "event_type",
+        "day",
+        "y",
+        "trend",
+        F.sum("dm").over(wd).cast("long").alias("sdm"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("k"),
+    )
+    seasonal = F.col("sdm").cast("double") / (F.col("k").cast("double") * 1000000.0)
+    return seas.select(
+        "event_type",
+        "day",
+        F.col("y").cast("long").alias("n_events"),
+        "trend",
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col("y") - F.col("trend") - seasonal, 6).alias("remainder"),
+    )
+
+
+_RSI_N = 14  # Cutler's RSI lookback: a simple (not Wilder-smoothed) mean,
+# so gains/losses are plain window sums — exact integers on count series.
+
+
+@query(
+    "timeseries_rsi_cutler",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    diffs AS (
+        SELECT event_type, day, y,
+               y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dy
+        FROM daily),
+    sums AS (
+        SELECT event_type, day, y, dy,
+               CAST(sum(CASE WHEN dy > 0 THEN dy ELSE 0 END) OVER w AS BIGINT)
+                   AS gain,
+               CAST(sum(CASE WHEN dy < 0 THEN -dy ELSE 0 END) OVER w AS BIGINT)
+                   AS loss,
+               CAST(count(dy) OVER w AS BIGINT) AS n_diffs
+        FROM diffs
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, CAST(y AS BIGINT) AS n_events,
+           CAST(dy AS BIGINT) AS diff, gain, loss,
+           round(CASE WHEN gain + loss = 0 THEN 50.0
+                 ELSE 100.0 * CAST(gain AS DOUBLE)
+                      / CAST(gain + loss AS DOUBLE) END, 6) AS rsi,
+           100 * gain > 70 * (gain + loss) AS overbought,
+           100 * gain < 30 * (gain + loss) AS oversold
+    FROM sums
+    WHERE n_diffs = {_RSI_N}
+    """,
+    doc=(
+        "Cutler's RSI (relative strength index) over per-type daily "
+        "activity: gains and losses are window SUMS of the positive/"
+        f"negative day-over-day deltas across the last {_RSI_N} diffs, "
+        "RSI = 100*G/(G+L). Cutler's simple-mean variant is chosen "
+        "over Wilder's exponential smoothing deliberately: on an "
+        "integer count series the deltas, gains and losses are EXACT "
+        "integers, RSI is one deterministic IEEE division, and — the "
+        "exact-integer-moments rule — the overbought/oversold DECISION "
+        "booleans are pure integer comparisons (100*G vs 70*(G+L)), "
+        "immune to float representation at the 70/30 thresholds where "
+        "Wilder's recursive float smoothing could flip a boundary "
+        "case. Flat windows (G+L=0) define RSI as the neutral 50. "
+        "Rows emit only with a full lookback (n_diffs = 14), so the "
+        "warm-up period never fabricates momentum. Scale shape: the "
+        "bounded daily rollup first (raw events touched once, map-side "
+        "combined), then lag + two frame sums sharing one event_type "
+        "exchange — O(days) rows per type at any raw scale."
+    ),
+)
+def timeseries_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.withColumn("dy", F.col("y") - F.lag("y").over(wo))
+    wf = wo.rowsBetween(-(_RSI_N - 1), 0)
+    sums = diffs.select(
+        "event_type",
+        "day",
+        "y",
+        "dy",
+        F.sum(F.when(F.col("dy") > 0, F.col("dy")).otherwise(0))
+        .over(wf)
+        .cast("long")
+        .alias("gain"),
+        F.sum(F.when(F.col("dy") < 0, -F.col("dy")).otherwise(0))
+        .over(wf)
+        .cast("long")
+        .alias("loss"),
+        F.count("dy").over(wf).cast("long").alias("n_diffs"),
+    )
+    rsi = F.when(F.col("gain") + F.col("loss") == 0, F.lit(50.0)).otherwise(
+        100.0
+        * F.col("gain").cast("double")
+        / (F.col("gain") + F.col("loss")).cast("double")
+    )
+    return sums.filter(F.col("n_diffs") == _RSI_N).select(
+        "event_type",
+        "day",
+        F.col("y").cast("long").alias("n_events"),
+        F.col("dy").cast("long").alias("diff"),
+        "gain",
+        "loss",
+        F.round(rsi, 6).alias("rsi"),
+        (100 * F.col("gain") > 70 * (F.col("gain") + F.col("loss"))).alias(
+            "overbought"
+        ),
+        (100 * F.col("gain") < 30 * (F.col("gain") + F.col("loss"))).alias(
+            "oversold"
+        ),
+    )

@@ -452,3 +452,102 @@ def test_kmv_under_k_population_is_exact(spark):
         assert r.rel_error == 0.0 and r.within_bound
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 timeseries additions: hand-computed fixtures at birth
+
+
+def _write_events(spark, rows, prefix):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_holt_damped_hand_computed(spark):
+    """y=[4,2,6], a=1/2 b=1/4 phi=7/8 by hand:
+    seed (4, 0); x=2 -> level 3, trend -1/4;
+    x=6 -> level 4.390625, trend 0.18359375.
+    forecast_1 = level + phi*trend; forecast_limit = level + 7*trend."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.llm8 import timeseries_holt_damped
+
+    base = dt.datetime(2024, 3, 1, 9)
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "a", v)
+        for i, v in enumerate([4.0, 2.0, 6.0])
+    ]
+    d = _write_events(spark, rows, "holtd_")
+    try:
+        r = {x.user_id: x for x in timeseries_holt_damped(spark, d).collect()}[1]
+        assert r.n_points == 3
+        assert r.level == 4.390625
+        assert r.trend == 0.183594  # round(0.18359375, 6)
+        assert abs(r.forecast_1 - round(4.390625 + 0.875 * 0.18359375, 6)) < 1e-12
+        assert abs(r.forecast_3 - round(4.390625 + (0.875 + 0.875**2 + 0.875**3) * 0.18359375, 6)) < 1e-12
+        assert r.forecast_limit == round(4.390625 + 7 * 0.18359375, 6)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stl_loess_reproduces_a_pure_linear_ramp(spark):
+    """The property that separates loess from a centered moving average:
+    on an exactly linear series the local-line fit returns the series
+    ITSELF (trend == y at every point, including the edges where a
+    centered mean would flatten), so seasonal and remainder are 0."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.timeseries import timeseries_stl_loess
+
+    base = dt.datetime(2024, 3, 1, 12)
+    rows, eid = [], 0
+    for t in range(14):
+        for _ in range(10 + 2 * t):  # daily count ramps linearly 10,12,...
+            rows.append((eid, base + dt.timedelta(days=t), 1, "ramp", 1.0))
+            eid += 1
+    d = _write_events(spark, rows, "stl_")
+    try:
+        got = sorted(timeseries_stl_loess(spark, d).collect(), key=lambda r: r.day)
+        assert len(got) == 14
+        for i, r in enumerate(got):
+            assert r.n_events == 10 + 2 * i
+            assert r.trend == float(r.n_events), f"edge flattening at {r.day}"
+            assert r.seasonal == 0.0 and r.remainder == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rsi_extremes_and_integer_threshold_decisions(spark):
+    """Monotone-up series -> RSI 100 / overbought; monotone-down -> 0 /
+    oversold; flat -> neutral 50 with both flags off. Needs 15 days to
+    open the first full 14-diff window."""
+    import datetime as dt
+
+    from parquet_exporter_spark.queries.timeseries import timeseries_rsi_cutler
+
+    base = dt.datetime(2024, 3, 1, 12)
+    rows, eid = [], 0
+    for t in range(16):
+        for series, count in (("up", 5 + t), ("down", 40 - t), ("flat", 7)):
+            for _ in range(count):
+                rows.append((eid, base + dt.timedelta(days=t), 1, series, 1.0))
+                eid += 1
+    d = _write_events(spark, rows, "rsi_")
+    try:
+        got = {}
+        for r in timeseries_rsi_cutler(spark, d).collect():
+            got.setdefault(r.event_type, []).append(r)
+        assert all(len(v) == 2 for v in got.values())  # days 15 and 16
+        for r in got["up"]:
+            assert r.rsi == 100.0 and r.overbought and not r.oversold
+        for r in got["down"]:
+            assert r.rsi == 0.0 and r.oversold and not r.overbought
+        for r in got["flat"]:
+            assert r.rsi == 50.0 and not r.overbought and not r.oversold
+            assert r.gain == 0 and r.loss == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
