@@ -1532,3 +1532,93 @@ def dq_cramer_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramer_v"),
     )
+
+
+@query(
+    "dq_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM orders GROUP BY 1, 2),
+    margx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+    margy AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT c.x, c.y, c.n_xy, mx.n_x, my.n_y, t.n,
+           round(CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)
+                 / CAST(t.n AS DOUBLE), 6) AS expected,
+           c.n_xy * t.n > mx.n_x * my.n_y AS over_represented,
+           round(ln((CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE))
+                    / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))), 6)
+               AS pmi_nats,
+           round((CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln((CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE))
+                      / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))), 6)
+               AS mi_contribution_nats
+    FROM cells c
+    JOIN margx mx USING (x) JOIN margy my USING (y) CROSS JOIN tot t
+    """,
+    doc=(
+        "Mutual-information dependence profile between two categorical "
+        "columns (order priority x order status), decomposed PER CELL — "
+        "the directional complement to dq_cramer_v's single association "
+        "statistic: each cell carries its observed count, both margins, "
+        "the expected count under independence, and its pointwise "
+        "mutual information plus contribution to total MI (sum of the "
+        "round-6 contributions = MI in nats). The repo's oracle-float "
+        "discipline: all counts and margins are exact integer sums, the "
+        "over/under-representation DECISION is the pure integer "
+        "comparison n_xy*n vs n_x*n_y (no float at the lift=1 "
+        "boundary), and the libm ln() appears only in round-6 PAYLOAD "
+        "columns — per cell, never inside a float summation, so no "
+        "engine-order drift exists anywhere. Scale shape: one map-side "
+        "combined cell aggregate over the raw table, then margins and "
+        "the 1-row total derived from the BOUNDED cell table (|X|x|Y| "
+        "rows) — at 100 TB the raw scan happens once and everything "
+        "downstream is metadata-sized."
+    ),
+)
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    cells = cells.persist()
+    try:
+        margx = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+        margy = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+        tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+        j = (
+            cells.join(F.broadcast(margx), "x")
+            .join(F.broadcast(margy), "y")
+            .join(F.broadcast(tot))
+        )
+        lift = (F.col("n_xy").cast("double") * F.col("n").cast("double")) / (
+            F.col("n_x").cast("double") * F.col("n_y").cast("double")
+        )
+        out = j.select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n",
+            F.round(
+                F.col("n_x").cast("double")
+                * F.col("n_y").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("expected"),
+            (F.col("n_xy") * F.col("n") > F.col("n_x") * F.col("n_y")).alias(
+                "over_represented"
+            ),
+            F.round(F.log(lift), 6).alias("pmi_nats"),
+            F.round(
+                (F.col("n_xy").cast("double") / F.col("n").cast("double"))
+                * F.log(lift),
+                6,
+            ).alias("mi_contribution_nats"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        cells.unpersist()

@@ -911,6 +911,74 @@ def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_INT_LOOKUP = 4242  # a known event_id in the fixture
+
+
+def _bloom_int_scratch_dir() -> str:
+    """Separate scratch from the string index (different column)."""
+    import glob as _glob
+    import tempfile
+
+    src_files = sorted(_glob.glob(os.path.join(HIGHCARD_SESSIONS, "*.parquet")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src_files
+    ) or HIGHCARD_SESSIONS
+    tag = _hashlib.sha256(("int:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_bloomint_{tag}")
+
+
+@query(
+    "scan_bloom_pruned_typed",
+    oracle=f"""
+    SELECT session_id, event_id, user_id, round(amount, 4) AS amount
+    FROM read_parquet('{HIGHCARD_SESSIONS}/*.parquet')
+    WHERE event_id = {_BLOOM_INT_LOOKUP}
+    """,
+    doc=(
+        "Bloom-index pruning on a NON-STRING column — the typed "
+        "extension the round-11 verdict queued (sinks/bloom_index.py): "
+        "the int64 event_id is hash-scattered across the 8 files like "
+        "the string session_id, so range stats skip nothing, and the "
+        "old string-only restriction would have refused the column "
+        "outright. Both sides of the index now hash Spark's own "
+        "canonical rendering — the build hashes CAST(event_id AS "
+        "STRING) inside the distributed pass, the probe renders its "
+        "Python literal through an actual 1-row Spark cast of the "
+        "committed column type (never Python str(), whose rendering "
+        "diverges for float/decimal/timestamp and would turn false "
+        "positives into silent FALSE NEGATIVES) — so the "
+        "no-false-negative superset guarantee holds for int / date / "
+        "timestamp / float keys, property-tested across 1,600 probes "
+        "in the suite. Correctness is file-skip-invariant, so the "
+        "oracle is the plain filtered read of the whole glob. At "
+        "100 TB this is point-lookup file skipping on the typed id "
+        "columns real tables actually key on."
+    ),
+)
+def scan_bloom_pruned_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.bloom_index import (
+        build_bloom_manifest,
+        prune_with_bloom,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    import glob as _glob
+
+    scratch = _bloom_int_scratch_dir()
+    if not os.path.isfile(os.path.join(scratch, "_bloom.parquet")):
+        build_bloom_manifest(
+            spark, HIGHCARD_SESSIONS, "event_id", manifest_dir=scratch
+        )
+    keep = prune_with_bloom(
+        HIGHCARD_SESSIONS, _BLOOM_INT_LOOKUP, manifest_dir=scratch, spark=spark
+    )
+    all_paths = sorted(_glob.glob(os.path.join(HIGHCARD_SESSIONS, "*.parquet")))
+    df = read_kept(spark, keep, all_paths)
+    return df.filter(F.col("event_id") == _BLOOM_INT_LOOKUP).select(
+        "session_id", "event_id", "user_id", F.round("amount", 4).alias("amount")
+    )
+
+
 @query(
     "dq_file_row_distribution",
     oracle=f"""
@@ -1096,4 +1164,137 @@ def scan_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uuid").alias("climb_id"),
         F.col("grades.yds").alias("yds"),
         F.round("metadata.lat", 6).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: time travel as a QUERY — an as-of read against the versioned
+# manifest (sinks/manifest_sink.py), oracled because the two commits are
+# deterministic functions of the orders table.
+
+
+def _timetravel_scratch_dir(sf_dir: str) -> str:
+    """Versioned scratch for the two-commit snapshot table (the
+    IVF/band/rabitq freshness contract: keyed on source mtimes+sizes)."""
+    import glob as _glob
+    import tempfile
+
+    src = sorted(_glob.glob(os.path.join(sf_dir, "orders*")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src
+    ) or sf_dir
+    tag = _hashlib.sha256(("ttravel:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_ttravel_{tag}")
+
+
+def _build_timetravel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two deterministic commits: v1 = orders with o_orderkey % 4 <> 3,
+    v2 appends the rest. Built atomically (private temp dir + rename,
+    the persisted-index publish protocol) so concurrent sessions race
+    safely to an equivalent table."""
+    import shutil
+    import uuid
+
+    from parquet_exporter_spark.sinks.manifest_sink import commit_snapshot
+
+    path = _timetravel_scratch_dir(sf_dir)
+    if os.path.isfile(os.path.join(path, "_COMPLETE")):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex}"
+    try:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 4 != 3)
+            .repartitionByRange(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        assert commit_snapshot(tmp, "o_orderkey") == 1
+        (
+            orders.filter(F.col("o_orderkey") % 4 == 3)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+        assert commit_snapshot(tmp, "o_orderkey") == 2
+        with open(os.path.join(tmp, "_COMPLETE"), "w"):
+            pass
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.isfile(os.path.join(path, "_COMPLETE")):
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(tmp, path)
+            # else: lost the publish race to an equivalent build
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@query(
+    "scan_manifest_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders_asof_v1,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_asof_v1,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders_current,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM v1 GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Snapshot-isolated AS-OF read against the versioned manifest "
+        "(sinks/manifest_sink.py — the mini-table-format the round-12 "
+        "work completed with CAS commits, orphan rejection and "
+        "expire_snapshots): the scratch table is committed in two "
+        "deterministic versions (v1 = 3/4 of orders range-clustered on "
+        "o_orderkey, v2 appends the rest), and the query plans its file "
+        "set FROM SNAPSHOT v1 — the file added by v2 is invisible even "
+        "though it sits in the same directory and matches every "
+        "predicate, which is isolation by construction, not filtering. "
+        "The current row count comes from the CURRENT manifest's "
+        "metadata (sum of per-file num_rows — zero data IO), so the "
+        "result proves both reads serve different states of the same "
+        "table. Oracled because both commits are pure functions of "
+        "orders. At 100 TB this is the reproducible-training-run "
+        "pattern: pin the manifest version in the job config and every "
+        "rerun reads byte-identical file sets while ingestion keeps "
+        "committing ahead."
+    ),
+)
+def scan_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        manifest_versions,
+        prune_with_manifest_version,
+        read_manifest_version,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    path = _build_timetravel_table(spark, sf_dir)
+    kept_v1 = prune_with_manifest_version(path, 1)
+    all_paths = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(p).startswith("_")
+    )
+    current_rows = sum(s.num_rows for s in read_manifest_version(path))
+    n_versions = len(manifest_versions(path))
+    df = read_kept(spark, kept_v1, all_paths)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_asof_v1"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_asof_v1"),
+    ).select(
+        "o_orderstatus",
+        "n_orders_asof_v1",
+        "cents_asof_v1",
+        F.lit(current_rows).cast("long").alias("n_orders_current"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
     )
