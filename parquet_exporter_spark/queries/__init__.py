@@ -168,31 +168,31 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-11 driver check
+# Hand-picked front of the registry for the ROUND-12 driver check
 # budget: the driver stamps EXACTLY the first 50 registry names.
-# CORRECTNESS_r10 landed 50/50 green on the round-10 PRIORITY
-# (DRIVER_VERIFIED folds it in automatically), so entering round 11
-# exactly twelve never-stamped names remain: the round-10 additions.
-# This window head takes ALL of them — done means 452/452 registered
-# queries carry a driver stamp with zero failures ever. Round-11
-# additions registered after this tuple queue immediately behind it
-# via the self-healing module-order rule and fill the ~38 spare
-# window slots without further PRIORITY edits. Order: the rabitq
-# persisted probe first (closes the compute-once-serve-many story),
-# then the scan pair, then the detector/diagnostic tail.
+# CORRECTNESS_r11 landed 50/50 green, completing the cumulative record
+# (477/477 stamped), so round 12's window is ALL-NEW work: the three
+# advice-closure contract changes (voided via RESTAMP_AFTER_ROUND —
+# graph_hits now carries exact nano-integer scores, graph_adamic_adar
+# ranks on the fixed-point Resource-Allocation index, and
+# graph_jaccard_neighbors scores both pair directions) followed by the
+# nine round-12 additions (t-digest build+serve, KMV, damped Holt,
+# STL-loess, Cutler RSI, typed Bloom scan, manifest time travel,
+# per-cell mutual information). Anything registered later queues
+# behind via the self-healing module-order rule.
 PRIORITY = (
-    "similarity_rabitq_persisted_probe",
-    "scan_footer_stats_distributed",
-    "scan_bloom_pruned",
+    "graph_hits",
     "graph_adamic_adar",
-    "timeseries_hampel_outliers",
-    "timeseries_mase",
-    "timeseries_changepoint_meanshift",
-    "timeseries_binseg_depth2",
-    "layout_hilbert_key",
-    "stream_spike_monitor_twin",
-    "analytics_markov_transitions",
-    "dq_drift_wasserstein",
+    "graph_jaccard_neighbors",
+    "agg_tdigest_sketch",
+    "agg_tdigest_quantiles",
+    "agg_kmv_distinct",
+    "timeseries_holt_damped",
+    "timeseries_stl_loess",
+    "timeseries_rsi_cutler",
+    "scan_bloom_pruned_typed",
+    "scan_manifest_time_travel",
+    "dq_mutual_information",
 )
 
 
