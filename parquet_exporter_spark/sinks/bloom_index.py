@@ -54,17 +54,36 @@ def _positions(rendered: str, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
     ]
 
 
-def render_probe_literal(spark, value, dtype: str) -> str:
+def render_probe_literal(spark, value, dtype: str, tz: str | None = None) -> str:
     """Render ``value`` exactly as the build side rendered the column:
     CAST(CAST(value AS <dtype>) AS STRING) executed BY SPARK on a 1-row
     frame. Using Spark's own cast on both sides is what lifts the old
     string-only restriction safely — Python str() and Spark CAST
     disagree for float/decimal/timestamp ('0.0001' vs '1.0E-4'), and any
-    disagreement breaks the no-false-negative guarantee."""
+    disagreement breaks the no-false-negative guarantee.
+
+    ``tz`` is the BUILD session's ``spark.sql.session.timeZone``,
+    recorded in the committed manifest (round 13): CAST(timestamp AS
+    STRING) renders the local wall time of the session zone, so an
+    index built under UTC probed from an America/New_York session
+    would hash a different string for the same instant — a silent
+    false NEGATIVE. The probe therefore renders under the build zone
+    (set-and-restore around the 1-row plan; naive datetimes are
+    likewise interpreted in the build zone — pass tz-aware datetimes
+    to pin an exact instant). TZ-insensitive types render identically
+    under any zone, so the override is a no-op for them."""
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(value,)], f"v {dtype}")
-    return df.select(F.col("v").cast("string").alias("r")).first()["r"]
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key) if tz is not None else None
+    try:
+        if tz is not None:
+            spark.conf.set(tz_key, tz)
+        df = spark.createDataFrame([(value,)], f"v {dtype}")
+        return df.select(F.col("v").cast("string").alias("r")).first()["r"]
+    finally:
+        if tz is not None:
+            spark.conf.set(tz_key, old)
 
 
 def build_bloom_manifest(
@@ -92,6 +111,10 @@ def build_bloom_manifest(
 
     src = spark.read.parquet(path)
     dtype = src.schema[column].dataType.simpleString()
+    # The build session's zone is part of the index contract for
+    # TZ-sensitive renderings (timestamp CAST AS STRING is local wall
+    # time); committed so probes from any session render identically.
+    build_tz = spark.conf.get("spark.sql.session.timeZone")
     df = src.select(
         F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name"),
         F.col(column).cast("string").alias("_v"),
@@ -128,6 +151,7 @@ def build_bloom_manifest(
             "m": pa.array([m] * len(words), pa.int32()),
             "k": pa.array([k] * len(words), pa.int32()),
             "dtype": pa.array([dtype] * len(words), pa.string()),
+            "tz": pa.array([build_tz] * len(words), pa.string()),
         }
     )
     out_dir = manifest_dir or path
@@ -163,10 +187,12 @@ def prune_with_bloom(
     filters: dict[str, dict[int, int]] = {}
     m = k = None
     dtype = "string"
+    build_tz = None
     for r in t:
         filters.setdefault(r["file_name"], {})[r["word_idx"]] = r["word"]
         m, k = r["m"], r["k"]
         dtype = r.get("dtype") or "string"  # pre-round-12 manifests: string-only
+        build_tz = r.get("tz")  # pre-round-13 manifests: unrecorded
     if m is None:
         # Zero-row manifest: no filter was ever materialized. Keep every
         # data file rather than raise — pruning is an optimization and
@@ -190,7 +216,7 @@ def prune_with_bloom(
                 "rendering differs and would break the no-false-negative "
                 "guarantee)"
             )
-        rendered = render_probe_literal(spark, value, dtype)
+        rendered = render_probe_literal(spark, value, dtype, tz=build_tz)
     pos = _positions(rendered, m, k)
     keep = []
     for p in sorted(glob.glob(os.path.join(path, "*.parquet"))):

@@ -142,13 +142,38 @@ def prune_with_manifest(path: str, lo: Any = None, hi: Any = None) -> list[str]:
 
 VERSION_HINT = "_manifest_current"
 HINT_LOCK = "_manifest_hint.lock"
+# Healthy committers hold the hint lock for microseconds; waiting this
+# long means the lock is stale (a crashed committer). Module-level so
+# tests and operators can tighten/relax it.
+HINT_LOCK_TIMEOUT_S = 10.0
 
 
 class CommitConflictError(RuntimeError):
     """Another committer claimed the same snapshot version first.
 
     Retryable: re-invoke commit_snapshot — it recomputes the next free
-    version from the now-longer snapshot chain."""
+    version from the now-longer snapshot chain. Raised ONLY from the
+    os.link version-claim CAS; a hint-lock timeout is the distinct,
+    NON-retryable HintLockTimeout (retrying a stale lock would just
+    claim ever-higher orphan versions forever)."""
+
+
+class HintLockTimeout(RuntimeError):
+    """The _manifest_hint.lock could not be acquired within the bound.
+
+    NOT a version conflict and NOT retryable: the lock is held for
+    microseconds by healthy committers, so a timeout means a crashed
+    committer left a stale lock file — operator attention (remove the
+    lock) is required, and blind retries would mint a new orphan
+    snapshot per attempt. When raised from commit_snapshot AFTER the
+    os.link CAS succeeded, ``claimed_version`` carries the snapshot
+    version that WAS durably published (its hint flip is what timed
+    out) so callers can recover the succeeded commit instead of
+    re-committing the same table state under a new version."""
+
+    def __init__(self, msg: str, claimed_version: int | None = None):
+        super().__init__(msg)
+        self.claimed_version = claimed_version
 
 
 def _snapshot_name(version: int) -> str:
@@ -178,21 +203,26 @@ def current_manifest_version(path: str) -> int | None:
 
 def _flip_hint_monotonic(path: str, version: int) -> None:
     """Advance the hint to ``version`` unless a NEWER commit already
-    flipped it. The read-compare-replace runs under a tiny O_EXCL lock
-    file (held for microseconds, bounded spin) so two winners of
-    DIFFERENT versions can't interleave and regress the pointer."""
+    flipped it, and (only when advancing) mirror that version's snapshot
+    into the unversioned ``_manifest.parquet`` under the SAME lock — so
+    the mirror can never regress to an older file set while the hint
+    says newer (two winners of DIFFERENT versions can't interleave
+    either write). The read-compare-replace runs under a tiny O_EXCL
+    lock file (held for microseconds, bounded spin); a timeout raises
+    the NON-retryable HintLockTimeout, not a version conflict."""
+    import shutil
     import time
 
     hint = os.path.join(path, VERSION_HINT)
     lock = os.path.join(path, HINT_LOCK)
-    deadline = time.monotonic() + 10.0
+    deadline = time.monotonic() + HINT_LOCK_TIMEOUT_S
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
             if time.monotonic() > deadline:
-                raise CommitConflictError(
+                raise HintLockTimeout(
                     f"hint lock {lock} held too long (stale lock? remove it "
                     "if no committer is running)"
                 ) from None
@@ -200,6 +230,14 @@ def _flip_hint_monotonic(path: str, version: int) -> None:
     try:
         committed = current_manifest_version(path) or 0
         if version > committed:
+            # Mirror FIRST, hint second: a crash between the two leaves
+            # an old hint with a new mirror — readers resolving via the
+            # hint (the versioned path) are unaffected, and the mirror
+            # is re-synced by the next commit's flip.
+            cur = os.path.join(path, MANIFEST_NAME)
+            tmp = cur + f".tmp.{os.getpid()}"
+            shutil.copyfile(os.path.join(path, _snapshot_name(version)), tmp)
+            os.replace(tmp, cur)
             tmp = hint + ".tmp"
             with open(tmp, "w") as f:
                 f.write(str(version))
@@ -268,13 +306,22 @@ def commit_snapshot(
         ) from None
     finally:
         os.unlink(tmp)
-    # keep the unversioned manifest in lockstep (atomic replace — it
-    # mirrors the NEWEST commit, so last-writer-wins is correct here)
-    cur = os.path.join(path, MANIFEST_NAME)
-    tmp = cur + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, cur)
-    _flip_hint_monotonic(path, version)
+    # The unversioned _manifest.parquet mirror is written INSIDE the
+    # hint flip, under the same lock and monotonic check — plain
+    # last-writer-wins here could let the v-N committer overwrite the
+    # v-N+1 committer's mirror after both CAS'd their versions.
+    try:
+        _flip_hint_monotonic(path, version)
+    except HintLockTimeout as e:
+        # The version was already durably claimed via os.link — this is
+        # NOT a retryable conflict (re-committing would duplicate the
+        # same table state under a new version). Surface the claimed
+        # version so the caller can recover the succeeded commit.
+        raise HintLockTimeout(
+            f"snapshot v{version} was committed but its hint flip timed "
+            f"out on a stale lock: {e}",
+            claimed_version=version,
+        ) from e
     return version
 
 
@@ -415,11 +462,23 @@ def streaming_snapshot_commit(
     part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
     os.replace(part, os.path.join(path, fname))
     shutil.rmtree(staging, ignore_errors=True)
-    while True:
+    # Bounded retry on version conflicts ONLY: CommitConflictError means
+    # another committer raced us to a version number and our file is
+    # already on disk, so re-claiming the next version makes progress.
+    # HintLockTimeout deliberately propagates — a stale lock makes every
+    # "retry" mint a fresh orphan snapshot without ever flipping the
+    # hint, so retrying it would loop forever writing garbage.
+    for _ in range(64):
         try:
             version = commit_snapshot(path, cluster_col)
             break
         except CommitConflictError:
             continue  # our file is on disk; re-claim the next version
+    else:
+        raise CommitConflictError(
+            f"batch {batch_id}: lost the version race 64 times under "
+            f"{path} — a runaway concurrent committer; one streaming "
+            "writer per table path is the contract"
+        )
     _mark(version)
     return version
