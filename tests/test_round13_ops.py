@@ -246,3 +246,85 @@ def test_bloom_timestamp_probe_across_timezones(spark):
     finally:
         spark.conf.set(tz_key, old_tz)
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 verdict item 1: sketch MERGE paths executed as queries. The
+# verdict booleans are DATA (hash-matched vs DuckDB by the driver); these
+# tests assert they are actually TRUE, so a bound regression fails the
+# suite even though the hash would still match.
+
+
+def test_cms_merge_counter_add_is_exact(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import (
+        _CMS_D,
+        _CMS_W,
+        agg_cms_merge,
+    )
+
+    rows = agg_cms_merge(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _CMS_D * _CMS_W
+    assert all(r.merge_exact for r in rows)
+    assert all(r.c_half0 + r.c_half1 == r.merged_c == r.whole_c for r in rows)
+
+
+def test_kmv_union_kth_equals_whole_corpus(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import agg_kmv_union
+
+    r = agg_kmv_union(spark, sf_dir).collect()[0]
+    assert r.merge_exact, "merged k-th min must equal the whole-corpus k-th"
+    assert r.within_bound
+    # the union of two bottom-k states can never keep more than k
+    assert r.n_kept <= r.k
+
+
+def test_hll_portable_estimate_within_bound(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import agg_hll_portable
+
+    r = agg_hll_portable(spark, sf_dir).collect()[0]
+    assert r.within_bound, f"rel_error {r.rel_error} above the 0.15 bound"
+    assert r.n_nonempty + r.v_empty == r.m == 512
+    # the exact scaled register sum is bounded by an all-empty sketch
+    assert 0 < r.s_scaled <= 512 * (1 << 52)
+
+
+def test_hll_portable_small_population_linear_counting(spark):
+    """Under-m populations route through the linear-counting branch —
+    the published small-range bias correction — and land within a few
+    percent, where the raw estimator would be badly biased."""
+    import tempfile as _tf
+
+    from parquet_exporter_spark.queries.aggregates import agg_hll_portable
+
+    d = _tf.mkdtemp(prefix="hll_")
+    try:
+        spark.range(500).selectExpr(
+            "id % 50 AS l_partkey", "1.0 AS l_extendedprice"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        r = agg_hll_portable(spark, d).collect()[0]
+        assert r.true_distinct == 50
+        assert r.v_empty > 0 and r.within_bound
+        assert abs(r.est_distinct - 50) <= 8  # LC is near-exact down here
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tdigest_merged_serves_all_probes_once(spark, sf_dir):
+    """Merged-bucket cum-weight spans must TILE [0, n-1] (the re-bin's
+    monotone-mid property): every probe hits exactly one bucket, every
+    verdict holds, and estimates are monotone in p."""
+    from parquet_exporter_spark.queries.aggregates import (
+        _TD_PROBES,
+        agg_tdigest_merged,
+    )
+
+    rows = {r.p: r for r in agg_tdigest_merged(spark, sf_dir).collect()}
+    assert len(rows) == len(_TD_PROBES), "a probe hit 0 or >1 merged buckets"
+    for p, r in rows.items():
+        assert r.within_bound, f"p={p}: rank_err {r.rank_err} > 0.35*d+8"
+        assert r.n_inputs >= 1
+    ests = [rows[p].est_price for p in sorted(rows)]
+    assert ests == sorted(ests)
+    # the two extreme probes resolve to single-value buckets at the tails
+    # at sf0.001 (dyadic level 0/1): exact there
+    assert rows[0.001].rank_err <= max(2, rows[0.001].d_tail // 4)
