@@ -328,3 +328,57 @@ def test_tdigest_merged_serves_all_probes_once(spark, sf_dir):
     # the two extreme probes resolve to single-value buckets at the tails
     # at sf0.001 (dyadic level 0/1): exact there
     assert rows[0.001].rank_err <= max(2, rows[0.001].d_tail // 4)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 verdict item 3: real BPE fit + apply
+
+
+def test_bpe_fit_hand_computed_merges(spark):
+    """Classic Sennrich corpus: 'low lower lowest low low'. The first
+    merges are hand-derivable: (l,o) wins round 1 on the 5-5 tie with
+    (o,w) by the lexicographic tiebreak, (lo,w) follows, then the
+    multi-char composition (low,e) proves merged tokens re-enter the
+    pair pool."""
+    import tempfile as _tf
+
+    from parquet_exporter_spark.queries.llm5 import _bpe_fit_merges
+
+    d = _tf.mkdtemp(prefix="bpe_")
+    try:
+        spark.createDataFrame(
+            [(0, "low lower lowest low low")], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        merges = _bpe_fit_merges(spark, d)
+        got = [(m[1], m[2], m[4]) for m in merges[:4]]
+        assert got == [
+            ("l", "o", 5),
+            ("lo", "w", 5),
+            ("low", "e", 2),
+            ("lowe", "r", 1),
+        ], got
+        # pair counts are nonincreasing: a merge can only create pairs
+        # whose count is bounded by the merged pair's own count
+        counts = [m[4] for m in merges]
+        assert counts == sorted(counts, reverse=True)
+        # the tiny corpus exhausts its pair pool before the 24-round
+        # budget — the fit stops instead of emitting degenerate rows
+        assert len(merges) < 24
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_tokenize_invariants(spark, sf_dir):
+    """Subword counts sit between word and character counts, and the
+    fold-chain apply actually compresses (multi-char tokens fire)."""
+    from parquet_exporter_spark.queries.llm5 import text_bpe_tokenize
+
+    rows = text_bpe_tokenize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_alpha_chars
+        assert r.chars_per_token >= 1.0
+    # corpus-level: 24 merges on a 31-word vocabulary must compress well
+    total_tok = sum(r.n_bpe_tokens for r in rows)
+    total_ch = sum(r.n_alpha_chars for r in rows)
+    assert total_ch / total_tok > 1.3
