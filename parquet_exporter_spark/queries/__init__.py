@@ -168,31 +168,26 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-12 driver check
+# Hand-picked front of the registry for the ROUND-13 driver check
 # budget: the driver stamps EXACTLY the first 50 registry names.
-# CORRECTNESS_r11 landed 50/50 green, completing the cumulative record
-# (477/477 stamped), so round 12's window is ALL-NEW work: the three
-# advice-closure contract changes (voided via RESTAMP_AFTER_ROUND —
-# graph_hits now carries exact nano-integer scores, graph_adamic_adar
-# ranks on the fixed-point Resource-Allocation index, and
-# graph_jaccard_neighbors scores both pair directions) followed by the
-# nine round-12 additions (t-digest build+serve, KMV, damped Holt,
-# STL-loess, Cutler RSI, typed Bloom scan, manifest time travel,
-# per-cell mutual information). Anything registered later queues
-# behind via the self-healing module-order rule.
+# CORRECTNESS_r12 landed 50/50 green, restoring full cumulative
+# coverage (486/486 stamped), so round 13's window is the eight
+# round-13 additions: the four sketch-merge executions (CMS counter
+# add, KMV union + re-truncate, t-digest cumulative-weight re-bin with
+# served quantiles, portable HLL with exact integer register sums),
+# real BPE (merge-table fit + fold-chain tokenize), the SCD2 dimension
+# build from the Debezium log, and the char-bigram NB language-ID
+# classifier. Anything registered later queues behind via the
+# self-healing module-order rule.
 PRIORITY = (
-    "graph_hits",
-    "graph_adamic_adar",
-    "graph_jaccard_neighbors",
-    "agg_tdigest_sketch",
-    "agg_tdigest_quantiles",
-    "agg_kmv_distinct",
-    "timeseries_holt_damped",
-    "timeseries_stl_loess",
-    "timeseries_rsi_cutler",
-    "scan_bloom_pruned_typed",
-    "scan_manifest_time_travel",
-    "dq_mutual_information",
+    "agg_cms_merge",
+    "agg_kmv_union",
+    "agg_hll_portable",
+    "agg_tdigest_merged",
+    "text_bpe_fit",
+    "text_bpe_tokenize",
+    "cdc_scd2_build",
+    "text_langid_predict",
 )
 
 

@@ -1142,3 +1142,74 @@ def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("before.balance", 2).alias("old_balance"),
         (F.col("op") == "d").alias("is_tombstone"),
     )
+
+
+@query(
+    "cdc_scd2_build",
+    oracle=f"""
+    WITH env AS (
+        SELECT * FROM read_json('{CDC_CHANGES}',
+            columns = {{'op': 'VARCHAR', 'ts_ms': 'BIGINT',
+                        'before': 'STRUCT(id BIGINT, name VARCHAR, balance DOUBLE)',
+                        'after': 'STRUCT(id BIGINT, name VARCHAR, balance DOUBLE)'}})),
+    ch AS (
+        SELECT ts_ms, op, coalesce(after.id, before.id) AS key_id,
+               after.name AS name, after.balance AS balance
+        FROM env),
+    seq AS (
+        SELECT *, lead(ts_ms) OVER (PARTITION BY key_id ORDER BY ts_ms)
+                   AS valid_to_ms
+        FROM ch)
+    SELECT key_id,
+           CAST(row_number() OVER (PARTITION BY key_id ORDER BY ts_ms)
+                AS BIGINT) AS version_seq,
+           name, round(balance, 2) AS balance,
+           ts_ms AS valid_from_ms, valid_to_ms,
+           valid_to_ms IS NULL AS is_current
+    FROM seq WHERE op <> 'd'
+    """,
+    doc=(
+        "SCD2 dimension BUILD from the raw Debezium change log — the "
+        "round-12 verdict's item 4: the repo had the parser "
+        "(cdc_debezium_parse), the MERGE (sql_merge_upsert), and the "
+        "point-in-time LOOKUP (timeseries scd2_temporal_lookup), but "
+        "not the composition every warehouse actually runs to create "
+        "the valid_from/valid_to table those lookups read. Each "
+        "create/update becomes a version row whose validity closes at "
+        "the key's NEXT change of ANY kind — computed with lead() over "
+        "the unfiltered per-key change sequence, so a delete closes the "
+        "last open version (tombstone closure) while emitting no row "
+        "itself; keys whose history ends in a delete therefore have NO "
+        "is_current row, and live keys have exactly one. version_seq "
+        "renumbers surviving versions per key (the window runs after "
+        "the tombstone filter). One keyed window over the change log — "
+        "the same shuffle the MERGE already pays; at 100 TB this is the "
+        "daily dimension rebuild: partition by key, order by ts, no "
+        "data-sized gather anywhere."
+    ),
+)
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = "id bigint, name string, balance double"
+    schema = f"op string, ts_ms bigint, before struct<{img}>, after struct<{img}>"
+    env = spark.read.schema(schema).json(CDC_CHANGES)
+    ch = env.select(
+        "ts_ms",
+        "op",
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("key_id"),
+        F.col("after.name").alias("name"),
+        F.col("after.balance").alias("balance"),
+    )
+    wk = Window.partitionBy("key_id").orderBy("ts_ms")
+    seq = ch.withColumn("valid_to_ms", F.lead("ts_ms").over(wk))
+    versions = seq.filter(F.col("op") != "d")
+    return versions.select(
+        "key_id",
+        F.row_number().over(wk).cast("long").alias("version_seq"),
+        "name",
+        F.round("balance", 2).alias("balance"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        "valid_to_ms",
+        F.col("valid_to_ms").isNull().alias("is_current"),
+    )

@@ -41,6 +41,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "the gathers carry the 1-row register-sum state and 1-row "
         "truth, joined by a 1x1 bnlj for the verdict columns",
     ),
+    "text_langid_predict": (
+        {"bnlj", "single_partition_x3"},
+        "model-state scalars: the 1-row bigram-vocabulary size and the "
+        "4-row class-prior total gather single rows, and the bnlj is "
+        "the doc-bigrams x 4-language unseen-weight grid — model "
+        "tables, all bounded by (langs x bigrams); the scoring scan "
+        "itself stays fully partitioned",
+    ),
     "agg_tdigest_merged": (
         {"bnlj", "single_partition_x7"},
         "the two digest builds rank within half-partitions (keyed "

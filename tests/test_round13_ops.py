@@ -382,3 +382,65 @@ def test_bpe_tokenize_invariants(spark, sf_dir):
     total_tok = sum(r.n_bpe_tokens for r in rows)
     total_ch = sum(r.n_alpha_chars for r in rows)
     assert total_ch / total_tok > 1.3
+
+
+# ---------------------------------------------------------------------------
+# Round-13 verdict items 4 and 6: SCD2 build + language-ID classifier
+
+
+def test_scd2_build_replays_the_change_log(spark, sf_dir):
+    """Point-in-time lookups over the built dimension must equal a
+    Python replay of the Debezium log at EVERY change timestamp — the
+    full contract: contiguous validity per key, tombstone closure,
+    exactly one is_current row per live key and none for deleted keys."""
+    import json
+
+    from parquet_exporter_spark.queries.streaming import (
+        CDC_CHANGES,
+        cdc_scd2_build,
+    )
+
+    dim = cdc_scd2_build(spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(dim, key=lambda r: (r.key_id, r.version_seq)):
+        by_key.setdefault(r.key_id, []).append(r)
+    # contiguity + single-current
+    for key, vs in by_key.items():
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_ms == b.valid_from_ms, (key, a, b)
+        assert sum(1 for v in vs if v.is_current) == (
+            1 if vs[-1].valid_to_ms is None else 0
+        )
+    # replay the raw log; compare state at every event time
+    log = [json.loads(line) for line in open(CDC_CHANGES)]
+    log.sort(key=lambda e: e["ts_ms"])
+    state: dict[int, tuple] = {}
+    for e in log:
+        t = e["ts_ms"]
+        if e["op"] in ("c", "u"):
+            a = e["after"]
+            state[a["id"]] = (a["name"], round(a["balance"], 2))
+        else:
+            state.pop(e["before"]["id"], None)
+        looked = {
+            r.key_id: (r.name, r.balance)
+            for r in dim
+            if r.valid_from_ms <= t
+            and (r.valid_to_ms is None or t < r.valid_to_ms)
+        }
+        assert looked == state, f"divergence at ts={t}"
+    # live keys at the end == is_current rows
+    assert {r.key_id for r in dim if r.is_current} == set(state)
+
+
+def test_langid_predict_perfect_on_fixture(spark, sf_dir):
+    """The four fixture languages have disjoint-enough bigram
+    distributions that the NB classifier must score a clean diagonal on
+    the held-out half — the pinned-accuracy gate the verdict asked for."""
+    from parquet_exporter_spark.queries.llm5 import text_langid_predict
+
+    rows = text_langid_predict(spark, sf_dir).collect()
+    off_diag = [r for r in rows if r.labeled_lang != r.predicted_lang]
+    assert not off_diag, off_diag
+    assert sum(r.n for r in rows) == 120  # the odd-doc_id half
+    assert {r.labeled_lang for r in rows} == {"en", "de", "es", "fr"}

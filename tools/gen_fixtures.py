@@ -430,3 +430,54 @@ if __name__ == "__main__":
     write_highcard_sessions()
     write_rowgrouped_events()
     write_cdc_changes()
+    write_langid_docs()
+
+
+def write_langid_docs() -> None:
+    """Language-labeled documents with GENUINELY distinct character
+    distributions (the synthetic documents table's lang label is
+    independent of its word-salad text, so nothing can be learned from
+    it) — the fit/eval corpus for text_langid_predict's char-bigram
+    Naive Bayes. Four languages x 60 docs composed from hand-picked
+    high-frequency word pools; doc_id parity is the train/test split
+    (even = fit, odd = score). Deterministic, committed."""
+    pools = {
+        "en": (
+            "the and of to in is was for with that on as are this be at "
+            "by an have from or had not but what all were when there can "
+            "which their said will would about time people into year some"
+        ).split(),
+        "de": (
+            "der die das und ist nicht mit von zu den ein eine sich auf "
+            "auch nach wird bei einem durch wenn noch werden schon dass "
+            "ueber gegen zwischen immer jahre dann unter sehr ohne mehr"
+        ).split(),
+        "es": (
+            "el la de que y en un ser se no haber por con su para como "
+            "estar tener le lo todo pero mas hacer o poder decir este ir "
+            "otro ese si porque cuando muy sin sobre tambien hasta donde"
+        ).split(),
+        "fr": (
+            "le la de et les des en un une du que est pas pour qui dans "
+            "ce il au sur se plus pouvoir par je avec tout faire son "
+            "mettre autre mais nous comme ou si leur bien encore aussi"
+        ).split(),
+    }
+    rng = random.Random(4242)
+    rows = []
+    doc_id = 0
+    for lang in sorted(pools):
+        words = pools[lang]
+        for _ in range(60):
+            n = rng.randint(12, 28)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            rows.append({"doc_id": doc_id, "text": text, "lang": lang})
+            doc_id += 1
+    tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+        ),
+    )
+    pq.write_table(tbl, os.path.join(OUT_DIR, "langid_docs.parquet"))
+    print(f"wrote {len(rows)} langid docs")
