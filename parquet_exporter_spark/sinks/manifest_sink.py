@@ -482,3 +482,67 @@ def streaming_snapshot_commit(
         )
     _mark(version)
     return version
+
+
+def optimize_table(
+    spark, path: str, cluster_col: str, target_rows: int
+) -> int:
+    """OPTIMIZE — the table-format lifecycle composition the three
+    pieces (layout.compaction_groups' greedy plan, writers.write_compacted's
+    rewrite, commit_snapshot's publish) exist for, wired end to end over
+    a MANIFESTED table: plan compaction groups from the current
+    snapshot's manifest listing (bounded by file count, zero data IO),
+    rewrite each multi-file group as one cluster-sorted file, and commit
+    the compacted file set as the NEXT snapshot. Returns the new
+    version.
+
+    Snapshot isolation is what makes this safe online: the replaced
+    small files stay on disk and the PREVIOUS version still time-travels
+    to byte-identical results; ``expire_snapshots`` later vacuums files
+    no surviving version references. Single-file groups are carried
+    into the new snapshot untouched (no rewrite amplification).
+    Grouping follows compaction_groups' greedy-prefix rule —
+    group = floor(rows_before / target_rows) in cluster order — so a
+    group overshoots by at most one file and compacted files keep
+    DISJOINT cluster ranges, preserving manifest range-pruning
+    selectivity after the rewrite."""
+    import shutil
+
+    committed = current_manifest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no manifest snapshot committed under {path}")
+    stats = read_manifest_version(path, committed)
+    order = sorted(
+        stats,
+        key=lambda s: (
+            s.min_value is None,
+            s.min_value,
+            s.max_value is None,
+            s.max_value,
+            s.path,
+        ),
+    )
+    groups: dict[int, list] = {}
+    rows_before = 0
+    for s in order:
+        groups.setdefault(rows_before // target_rows, []).append(s)
+        rows_before += s.num_rows
+    new_files: list[str] = []
+    for g, members in sorted(groups.items()):
+        if len(members) == 1:
+            new_files.append(os.path.basename(members[0].path))
+            continue
+        fname = f"compact-v{committed:04d}-g{g:04d}.parquet"
+        staging = os.path.join(path, f"_staging_compact_{committed}_{g}")
+        (
+            spark.read.parquet(*[s.path for s in members])
+            .coalesce(1)
+            .sortWithinPartitions(cluster_col)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(path, fname))
+        shutil.rmtree(staging, ignore_errors=True)
+        new_files.append(fname)
+    return commit_snapshot(path, cluster_col, data_files=new_files)

@@ -444,3 +444,103 @@ def test_langid_predict_perfect_on_fixture(spark, sf_dir):
     assert not off_diag, off_diag
     assert sum(r.n for r in rows) == 120  # the odd-doc_id half
     assert {r.labeled_lang for r in rows} == {"en", "de", "es", "fr"}
+
+
+# ---------------------------------------------------------------------------
+# Round-13 verdict item 5: manifest OPTIMIZE end to end
+
+
+def test_optimize_table_end_to_end(spark):
+    """The full lifecycle: fragmented commits -> OPTIMIZE (plan from the
+    manifest, rewrite groups, commit as a new snapshot) -> both
+    snapshots read identically -> expire + vacuum reclaims ONLY the
+    replaced files. This is the composition layout_compaction_plan /
+    write_compacted / commit_snapshot existed for."""
+    import pyarrow.parquet as _pq
+
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        expire_snapshots,
+        optimize_table,
+        prune_with_manifest_version,
+        read_manifest_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="pes_opt_")
+    try:
+        # 8 small range-clustered files, 25 rows each
+        for f in range(8):
+            _write_file(spark, d, f"small-{f}.parquet", f * 25, (f + 1) * 25)
+        assert commit_snapshot(d, "k") == 1
+        v1_rows = sorted(
+            (r["k"], r["v"])
+            for s in read_manifest_version(d, 1)
+            for r in _pq.read_table(s.path).to_pylist()
+        )
+        v2 = optimize_table(spark, d, "k", target_rows=100)
+        assert v2 == 2
+        v2_stats = read_manifest_version(d, 2)
+        names = sorted(os.path.basename(s.path) for s in v2_stats)
+        # 200 rows / target 100 -> two 4-file groups, both rewritten
+        assert names == [
+            "compact-v0001-g0000.parquet",
+            "compact-v0001-g0001.parquet",
+        ]
+        # compacted files keep disjoint cluster ranges (pruning survives)
+        spans = sorted((s.min_value, s.max_value) for s in v2_stats)
+        assert spans == [(0, 99), (100, 199)]
+        assert [os.path.basename(p) for p in
+                prune_with_manifest_version(d, 2, lo=120, hi=130)] == [
+            "compact-v0001-g0001.parquet"
+        ]
+        # both snapshots read byte-identically
+        v2_rows = sorted(
+            (r["k"], r["v"])
+            for s in v2_stats
+            for r in _pq.read_table(s.path).to_pylist()
+        )
+        assert v2_rows == v1_rows
+        # old snapshot still time-travels (its files are still on disk)
+        assert len(read_manifest_version(d, 1)) == 8
+        assert all(
+            os.path.isfile(s.path) for s in read_manifest_version(d, 1)
+        )
+        # a file in NO manifest (concurrent uncommitted batch) is safe
+        _write_file(spark, d, "uncommitted.parquet", 999, 1009)
+        out = expire_snapshots(d, keep_n=1, vacuum=True)
+        assert out["removed_versions"] == [1]
+        assert sorted(out["removed_files"]) == [
+            f"small-{f}.parquet" for f in range(8)
+        ]
+        assert os.path.isfile(os.path.join(d, "uncommitted.parquet"))
+        # post-vacuum: the current snapshot still reads identically
+        assert (
+            sorted(
+                (r["k"], r["v"])
+                for s in read_manifest_version(d)
+                for r in _pq.read_table(s.path).to_pylist()
+            )
+            == v1_rows
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_optimize_table_skips_single_file_groups(spark):
+    """A group already at target size is carried untouched — no rewrite
+    amplification; only fragmented groups pay IO."""
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        optimize_table,
+        read_manifest_version,
+    )
+
+    d = tempfile.mkdtemp(prefix="pes_opt2_")
+    try:
+        _write_file(spark, d, "big.parquet", 0, 100)  # exactly one group
+        _write_file(spark, d, "s1.parquet", 100, 125)
+        _write_file(spark, d, "s2.parquet", 125, 150)
+        commit_snapshot(d, "k")
+        v = optimize_table(spark, d, "k", target_rows=100)
+        names = sorted(os.path.basename(s.path) for s in read_manifest_version(d, v))
+        assert names == ["big.parquet", "compact-v0001-g0001.parquet"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
