@@ -171,14 +171,15 @@ DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 # Hand-picked front of the registry for the ROUND-13 driver check
 # budget: the driver stamps EXACTLY the first 50 registry names.
 # CORRECTNESS_r12 landed 50/50 green, restoring full cumulative
-# coverage (486/486 stamped), so round 13's window is the eight
-# round-13 additions: the four sketch-merge executions (CMS counter
+# coverage (486/486 stamped), so round 13's window is the twelve
+# round-13 additions: the five sketch-merge executions (CMS counter
 # add, KMV union + re-truncate, t-digest cumulative-weight re-bin with
-# served quantiles, portable HLL with exact integer register sums),
-# real BPE (merge-table fit + fold-chain tokenize), the SCD2 dimension
-# build from the Debezium log, and the char-bigram NB language-ID
-# classifier. Anything registered later queues behind via the
-# self-healing module-order rule.
+# served quantiles, portable HLL with exact integer register sums and
+# its register-max union, KMV Jaccard), real BPE (merge-table fit +
+# fold-chain tokenize + packing re-based on real tokens), the SCD2
+# dimension build from the Debezium log and its point-in-time serving,
+# and the char-bigram NB language-ID classifier. Anything registered
+# later queues behind via the self-healing module-order rule.
 PRIORITY = (
     "agg_cms_merge",
     "agg_kmv_union",
@@ -188,6 +189,10 @@ PRIORITY = (
     "text_bpe_tokenize",
     "cdc_scd2_build",
     "text_langid_predict",
+    "agg_hll_union",
+    "agg_kmv_jaccard",
+    "cdc_scd2_asof_lookup",
+    "sample_sequence_packing_bpe",
 )
 
 

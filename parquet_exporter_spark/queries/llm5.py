@@ -1357,3 +1357,106 @@ def text_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+SEQ_BPE_BUDGET = 640  # real-subword budget (~512 ws-tokens x fertility ~1.3)
+
+
+@query(
+    "sample_sequence_packing_bpe",
+    oracle="WITH "
+    + ",\n".join(
+        _bpe_fit_ctes()
+        + [
+            """docw AS MATERIALIZED (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)""",
+            "dws0 AS (SELECT DISTINCT w, regexp_extract_all(w, '[a-z]') AS syms "
+            "FROM docw)",
+        ]
+        + [
+            f"""dws{i} AS (
+        SELECT d.w, {_bpe_fold_sql("d.syms", "m.a", "m.b")} AS syms
+        FROM dws{i - 1} d CROSS JOIN m{i} m)"""
+            for i in range(1, _BPE_MERGES + 1)
+        ]
+        + [
+            f"tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok "
+            f"FROM dws{_BPE_MERGES})",
+            """perdoc AS MATERIALIZED (
+        SELECT dd.doc_id, dd.source,
+               CAST(coalesce(sum(t.n_tok), 0) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, source FROM documents) dd
+        LEFT JOIN docw d USING (doc_id)
+        LEFT JOIN tok t USING (w)
+        GROUP BY dd.doc_id, dd.source)""",
+        ]
+    )
+    + f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum - n_tokens) / {SEQ_BPE_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(cum - n_tokens
+                - floor((cum - n_tokens) / {SEQ_BPE_BUDGET}) * {SEQ_BPE_BUDGET}
+                AS BIGINT) AS seq_offset
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM perdoc)
+    """,
+    doc=(
+        "Sequence packing on REAL BPE token counts — the round-12 "
+        "verdict's 'packing re-based on real tokens': "
+        "sample_sequence_packing's per-source concatenate-and-chunk "
+        "arithmetic, but the budget is spent in actual fitted-merge "
+        "subword tokens (text_bpe_tokenize's exact counts) instead of "
+        "the whitespace proxy, so a packed sequence genuinely holds "
+        "<= budget model tokens. Docs with no alphabetic words pack at "
+        "zero width rather than dropping (left joins). Same scale "
+        "shape as the proxy twin: tokenization is vocabulary-bounded "
+        "fold work + a broadcast join, packing is a per-source-block "
+        "prefix sum — no global single-partition scan."
+    ),
+)
+def sample_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    merges = _bpe_fit_merges(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "w"
+        ),
+    )
+    dw = (
+        docw.select("w")
+        .distinct()
+        .withColumn("syms", F.expr("regexp_extract_all(w, '[a-z]', 0)"))
+    )
+    tok = dw.select(
+        "w",
+        F.size(_bpe_apply_expr(merges, F.col("syms"))).cast("long").alias("n_tok"),
+    )
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(docw, "doc_id", "left")
+        .join(F.broadcast(tok), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("bigint")
+    seq_id = F.floor(start / SEQ_BPE_BUDGET).cast("bigint")
+    return perdoc.withColumn("start", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (F.col("start") - seq_id * SEQ_BPE_BUDGET).cast("bigint").alias(
+            "seq_offset"
+        ),
+    )

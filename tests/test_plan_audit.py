@@ -41,6 +41,24 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "the gathers carry the 1-row register-sum state and 1-row "
         "truth, joined by a 1x1 bnlj for the verdict columns",
     ),
+    "agg_hll_union": (
+        {"bnlj", "single_partition_x3"},
+        "register tables reduce map-side to <= 512 rows per partial; "
+        "the gathers carry the 1-row merged-state sum, the 1-row "
+        "mismatch count, and 1-row truth, verdict-joined by 1x1 bnljs",
+    ),
+    "agg_kmv_jaccard": (
+        {"bnlj", "single_partition_x1"},
+        "the union bottom-k is TakeOrderedAndProject (per-partition "
+        "top-k); the gather carries the 1-row sample stats, bnlj is "
+        "the 1-row stats x 1-row exact-Jaccard verdict join",
+    ),
+    "cdc_scd2_asof_lookup": (
+        {"bnlj"},
+        "the PIT interval join probes x broadcast dimension is "
+        "non-equi by nature (valid_from <= t < valid_to); the "
+        "dimension is version-bounded metadata, never fact-sized",
+    ),
     "text_langid_predict": (
         {"bnlj", "single_partition_x3"},
         "model-state scalars: the 1-row bigram-vocabulary size and the "

@@ -544,3 +544,96 @@ def test_optimize_table_skips_single_file_groups(spark):
         assert names == ["big.parquet", "compact-v0001-g0001.parquet"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 part 2: merge-family completion + build->serve compositions
+
+
+def test_hll_union_registers_identical(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import agg_hll_union
+
+    r = agg_hll_union(spark, sf_dir).collect()[0]
+    assert r.n_register_mismatch == 0 and r.merge_exact
+    assert r.within_bound
+    assert r.n_nonempty + r.v_empty == r.m == 512
+
+
+def test_kmv_jaccard_under_k_is_exact(spark):
+    """A union smaller than k makes the bottom-k sample the WHOLE union,
+    so the Jaccard estimate must be exactly the true Jaccard."""
+    import tempfile as _tf
+
+    from parquet_exporter_spark.queries.aggregates import agg_kmv_jaccard
+
+    d = _tf.mkdtemp(prefix="kmvj_")
+    try:
+        # 60 customers: 0-39 order in half A (even keys), 20-59 in half
+        # B (odd keys) -> |inter|=20, |union|=60, J = 1/3
+        rows = [(2 * i, k) for i, k in enumerate(range(40))] + [
+            (2 * i + 1, k) for i, k in enumerate(range(20, 60))
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        r = agg_kmv_jaccard(spark, d).collect()[0]
+        assert r.n_union_sample == 60
+        assert r.est_jaccard == r.exact_jaccard == round(20 / 60, 6)
+        assert r.abs_error == 0.0 and r.within_bound
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmv_jaccard_verdict_at_sf(spark, sf_dir):
+    from parquet_exporter_spark.queries.aggregates import agg_kmv_jaccard
+
+    r = agg_kmv_jaccard(spark, sf_dir).collect()[0]
+    assert r.within_bound, f"abs_error {r.abs_error} above 0.30"
+    assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_scd2_asof_lookup_matches_replay(spark, sf_dir):
+    """The served (n_live_keys, total_balance) series must equal a
+    Python replay of the log at every probe instant."""
+    import json
+
+    from parquet_exporter_spark.queries.streaming import (
+        CDC_CHANGES,
+        cdc_scd2_asof_lookup,
+    )
+
+    served = {
+        r.probe_ts_ms: (r.n_live_keys, r.total_balance)
+        for r in cdc_scd2_asof_lookup(spark, sf_dir).collect()
+    }
+    log = sorted(
+        (json.loads(line) for line in open(CDC_CHANGES)),
+        key=lambda e: e["ts_ms"],
+    )
+    state: dict[int, float] = {}
+    for e in log:
+        if e["op"] in ("c", "u"):
+            state[e["after"]["id"]] = round(e["after"]["balance"], 2)
+        else:
+            state.pop(e["before"]["id"], None)
+        want = (len(state), round(sum(state.values()), 2))
+        assert served[e["ts_ms"]] == want, (e["ts_ms"], served[e["ts_ms"]], want)
+
+
+def test_packing_bpe_budget_and_coverage(spark, sf_dir):
+    """Every packed sequence holds <= budget real subword tokens (docs
+    longer than the budget may straddle), offsets restart inside the
+    budget, and every document packs exactly once."""
+    from parquet_exporter_spark.queries.llm5 import (
+        SEQ_BPE_BUDGET,
+        sample_sequence_packing_bpe,
+        text_bpe_tokenize,
+    )
+
+    rows = sample_sequence_packing_bpe(spark, sf_dir).collect()
+    docs = {r.doc_id for r in rows}
+    toks = {r.doc_id: r.n_bpe_tokens for r in text_bpe_tokenize(spark, sf_dir).collect()}
+    assert docs >= set(toks)  # every tokenized doc packs
+    for r in rows:
+        assert 0 <= r.seq_offset < SEQ_BPE_BUDGET
+        assert toks.get(r.doc_id, 0) == r.n_tokens
