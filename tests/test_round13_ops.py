@@ -637,3 +637,138 @@ def test_packing_bpe_budget_and_coverage(spark, sf_dir):
     for r in rows:
         assert 0 <= r.seq_offset < SEQ_BPE_BUDGET
         assert toks.get(r.doc_id, 0) == r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# Round-13 part 3: incremental streaming SCD2 maintenance
+
+
+def _scd2_python_replay(log_prefix):
+    """Independent reference: version rows from a change-log prefix."""
+    by_key: dict[int, list] = {}
+    for e in sorted(log_prefix, key=lambda e: e["ts_ms"]):
+        key = (e["after"] or e["before"])["id"]
+        by_key.setdefault(key, []).append(e)
+    rows = set()
+    for key, events in by_key.items():
+        seq = 0
+        for i, e in enumerate(events):
+            nxt = events[i + 1]["ts_ms"] if i + 1 < len(events) else None
+            if e["op"] == "d":
+                continue
+            seq += 1
+            rows.add(
+                (
+                    key,
+                    seq,
+                    e["after"]["name"],
+                    round(e["after"]["balance"], 2),
+                    e["ts_ms"],
+                    nxt,
+                    nxt is None,
+                )
+            )
+    return rows
+
+
+def test_scd2_incremental_equals_full_rebuild(spark, sf_dir):
+    """Apply the CDC log in 3 micro-batches; after EVERY batch the
+    incremental dimension must equal an independent replay of the log
+    prefix, and the final state must equal the registered full-rebuild
+    query's output. Replayed batches are no-ops."""
+    import json
+
+    from parquet_exporter_spark.queries.streaming import (
+        CDC_CHANGES,
+        cdc_scd2_build,
+    )
+    from parquet_exporter_spark.streaming.scd2_ingest import (
+        read_scd2_dim,
+        scd2_apply_batch,
+    )
+
+    log = sorted(
+        (json.loads(line) for line in open(CDC_CHANGES)),
+        key=lambda e: e["ts_ms"],
+    )
+    cuts = [len(log) // 3, 2 * len(log) // 3, len(log)]
+    d = tempfile.mkdtemp(prefix="pes_scd2inc_")
+
+    def _batch_df(events):
+        rows = [
+            (
+                e["ts_ms"],
+                e["op"],
+                (e["after"] or e["before"])["id"],
+                (e["after"] or {}).get("name"),
+                (e["after"] or {}).get("balance"),
+            )
+            for e in events
+        ]
+        return spark.createDataFrame(
+            rows,
+            "ts_ms long, op string, key_id long, name string, balance double",
+        )
+
+    def _dim_rows():
+        return {
+            (
+                r.key_id,
+                r.version_seq,
+                r.name,
+                r.balance,
+                r.valid_from_ms,
+                r.valid_to_ms,
+                r.is_current,
+            )
+            for r in read_scd2_dim(spark, d).collect()
+        }
+
+    try:
+        lo = 0
+        for b, hi in enumerate(cuts):
+            assert scd2_apply_batch(_batch_df(log[lo:hi]), b, d) is True
+            assert _dim_rows() == _scd2_python_replay(log[:hi]), f"batch {b}"
+            lo = hi
+        # replay of an already-committed batch is a no-op
+        final = _dim_rows()
+        assert scd2_apply_batch(_batch_df(log[: cuts[0]]), 0, d) is False
+        assert _dim_rows() == final
+        # final incremental state == the registered full-rebuild query
+        full = {
+            (
+                r.key_id,
+                r.version_seq,
+                r.name,
+                r.balance,
+                r.valid_from_ms,
+                r.valid_to_ms,
+                r.is_current,
+            )
+            for r in cdc_scd2_build(spark, sf_dir).collect()
+        }
+        assert final == full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scd2_incremental_rejects_out_of_order(spark):
+    """A change older than an affected key's open version must raise —
+    silent interleaving would corrupt immutable history."""
+    from parquet_exporter_spark.streaming.scd2_ingest import scd2_apply_batch
+
+    d = tempfile.mkdtemp(prefix="pes_scd2ooo_")
+    try:
+        b0 = spark.createDataFrame(
+            [(1000, "c", 1, "a", 1.0)],
+            "ts_ms long, op string, key_id long, name string, balance double",
+        )
+        assert scd2_apply_batch(b0, 0, d)
+        late = spark.createDataFrame(
+            [(500, "u", 1, "a2", 2.0)],
+            "ts_ms long, op string, key_id long, name string, balance double",
+        )
+        with pytest.raises(ValueError, match="out-of-order"):
+            scd2_apply_batch(late, 1, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
