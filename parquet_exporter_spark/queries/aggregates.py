@@ -2605,3 +2605,401 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est_j - ex_j) <= 0.30).alias("within_bound"),
         )
     )
+
+
+_TDG_PROBES = (0.5, 0.95)
+
+
+@query(
+    "agg_tdigest_grouped",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nh
+        FROM lineitem),
+    keyed AS (
+        SELECT grp, cents, r0, nh,
+               CASE WHEN 2 * r0 < nh THEN 0 ELSE 1 END AS side,
+               CASE WHEN 2 * r0 < nh THEN r0 + 1 ELSE nh - r0 END AS dd
+        FROM ranked),
+    lvled AS (
+        SELECT grp, cents, r0, nh, side, dd,
+               CAST(length(format('{{:b}}', dd)) - 1 AS BIGINT) AS lvl
+        FROM keyed),
+    bucketed AS MATERIALIZED (
+        SELECT grp, cents, r0, nh, side, lvl,
+               ((dd - (CAST(1 AS BIGINT) << CAST(lvl AS INT))) * {_TD_SUB})
+                   // (CAST(1 AS BIGINT) << CAST(lvl AS INT)) AS sub
+        FROM lvled),
+    cent AS MATERIALIZED (
+        SELECT grp, side, lvl, sub,
+               CAST(min(r0) AS BIGINT) AS min_rank,
+               CAST(max(r0) AS BIGINT) AS max_rank,
+               CAST(min(cents) AS BIGINT) AS lo_cents,
+               CAST(max(cents) AS BIGINT) AS hi_cents,
+               CAST(any_value(nh) AS BIGINT) AS nh
+        FROM bucketed GROUP BY grp, side, lvl, sub),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({p!r})" for p in _TDG_PROBES)})
+               AS t(p)),
+    targets AS (
+        SELECT g.grp, g.nh, pr.p,
+               CAST(floor(pr.p * (g.nh - 1)) AS BIGINT) AS t
+        FROM (SELECT grp, any_value(nh) AS nh FROM cent GROUP BY grp) g
+        CROSS JOIN probes pr),
+    hit AS (
+        SELECT t.grp, t.p, t.t,
+               c.min_rank, c.max_rank, c.lo_cents, c.hi_cents
+        FROM targets t JOIN cent c
+          ON c.grp = t.grp AND t.t BETWEEN c.min_rank AND c.max_rank),
+    exact AS (
+        SELECT t.grp, t.p, CAST(any_value(b.cents) AS BIGINT) AS exact_cents
+        FROM targets t JOIN bucketed b ON b.grp = t.grp AND b.r0 = t.t
+        GROUP BY t.grp, t.p)
+    SELECT h.grp, h.p, h.t AS target_rank,
+           CAST(h.max_rank - h.min_rank + 1 AS BIGINT) AS bucket_weight,
+           round((h.lo_cents
+                  + CASE WHEN h.max_rank > h.min_rank
+                         THEN CAST(h.hi_cents - h.lo_cents AS DOUBLE)
+                              * (CAST(h.t - h.min_rank AS DOUBLE)
+                                 / CAST(h.max_rank - h.min_rank AS DOUBLE))
+                         ELSE 0.0 END) / 100.0, 4) AS est_price,
+           round(x.exact_cents / 100.0, 4) AS exact_price,
+           x.exact_cents BETWEEN h.lo_cents AND h.hi_cents
+               AS within_bucket_bounds
+    FROM hit h JOIN exact x ON x.grp = h.grp AND x.p = h.p
+    """,
+    doc=(
+        "GROUPED t-digest — one digest per key (l_returnflag), the "
+        "per-tenant quantile sketch every multi-tenant rollup actually "
+        "maintains: ranking, dyadic tail-refined centroids, and serving "
+        "all PARTITIONED by the group key, so the build is one keyed "
+        "window pass (hash-partitioned shuffle, no global gather of "
+        "data) and the committed state is O(groups * log n) centroid "
+        "rows. Median and p95 are served per group by interpolating "
+        "inside the containing centroid's EXACT rank span, with the "
+        "guarantee emitted as data: exact_price (the true per-group "
+        "rank-t value) and the within_bucket_bounds verdict, true by "
+        "construction exactly as in the global agg_tdigest_quantiles. "
+        "All decision arithmetic exact integers; hash-matches the "
+        "DuckDB replica end to end. At 100 TB this is the shape that "
+        "replaces a per-tenant percentile_approx scan: per-day "
+        "per-tenant digests roll up via the agg_tdigest_merged re-bin "
+        "and serving never re-reads data."
+    ),
+)
+def agg_tdigest_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wg = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_extendedprice",
+    ).select(
+        "grp",
+        "cents",
+        (F.row_number().over(
+            Window.partitionBy("grp").orderBy("l_extendedprice")
+        ) - 1).cast("long").alias("r0"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .cast("long")
+        .alias("nh"),
+    )
+    keyed = ranked.select(
+        "grp",
+        "cents",
+        "r0",
+        "nh",
+        F.when(2 * F.col("r0") < F.col("nh"), 0).otherwise(1).alias("side"),
+        F.when(2 * F.col("r0") < F.col("nh"), F.col("r0") + 1)
+        .otherwise(F.col("nh") - F.col("r0"))
+        .alias("dd"),
+    )
+    lvled = keyed.withColumn(
+        "lvl",
+        (F.length(F.conv(F.col("dd").cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(
+            F.expr(f"((dd - shiftleft(1L, CAST(lvl AS INT))) * {_TD_SUB})")
+            / F.expr("shiftleft(1L, CAST(lvl AS INT))")
+        ).cast("long"),
+    ).persist()
+    try:
+        cent = bucketed.groupBy("grp", "side", "lvl", "sub").agg(
+            F.min("r0").cast("long").alias("min_rank"),
+            F.max("r0").cast("long").alias("max_rank"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.first("nh").cast("long").alias("nh"),
+        )
+        groups = cent.groupBy("grp").agg(F.first("nh").alias("nh"))
+        probes = spark.createDataFrame([(p,) for p in _TDG_PROBES], "p double")
+        targets = groups.crossJoin(F.broadcast(probes)).select(
+            "grp",
+            "p",
+            F.floor(F.col("p") * (F.col("nh") - 1)).cast("long").alias("t"),
+        )
+        hit = targets.join(
+            F.broadcast(cent),
+            ["grp"],
+        ).filter(
+            (F.col("t") >= F.col("min_rank")) & (F.col("t") <= F.col("max_rank"))
+        )
+        exact = (
+            targets.join(
+                bucketed.select("grp", "r0", "cents"),
+                (F.col("r0") == F.col("t")) & (bucketed["grp"] == targets["grp"]),
+            )
+            .select(targets["grp"], "p", F.col("cents").alias("exact_cents"))
+        )
+        est = F.col("lo_cents") + F.when(
+            F.col("max_rank") > F.col("min_rank"),
+            (F.col("hi_cents") - F.col("lo_cents")).cast("double")
+            * (
+                (F.col("t") - F.col("min_rank")).cast("double")
+                / (F.col("max_rank") - F.col("min_rank")).cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        out = hit.join(exact, ["grp", "p"]).select(
+            "grp",
+            "p",
+            F.col("t").alias("target_rank"),
+            (F.col("max_rank") - F.col("min_rank") + 1)
+            .cast("long")
+            .alias("bucket_weight"),
+            F.round(est / 100.0, 4).alias("est_price"),
+            F.round(F.col("exact_cents") / 100.0, 4).alias("exact_price"),
+            F.col("exact_cents")
+            .between(F.col("lo_cents"), F.col("hi_cents"))
+            .alias("within_bucket_bounds"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
+
+
+# CDF probes in cents: two in-range, one near each tail, one below the
+# domain and one above it (the guard rails the bounds logic must survive)
+_TD_CDF_PROBES = (1, 100000, 5000000, 10000000, 20000000)
+
+
+@query(
+    "agg_tdigest_cdf",
+    oracle=f"""
+    WITH {_tdigest_centroids_sql()},
+    cent AS MATERIALIZED (
+        SELECT side, lvl, sub,
+               CAST(min(r0) AS BIGINT) AS min_rank,
+               CAST(max(r0) AS BIGINT) AS max_rank,
+               CAST(min(cents) AS BIGINT) AS lo_cents,
+               CAST(max(cents) AS BIGINT) AS hi_cents,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM bucketed GROUP BY side, lvl, sub),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({v})" for v in _TD_CDF_PROBES)})
+               AS t(v)),
+    agg AS (
+        SELECT p.v, CAST(any_value(c.n) AS BIGINT) AS n,
+               CAST(coalesce(max(CASE WHEN c.hi_cents < p.v
+                                      THEN c.max_rank END) + 1, 0)
+                    AS BIGINT) AS le_lo,
+               CAST(coalesce(min(CASE WHEN c.lo_cents > p.v
+                                      THEN c.min_rank END),
+                             any_value(c.n)) AS BIGINT) AS le_hi,
+               CAST(min(CASE WHEN c.lo_cents <= p.v AND c.hi_cents >= p.v
+                             THEN c.min_rank END) AS BIGINT) AS c_rlo,
+               CAST(max(CASE WHEN c.lo_cents <= p.v AND c.hi_cents >= p.v
+                             THEN c.max_rank END) AS BIGINT) AS c_rhi,
+               CAST(min(CASE WHEN c.lo_cents <= p.v AND c.hi_cents >= p.v
+                             THEN c.lo_cents END) AS BIGINT) AS c_lo,
+               CAST(max(CASE WHEN c.lo_cents <= p.v AND c.hi_cents >= p.v
+                             THEN c.hi_cents END) AS BIGINT) AS c_hi
+        FROM probes p CROSS JOIN cent c
+        GROUP BY p.v),
+    served AS (
+        SELECT v, n, le_lo, le_hi,
+               CASE WHEN c_rlo IS NULL THEN CAST(le_lo AS DOUBLE)
+                    WHEN c_hi > c_lo
+                    THEN c_rlo + (CAST(v - c_lo AS DOUBLE)
+                                  / CAST(c_hi - c_lo AS DOUBLE))
+                                 * CAST(c_rhi + 1 - c_rlo AS DOUBLE)
+                    ELSE CAST(c_rhi + 1 AS DOUBLE) END AS est_le
+        FROM agg),
+    exact AS (
+        SELECT p.v,
+               CAST(sum(CASE WHEN r.cents <= p.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_le
+        FROM probes p CROSS JOIN ranked r GROUP BY p.v)
+    SELECT round(s.v / 100.0, 2) AS probe_price,
+           s.le_lo AS rank_bound_lo, s.le_hi AS rank_bound_hi,
+           round(s.est_le / s.n, 6) AS est_cdf,
+           x.exact_le,
+           round(CAST(x.exact_le AS DOUBLE) / s.n, 6) AS exact_cdf,
+           x.exact_le BETWEEN s.le_lo AND s.le_hi AS within_bounds
+    FROM served s JOIN exact x USING (v)
+    """,
+    doc=(
+        "CDF (inverse-quantile) serving off the t-digest — the other "
+        "half of the sketch's serve API (agg_tdigest_quantiles answers "
+        "rank->value; this answers value->rank): for each probe price, "
+        "centroids wholly below it bound count(<=v) from BELOW "
+        "(prefix weight), centroids wholly above bound it from ABOVE, "
+        "and the estimate interpolates inside the containing buckets' "
+        "exact cents span. Because bucket rank spans TILE [0, n-1] in "
+        "value order, the bracket [le_lo, le_hi] provably contains the "
+        "exact count — emitted as the within_bounds verdict next to "
+        "the true count, hash-checked per run; out-of-domain probes "
+        "(below min, above max) collapse the bracket to the exact 0/n "
+        "answer. Serving is one conditional aggregate over the "
+        "O(log n)-row centroid table per probe; the exact column is "
+        "the verification harness, not the serve path. All decision "
+        "arithmetic exact integers; hash-matches DuckDB end to end."
+    ),
+)
+def agg_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.row_number().over(w) - 1).cast("long").alias("r0"),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    keyed = ranked.select(
+        "cents",
+        "r0",
+        "n",
+        F.when(2 * F.col("r0") < F.col("n"), 0).otherwise(1).alias("side"),
+        F.when(2 * F.col("r0") < F.col("n"), F.col("r0") + 1)
+        .otherwise(F.col("n") - F.col("r0"))
+        .alias("dd"),
+    )
+    lvled = keyed.withColumn(
+        "lvl",
+        (F.length(F.conv(F.col("dd").cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(
+            F.expr(f"((dd - shiftleft(1L, CAST(lvl AS INT))) * {_TD_SUB})")
+            / F.expr("shiftleft(1L, CAST(lvl AS INT))")
+        ).cast("long"),
+    ).persist()
+    try:
+        cent = bucketed.groupBy("side", "lvl", "sub").agg(
+            F.min("r0").cast("long").alias("min_rank"),
+            F.max("r0").cast("long").alias("max_rank"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.first("n").cast("long").alias("n"),
+        )
+        probes = spark.createDataFrame(
+            [(v,) for v in _TD_CDF_PROBES], "v long"
+        )
+        agg = (
+            probes.crossJoin(F.broadcast(cent))
+            .groupBy("v")
+            .agg(
+                F.first("n").cast("long").alias("n"),
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("hi_cents") < F.col("v"), F.col("max_rank")
+                        )
+                    )
+                    + 1,
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("le_lo"),
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("lo_cents") > F.col("v"), F.col("min_rank")
+                        )
+                    ),
+                    F.first("n"),
+                )
+                .cast("long")
+                .alias("le_hi"),
+                F.min(
+                    F.when(
+                        (F.col("lo_cents") <= F.col("v"))
+                        & (F.col("hi_cents") >= F.col("v")),
+                        F.col("min_rank"),
+                    )
+                )
+                .cast("long")
+                .alias("c_rlo"),
+                F.max(
+                    F.when(
+                        (F.col("lo_cents") <= F.col("v"))
+                        & (F.col("hi_cents") >= F.col("v")),
+                        F.col("max_rank"),
+                    )
+                )
+                .cast("long")
+                .alias("c_rhi"),
+                F.min(
+                    F.when(
+                        (F.col("lo_cents") <= F.col("v"))
+                        & (F.col("hi_cents") >= F.col("v")),
+                        F.col("lo_cents"),
+                    )
+                )
+                .cast("long")
+                .alias("c_lo"),
+                F.max(
+                    F.when(
+                        (F.col("lo_cents") <= F.col("v"))
+                        & (F.col("hi_cents") >= F.col("v")),
+                        F.col("hi_cents"),
+                    )
+                )
+                .cast("long")
+                .alias("c_hi"),
+            )
+        )
+        est_le = (
+            F.when(F.col("c_rlo").isNull(), F.col("le_lo").cast("double"))
+            .when(
+                F.col("c_hi") > F.col("c_lo"),
+                F.col("c_rlo")
+                + (
+                    (F.col("v") - F.col("c_lo")).cast("double")
+                    / (F.col("c_hi") - F.col("c_lo")).cast("double")
+                )
+                * (F.col("c_rhi") + 1 - F.col("c_rlo")).cast("double"),
+            )
+            .otherwise((F.col("c_rhi") + 1).cast("double"))
+        )
+        served = agg.select("v", "n", "le_lo", "le_hi", est_le.alias("est_le"))
+        exact = (
+            bucketed.select("cents")
+            .crossJoin(F.broadcast(probes))
+            .groupBy("v")
+            .agg(
+                F.sum(F.when(F.col("cents") <= F.col("v"), 1).otherwise(0))
+                .cast("long")
+                .alias("exact_le")
+            )
+        )
+        out = served.join(exact, "v").select(
+            F.round(F.col("v") / 100.0, 2).alias("probe_price"),
+            F.col("le_lo").alias("rank_bound_lo"),
+            F.col("le_hi").alias("rank_bound_hi"),
+            F.round(F.col("est_le") / F.col("n"), 6).alias("est_cdf"),
+            "exact_le",
+            F.round(F.col("exact_le").cast("double") / F.col("n"), 6).alias(
+                "exact_cdf"
+            ),
+            F.col("exact_le")
+            .between(F.col("le_lo"), F.col("le_hi"))
+            .alias("within_bounds"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()

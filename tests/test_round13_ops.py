@@ -772,3 +772,45 @@ def test_scd2_incremental_rejects_out_of_order(spark):
             scd2_apply_batch(late, 1, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tdigest_grouped_verdicts_and_coverage(spark, sf_dir):
+    """Every (group, probe) pair serves exactly once, the exact value
+    sits inside the serving bucket's cents bounds by construction, and
+    medians differ across groups only as the data does."""
+    from parquet_exporter_spark.queries.aggregates import (
+        _TDG_PROBES,
+        agg_tdigest_grouped,
+    )
+
+    rows = agg_tdigest_grouped(spark, sf_dir).collect()
+    groups = {r.grp for r in rows}
+    assert len(rows) == len(groups) * len(_TDG_PROBES)
+    for r in rows:
+        assert r.within_bucket_bounds, (r.grp, r.p)
+        assert r.est_price > 0 and r.exact_price > 0
+    # p95 >= p50 within every group (interpolation is rank-monotone)
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, {})[r.p] = r.est_price
+    for g, d in by_grp.items():
+        assert d[0.95] >= d[0.5], g
+
+
+def test_tdigest_cdf_brackets_are_sound(spark, sf_dir):
+    """The [le_lo, le_hi] bracket must contain the exact count at every
+    probe (provable from span tiling), estimates must be monotone in the
+    probe price, and the out-of-domain guard probes must collapse to
+    exactly 0 and n."""
+    from parquet_exporter_spark.queries.aggregates import agg_tdigest_cdf
+
+    rows = sorted(
+        agg_tdigest_cdf(spark, sf_dir).collect(), key=lambda r: r.probe_price
+    )
+    assert all(r.within_bounds for r in rows)
+    assert rows[0].exact_cdf == 0.0 and rows[0].est_cdf == 0.0
+    assert rows[-1].exact_cdf == 1.0 and rows[-1].est_cdf == 1.0
+    ests = [r.est_cdf for r in rows]
+    assert ests == sorted(ests)
+    for r in rows:
+        assert r.rank_bound_lo <= r.exact_le <= r.rank_bound_hi
