@@ -1298,3 +1298,82 @@ def scan_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(current_rows).cast("long").alias("n_orders_current"),
         F.lit(n_versions).cast("long").alias("n_versions"),
     )
+
+
+_ZM_UID = (3, 9)
+_ZM_VAL = (20.0, 120.0)
+
+
+def _zonemap_scratch_dir(sf_dir: str) -> str:
+    """Hilbert-clustered events copy + its zonemap, keyed by source data
+    version (the bloom/IVF scratch-index pattern)."""
+    import glob as _glob
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    files = sorted(_glob.glob(src)) or [src]
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in files
+    )
+    tag = _hashlib.sha256(("zonemap:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_zonemap_{tag}")
+
+
+@query(
+    "scan_zonemap_pruned",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE user_id BETWEEN {_ZM_UID[0]} AND {_ZM_UID[1]}
+      AND value BETWEEN {_ZM_VAL[0]} AND {_ZM_VAL[1]}
+    """,
+    doc=(
+        "MULTI-COLUMN zone-map pruning over a Hilbert-clustered layout — "
+        "the Delta OPTIMIZE ZORDER + per-file column stats composition, "
+        "wired from two existing components (sinks/layout.write_hilberted "
+        "clusters BOTH curve dimensions; sinks/zonemap.py commits "
+        "per-(file, column) min/max from the footers): the single-column "
+        "_manifest can prune on one clustering key only, while the "
+        "zonemap prunes this query's CONJUNCTION — user_id range AND "
+        "value range — by intersecting per-column survivors, each "
+        "dimension selective because the space-filling curve gave it "
+        "locality. Superset guarantee as always (statless columns and "
+        "unindexed files are kept; the residual predicate runs via "
+        "read_kept), so correctness is file-skip-invariant and the "
+        "oracle is the plain filtered read of the ORIGINAL table — the "
+        "rewrite is row-preserving. The suite asserts the skip is real "
+        "(both single-predicate prunes and the conjunction drop files). "
+        "At 100 TB this is the difference between a two-predicate "
+        "dashboard query scanning O(matching) files and scanning the "
+        "lake on whichever column you didn't cluster first."
+    ),
+)
+def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.layout import write_hilberted
+    from parquet_exporter_spark.sinks.zonemap import (
+        ZONEMAP_NAME,
+        prune_with_zonemap,
+        write_zonemap,
+    )
+    from parquet_exporter_spark.sources.manifest import read_kept
+
+    import glob as _glob
+
+    scratch = _zonemap_scratch_dir(sf_dir)
+    data_dir = os.path.join(scratch, "events_hilbert")
+    if not os.path.isfile(os.path.join(data_dir, ZONEMAP_NAME)):
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_hilberted(ev, data_dir, ["user_id", "value"], n_files=8)
+        write_zonemap(data_dir, ["user_id", "value"])
+    keep = prune_with_zonemap(
+        data_dir, {"user_id": _ZM_UID, "value": _ZM_VAL}
+    )
+    all_paths = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    df = read_kept(spark, keep, all_paths)
+    return df.filter(
+        F.col("user_id").between(*_ZM_UID) & F.col("value").between(*_ZM_VAL)
+    ).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )

@@ -814,3 +814,79 @@ def test_tdigest_cdf_brackets_are_sound(spark, sf_dir):
     assert ests == sorted(ests)
     for r in rows:
         assert r.rank_bound_lo <= r.exact_le <= r.rank_bound_hi
+
+
+def test_zonemap_conjunction_actually_skips(spark, sf_dir):
+    """The Hilbert layout must make BOTH curve dimensions selective: each
+    single-column predicate prunes files, the conjunction prunes at
+    least as hard as either, and the kept set plus residual filter
+    reproduces the plain filtered read exactly."""
+    import glob as _glob
+
+    from parquet_exporter_spark.queries.extras import (
+        _ZM_UID,
+        _ZM_VAL,
+        _zonemap_scratch_dir,
+        scan_zonemap_pruned,
+    )
+    from parquet_exporter_spark.sinks.zonemap import prune_with_zonemap
+    from parquet_exporter_spark.tables import read_table
+
+    rows = scan_zonemap_pruned(spark, sf_dir).collect()  # builds the scratch
+    dd = os.path.join(_zonemap_scratch_dir(sf_dir), "events_hilbert")
+    nall = len(
+        [
+            p
+            for p in _glob.glob(os.path.join(dd, "*.parquet"))
+            if not os.path.basename(p).startswith("_")
+        ]
+    )
+    keep_uid = prune_with_zonemap(dd, {"user_id": _ZM_UID})
+    keep_val = prune_with_zonemap(dd, {"value": _ZM_VAL})
+    keep_both = prune_with_zonemap(dd, {"user_id": _ZM_UID, "value": _ZM_VAL})
+    assert set(keep_both) == set(keep_uid) & set(keep_val)
+    assert len(keep_both) < nall, "conjunction pruned nothing"
+    # at sf0.001 the user_id domain (0-14) is so narrow the uid range
+    # alone may span every file; the curve still makes SOME dimension
+    # selective, and the conjunction above must always prune
+    assert len(keep_uid) < nall or len(keep_val) < nall
+    # row-level correctness vs the unpruned original table
+    ev = read_table(spark, sf_dir, "events")
+    want = (
+        ev.filter(
+            ev.user_id.between(*_ZM_UID) & ev.value.between(*_ZM_VAL)
+        ).count()
+    )
+    assert len(rows) == want
+
+
+def test_zonemap_statless_and_unindexed_degrade_safely(spark):
+    """Files missing from the zonemap and columns without stats must be
+    KEPT — pruning degrades to scanning, never to wrong answers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_exporter_spark.sinks.zonemap import (
+        prune_with_zonemap,
+        write_zonemap,
+    )
+
+    d = tempfile.mkdtemp(prefix="pes_zm_")
+    try:
+        pq.write_table(
+            pa.table({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}),
+            os.path.join(d, "a.parquet"),
+        )
+        write_zonemap(d, ["k", "v"])
+        # a file written AFTER the zonemap commit: unindexed -> kept
+        pq.write_table(
+            pa.table({"k": [100], "v": [9.9]}), os.path.join(d, "b.parquet")
+        )
+        keep = prune_with_zonemap(d, {"k": (50, 200)})
+        names = sorted(os.path.basename(p) for p in keep)
+        assert names == ["b.parquet"]  # a pruned by stats, b kept blind
+        # unknown predicate column: cannot prune on it -> everything kept
+        keep2 = prune_with_zonemap(d, {"missing_col": (0, 1)})
+        assert len(keep2) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
