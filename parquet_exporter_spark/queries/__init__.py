@@ -171,7 +171,7 @@ DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 # Hand-picked front of the registry for the ROUND-13 driver check
 # budget: the driver stamps EXACTLY the first 50 registry names.
 # CORRECTNESS_r12 landed 50/50 green, restoring full cumulative
-# coverage (486/486 stamped), so round 13's window is the fifteen
+# coverage (486/486 stamped), so round 13's window is the sixteen
 # round-13 additions: the five sketch-merge executions (CMS counter
 # add, KMV union + re-truncate, t-digest cumulative-weight re-bin with
 # served quantiles, portable HLL with exact integer register sums and
@@ -196,6 +196,7 @@ PRIORITY = (
     "agg_tdigest_grouped",
     "agg_tdigest_cdf",
     "scan_zonemap_pruned",
+    "agg_hdr_histogram",
 )
 
 

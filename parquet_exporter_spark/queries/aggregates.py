@@ -3003,3 +3003,173 @@ def agg_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         bucketed.unpersist()
+
+
+_HDR_SUB = 8  # linear subbuckets per octave: relative width <= 1/8
+_HDR_PROBES = (0.5, 0.99)
+
+
+@query(
+    "agg_hdr_histogram",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM lineitem),
+    lvled AS (
+        SELECT cents, r0, n,
+               CAST(length(format('{{:b}}', cents)) AS BIGINT) AS lvl
+        FROM ranked),
+    bucketed AS MATERIALIZED (
+        SELECT cents, r0, n, lvl,
+               ((cents - (CAST(1 AS BIGINT) << CAST(lvl - 1 AS INT)))
+                * {_HDR_SUB})
+                   // (CAST(1 AS BIGINT) << CAST(lvl - 1 AS INT)) AS sub
+        FROM lvled),
+    hist AS MATERIALIZED (
+        SELECT lvl, sub,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(min(cents) AS BIGINT) AS lo,
+               CAST(max(cents) AS BIGINT) AS hi,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM bucketed GROUP BY lvl, sub),
+    cum AS (
+        SELECT *, CAST(coalesce(sum(c) OVER (
+                   ORDER BY lvl, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cw
+        FROM hist),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({p!r})" for p in _HDR_PROBES)})
+               AS t(p)),
+    targets AS (
+        SELECT p, CAST(floor(p * (any_value(c.n) - 1)) AS BIGINT) AS t
+        FROM probes CROSS JOIN cum c GROUP BY p),
+    hit AS (
+        SELECT t.p, t.t, c.c, c.lo, c.hi, c.cw
+        FROM targets t JOIN cum c
+          ON t.t >= c.cw AND t.t < c.cw + c.c),
+    exact AS (
+        SELECT t.p, CAST(any_value(r.cents) AS BIGINT) AS exact_cents
+        FROM targets t JOIN ranked r ON r.r0 = t.t GROUP BY t.p)
+    SELECT h.p, h.t AS target_rank, h.c AS bucket_count,
+           round(h.lo / 100.0, 4) AS bucket_lo,
+           round(h.hi / 100.0, 4) AS bucket_hi,
+           round((h.lo + CASE WHEN h.c > 1
+                         THEN CAST(h.hi - h.lo AS DOUBLE)
+                              * (CAST(h.t - h.cw AS DOUBLE)
+                                 / CAST(h.c - 1 AS DOUBLE))
+                         ELSE 0.0 END) / 100.0, 4) AS est_price,
+           round(x.exact_cents / 100.0, 4) AS exact_price,
+           round(CAST(h.hi - h.lo AS DOUBLE) / h.lo, 6) AS rel_bucket_width,
+           x.exact_cents BETWEEN h.lo AND h.hi AS within_bucket,
+           CAST(h.hi - h.lo AS DOUBLE) / h.lo
+               <= 1.0 / {_HDR_SUB} AS width_bound_ok
+    FROM hit h JOIN exact x USING (p)
+    """,
+    doc=(
+        "HdrHistogram-style quantile sketch — bounded RELATIVE value "
+        "error with zero domain tuning, the industry standard for "
+        "latency percentiles (vs the fixed-grid sketch's absolute "
+        "2-bin bound, which needs [lo, width] chosen in advance, and "
+        "the t-digest's rank-space bound): each value lands in (octave "
+        f"= bit length, one of {_HDR_SUB} linear subbuckets), so a "
+        "bucket's value span is structurally <= lo/8 — a 12.5% "
+        "relative-width ceiling at ANY magnitude, emitted per serve as "
+        "width_bound_ok next to the measured rel_bucket_width and the "
+        "within_bucket verdict (exact is inside the serving bucket's "
+        "member bounds by construction). Bucketing is EXACT INTEGER "
+        "arithmetic only — bit length via base-2 rendering, octave "
+        "base via shift, subbucket via integer division, NO libm in "
+        "any decision (a log-gamma DDSketch bucket index would flip "
+        "on cross-engine ln ulps; the power-of-two octave cannot). "
+        "Build is ONE map-side-combinable aggregate; the sketch is "
+        "O(octaves * 8) rows and merges by counter ADDITION exactly "
+        "like agg_cms_merge. Serving interpolates inside the "
+        "cumulative-count hit bucket; the global ranking here is the "
+        "verification harness (exact rank-t values), not the serve "
+        "path. Hash-matches DuckDB end to end."
+    ),
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.row_number().over(w) - 1).cast("long").alias("r0"),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    lvled = ranked.withColumn(
+        "lvl", F.length(F.conv(F.col("cents").cast("string"), 10, 2)).cast("long")
+    )
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(
+            F.expr(
+                f"((cents - shiftleft(1L, CAST(lvl - 1 AS INT))) * {_HDR_SUB})"
+            )
+            / F.expr("shiftleft(1L, CAST(lvl - 1 AS INT))")
+        ).cast("long"),
+    ).persist()
+    try:
+        hist = bucketed.groupBy("lvl", "sub").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("cents").cast("long").alias("lo"),
+            F.max("cents").cast("long").alias("hi"),
+            F.first("n").cast("long").alias("n"),
+        )
+        wo = Window.orderBy("lvl", "sub")
+        cum = hist.withColumn(
+            "cw",
+            F.coalesce(
+                F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        probes = spark.createDataFrame([(p,) for p in _HDR_PROBES], "p double")
+        targets = (
+            probes.crossJoin(F.broadcast(cum.select("n").limit(1)))
+            .select(
+                "p",
+                F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t"),
+            )
+        )
+        hit = targets.join(
+            F.broadcast(cum),
+            (F.col("t") >= F.col("cw")) & (F.col("t") < F.col("cw") + F.col("c")),
+        )
+        exact = (
+            targets.withColumnRenamed("t", "r0")
+            .join(bucketed.select("r0", "cents"), "r0")
+            .select("p", F.col("cents").alias("exact_cents"))
+        )
+        est = F.col("lo") + F.when(
+            F.col("c") > 1,
+            (F.col("hi") - F.col("lo")).cast("double")
+            * (
+                (F.col("t") - F.col("cw")).cast("double")
+                / (F.col("c") - 1).cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        out = hit.join(exact, "p").select(
+            "p",
+            F.col("t").alias("target_rank"),
+            F.col("c").alias("bucket_count"),
+            F.round(F.col("lo") / 100.0, 4).alias("bucket_lo"),
+            F.round(F.col("hi") / 100.0, 4).alias("bucket_hi"),
+            F.round(est / 100.0, 4).alias("est_price"),
+            F.round(F.col("exact_cents") / 100.0, 4).alias("exact_price"),
+            F.round(
+                (F.col("hi") - F.col("lo")).cast("double") / F.col("lo"), 6
+            ).alias("rel_bucket_width"),
+            F.col("exact_cents")
+            .between(F.col("lo"), F.col("hi"))
+            .alias("within_bucket"),
+            (
+                (F.col("hi") - F.col("lo")).cast("double") / F.col("lo")
+                <= 1.0 / _HDR_SUB
+            ).alias("width_bound_ok"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()

@@ -890,3 +890,18 @@ def test_zonemap_statless_and_unindexed_degrade_safely(spark):
         assert len(keep2) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hdr_histogram_relative_bound(spark, sf_dir):
+    """The octave/subbucket structure caps relative bucket width at 1/8
+    regardless of magnitude; serving verdicts must hold and the actual
+    relative error must sit inside the structural ceiling."""
+    from parquet_exporter_spark.queries.aggregates import agg_hdr_histogram
+
+    rows = agg_hdr_histogram(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.within_bucket and r.width_bound_ok, r.p
+        assert r.rel_bucket_width <= 0.125
+        assert abs(r.est_price - r.exact_price) / r.exact_price <= 0.125
+        assert r.bucket_lo <= r.est_price <= r.bucket_hi + 1e-9
