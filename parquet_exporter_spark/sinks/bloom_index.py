@@ -68,11 +68,29 @@ def render_probe_literal(spark, value, dtype: str, tz: str | None = None) -> str
     index built under UTC probed from an America/New_York session
     would hash a different string for the same instant — a silent
     false NEGATIVE. The probe therefore renders under the build zone
-    (set-and-restore around the 1-row plan; naive datetimes are
-    likewise interpreted in the build zone — pass tz-aware datetimes
-    to pin an exact instant). TZ-insensitive types render identically
-    under any zone, so the override is a no-op for them."""
+    (set-and-restore around the 1-row plan). A NAIVE datetime probe is
+    first made tz-aware IN THE BUILD ZONE via zoneinfo before it enters
+    createDataFrame — PySpark's non-Arrow conversion would otherwise
+    bind the naive value through the driver OS timezone (time.mktime),
+    not the session zone, so a probe from a host whose OS TZ differs
+    from the build zone would silently bind the wrong instant (the
+    round-13 ADVICE finding). timestamp_ntz stays naive (it has no
+    instant to pin). TZ-insensitive types render identically under any
+    zone, so the override is a no-op for them."""
+    import datetime as _dt
+
     from pyspark.sql import functions as F
+
+    if (
+        isinstance(value, _dt.datetime)
+        and value.tzinfo is None
+        and tz is not None
+        and dtype.strip().lower().startswith("timestamp")
+        and "ntz" not in dtype.lower()
+    ):
+        from zoneinfo import ZoneInfo
+
+        value = value.replace(tzinfo=ZoneInfo(tz))
 
     tz_key = "spark.sql.session.timeZone"
     old = spark.conf.get(tz_key) if tz is not None else None

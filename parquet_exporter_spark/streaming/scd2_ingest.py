@@ -13,16 +13,26 @@ warehouse actually runs between full rebuilds. Per batch:
   re-derives validity — the first new change closes the old open
   version, tombstones close without emitting, and the last surviving
   change stays open. Unaffected keys are carried through untouched.
-- The updated dimension is published atomically (temp dir + rename),
-  and a per-batch marker makes replays no-ops — the
-  streaming_snapshot_commit exactly-once pattern: the rewrite is a
-  deterministic function of (previous dim, batch), so a crash between
-  publish and marker heals by redoing identical work.
+- The updated dimension is published as a new immutable GENERATION:
+  data files land under batch-scoped names, then a per-batch marker
+  commits them. Readers (``read_scd2_dim``) resolve the current
+  generation FROM THE NEWEST COMMITTED MARKER — never by globbing all
+  dim files — so an uncommitted generation from a crashed attempt is
+  invisible, a replay recomputes from the same committed input and
+  overwrites the orphan, and superseded generations are deleted only
+  AFTER the new marker is durable (a crash before cleanup leaves
+  stale-but-ignored files that the next successful batch removes).
+  This is what makes the exactly-once claim actually hold: the input
+  to a replayed batch is immutable until its marker lands.
 
 INVARIANT (asserted): batches must arrive in event-time order per key —
-every new change ts must be >= the affected key's open-version
-valid_from. Out-of-order CDC needs the full rebuild (or bitemporal
-modeling), not silent interleaving.
+every new change ts must be STRICTLY GREATER than the affected key's
+open-version valid_from. A change at exactly the open version's
+valid_from would tie with the reopened pseudo-change in the per-key
+window (lead() between the two is nondeterministic — a zero-width
+version or a dropped update depending on partition order), so ties are
+rejected as out-of-order rather than silently interleaved; the batch
+rebuild's contract likewise assumes unique ts per key.
 
 Equality contract, pinned in tests/test_round13_ops.py: after applying
 the log's batches in order, the incremental dimension equals
@@ -50,11 +60,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _committed_generation(dim_dir: str) -> int | None:
+    """Newest committed batch id, or None before the first commit."""
+    best = None
+    for p in glob.glob(os.path.join(dim_dir, "_batch-*.committed")):
+        stem = os.path.basename(p)[len("_batch-") : -len(".committed")]
+        try:
+            b = int(stem)
+        except ValueError:
+            continue
+        if best is None or b > best:
+            best = b
+    return best
+
+
 def read_scd2_dim(spark, dim_dir: str) -> DataFrame | None:
-    """The current dimension, or None before the first batch."""
-    if not glob.glob(os.path.join(dim_dir, "*.parquet")):
+    """The current dimension, or None before the first committed batch.
+
+    Resolves the file set from the newest committed marker — an
+    uncommitted generation left by a crashed ``scd2_apply_batch`` is
+    never read (its replay will overwrite it), and stale generations
+    awaiting post-marker cleanup are ignored."""
+    gen = _committed_generation(dim_dir)
+    if gen is None:
         return None
-    return spark.read.parquet(dim_dir)
+    files = sorted(glob.glob(os.path.join(dim_dir, f"dim-{gen:08d}-*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"scd2 dim at {dim_dir}: marker for batch {gen} exists but its "
+            "generation files are missing — the directory was modified "
+            "outside the publish protocol"
+        )
+    return spark.read.parquet(*files)
 
 
 def scd2_apply_batch(batch_df: DataFrame, batch_id: int, dim_dir: str) -> bool:
@@ -88,19 +125,22 @@ def scd2_apply_batch(batch_df: DataFrame, batch_id: int, dim_dir: str) -> bool:
         untouched = dim.join(F.broadcast(keys), "key_id", "anti").select(cols)
         closed = affected.filter(F.col("valid_to_ms").isNotNull()).select(cols)
         open_vers = affected.filter(F.col("valid_to_ms").isNull())
-        # event-time-order invariant: no new change may predate an
-        # affected key's open version
+        # event-time-order invariant: every new change must be STRICTLY
+        # newer than the affected key's open version — a tie at
+        # valid_from would make lead() ordering against the reopened
+        # pseudo-change nondeterministic (zero-width version or dropped
+        # update), so it is rejected, not interleaved
         viol = (
             changes.join(
                 open_vers.select("key_id", "valid_from_ms"), "key_id"
             )
-            .filter(F.col("ts_ms") < F.col("valid_from_ms"))
+            .filter(F.col("ts_ms") <= F.col("valid_from_ms"))
             .count()
         )
         if viol:
             raise ValueError(
-                f"batch {batch_id}: {viol} change(s) predate an open "
-                "version — out-of-order CDC needs a full rebuild"
+                f"batch {batch_id}: {viol} change(s) at or before an open "
+                "version's valid_from — out-of-order CDC needs a full rebuild"
             )
         reopened = open_vers.select(
             F.col("valid_from_ms").alias("ts_ms"),
@@ -138,24 +178,34 @@ def scd2_apply_batch(batch_df: DataFrame, batch_id: int, dim_dir: str) -> bool:
     ).withColumn("version_seq", F.row_number().over(wseq).cast("long"))
     staging = os.path.join(dim_dir, f"_staging_batch_{batch_id}")
     out.coalesce(1).write.mode("overwrite").parquet(staging)
-    # atomic publish: move data files in, then flip the marker
+    # publish protocol (exactly-once under crash-at-any-point):
+    #   1. clear any leftover files of THIS generation (crashed attempt)
+    #   2. move the staged files in under batch-scoped names — readers
+    #      resolve via the newest committed marker, so these are
+    #      invisible until step 3
+    #   3. durably commit the marker (tmp + fsync + rename)
+    #   4. only then delete superseded generations — a crash anywhere
+    #      before 3 leaves the previous generation intact as the replay
+    #      input; a crash between 3 and 4 leaves stale-but-ignored
+    #      files that the next successful batch removes
+    gen_prefix = f"dim-{batch_id:08d}-"
+    for p in glob.glob(os.path.join(dim_dir, gen_prefix + "*.parquet")):
+        os.unlink(p)
     final_files = []
     for i, part in enumerate(
         sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
     ):
-        dest = os.path.join(dim_dir, f"dim-{batch_id:08d}-{i:04d}.parquet")
+        dest = os.path.join(dim_dir, f"{gen_prefix}{i:04d}.parquet")
         os.replace(part, dest)
         final_files.append(dest)
     shutil.rmtree(staging, ignore_errors=True)
-    # previous batches' dim files are superseded: remove AFTER the new
-    # generation landed (readers between the two sees mixed files only
-    # if they glob mid-publish — the snapshot-manifest sink is the
-    # consistent-read upgrade, kept out of this module's scope)
-    for p in glob.glob(os.path.join(dim_dir, "dim-*.parquet")):
-        if p not in final_files:
-            os.unlink(p)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, marker)
+    for p in glob.glob(os.path.join(dim_dir, "dim-*.parquet")):
+        if p not in final_files:
+            os.unlink(p)
     return True

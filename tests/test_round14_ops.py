@@ -1,0 +1,210 @@
+"""Round-14 closures for the round-13 ADVICE findings plus the
+round-14 verdict tasks. ADVICE closures covered here:
+
+- scd2_ingest exactly-once: the previous generation must stay immutable
+  until the new batch's marker is durable — a crash before the marker
+  leaves the committed state untouched and a replay recomputes
+  identical output; stale generations are cleaned only after commit.
+- scd2_ingest tie ordering: a new change at exactly the open version's
+  valid_from is rejected (strict ts > valid_from invariant) instead of
+  nondeterministically interleaving with the reopened pseudo-change.
+- gen_fixtures.py module layout: the __main__ block runs every
+  generator (no forward reference to a later def).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+import parquet_exporter_spark.streaming.scd2_ingest as scd2
+from parquet_exporter_spark.streaming.scd2_ingest import (
+    read_scd2_dim,
+    scd2_apply_batch,
+)
+
+SCHEMA = "ts_ms long, op string, key_id long, name string, balance double"
+
+
+def _dim_rows(spark, d):
+    df = read_scd2_dim(spark, d)
+    return (
+        set()
+        if df is None
+        else {
+            (
+                r.key_id,
+                r.version_seq,
+                r.name,
+                r.balance,
+                r.valid_from_ms,
+                r.valid_to_ms,
+                r.is_current,
+            )
+            for r in df.collect()
+        }
+    )
+
+
+def test_scd2_crash_before_marker_preserves_previous_generation(
+    spark, monkeypatch
+):
+    """Inject a crash at the marker commit of batch 1: the committed
+    state must still be batch 0's (the new generation is invisible
+    without its marker), and the replay must heal to exactly the state
+    a crash-free run produces."""
+    d = tempfile.mkdtemp(prefix="pes_scd2crash_")
+    try:
+        b0 = spark.createDataFrame([(1000, "c", 1, "a", 1.0)], SCHEMA)
+        assert scd2_apply_batch(b0, 0, d)
+        state0 = _dim_rows(spark, d)
+        assert state0 == {(1, 1, "a", 1.0, 1000, None, True)}
+
+        real_replace = os.replace
+        injected = []
+
+        def crash_on_marker(src, dst):
+            if dst.endswith(".committed") and not injected:
+                injected.append(dst)
+                raise OSError("injected crash before marker commit")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(scd2.os, "replace", crash_on_marker)
+        b1 = spark.createDataFrame([(2000, "u", 1, "a2", 2.0)], SCHEMA)
+        with pytest.raises(OSError, match="injected crash"):
+            scd2_apply_batch(b1, 1, d)
+        assert injected, "crash injection never fired"
+        # the orphan generation landed on disk but is NOT readable
+        orphans = [
+            f for f in os.listdir(d) if f.startswith("dim-00000001-")
+        ]
+        assert orphans, "batch-1 files should exist uncommitted"
+        assert _dim_rows(spark, d) == state0
+        # replay (injection disarmed by the `not injected` guard)
+        # recomputes from the immutable batch-0 input and commits
+        assert scd2_apply_batch(b1, 1, d) is True
+        assert _dim_rows(spark, d) == {
+            (1, 1, "a", 1.0, 1000, 2000, False),
+            (1, 2, "a2", 2.0, 2000, None, True),
+        }
+        # superseded generation cleaned up after the durable marker
+        assert not [f for f in os.listdir(d) if f.startswith("dim-00000000-")]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scd2_reader_ignores_stale_generations(spark):
+    """Files from a superseded generation that survived a crash between
+    marker and cleanup must be invisible to read_scd2_dim, and the next
+    successful batch removes them."""
+    d = tempfile.mkdtemp(prefix="pes_scd2stale_")
+    try:
+        b0 = spark.createDataFrame([(1000, "c", 7, "x", 5.0)], SCHEMA)
+        b1 = spark.createDataFrame([(2000, "u", 7, "y", 6.0)], SCHEMA)
+        assert scd2_apply_batch(b0, 0, d)
+        assert scd2_apply_batch(b1, 1, d)
+        state1 = _dim_rows(spark, d)
+        # plant a stale generation-0 file (crash-between-3-and-4 relic)
+        gen1 = sorted(
+            f for f in os.listdir(d) if f.startswith("dim-00000001-")
+        )[0]
+        shutil.copyfile(
+            os.path.join(d, gen1), os.path.join(d, "dim-00000000-0000.parquet")
+        )
+        assert _dim_rows(spark, d) == state1  # marker resolves gen 1 only
+        b2 = spark.createDataFrame([(3000, "u", 7, "z", 7.0)], SCHEMA)
+        assert scd2_apply_batch(b2, 2, d)
+        assert not [
+            f
+            for f in os.listdir(d)
+            if f.startswith("dim-") and not f.startswith("dim-00000002-")
+        ]
+        assert (7, 3, "z", 7.0, 3000, None, True) in _dim_rows(spark, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scd2_rejects_tie_at_open_valid_from(spark):
+    """A change at EXACTLY the open version's valid_from ties with the
+    reopened pseudo-change in the per-key window — rejected under the
+    strict invariant rather than resolved by partition order."""
+    d = tempfile.mkdtemp(prefix="pes_scd2tie_")
+    try:
+        b0 = spark.createDataFrame([(1000, "c", 1, "a", 1.0)], SCHEMA)
+        assert scd2_apply_batch(b0, 0, d)
+        tie = spark.createDataFrame([(1000, "u", 1, "a2", 2.0)], SCHEMA)
+        with pytest.raises(ValueError, match="out-of-order"):
+            scd2_apply_batch(tie, 1, d)
+        # strictly newer is fine
+        ok = spark.createDataFrame([(1001, "u", 1, "a2", 2.0)], SCHEMA)
+        assert scd2_apply_batch(ok, 2, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gen_fixtures_main_block_is_last():
+    """Every generator invoked by the __main__ block is defined before
+    it — `python tools/gen_fixtures.py` must not NameError partway
+    through the fixture list (round-13 ADVICE: write_langid_docs was
+    defined after the block that called it)."""
+    import ast
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "gen_fixtures.py")
+    tree = ast.parse(open(path).read())
+    defs = {}
+    main_idx = None
+    for i, node in enumerate(tree.body):
+        if isinstance(node, ast.FunctionDef):
+            defs[node.name] = i
+        if (
+            isinstance(node, ast.If)
+            and isinstance(node.test, ast.Compare)
+            and getattr(node.test.left, "id", None) == "__name__"
+        ):
+            main_idx = i
+            called = [
+                s.value.func.id
+                for s in node.body
+                if isinstance(s, ast.Expr)
+                and isinstance(s.value, ast.Call)
+                and isinstance(s.value.func, ast.Name)
+            ]
+    assert main_idx is not None and called
+    missing = [c for c in called if c in defs and defs[c] > main_idx]
+    assert not missing, f"defined after __main__ block: {missing}"
+
+
+def test_bloom_naive_timestamp_probe_binds_in_build_zone(spark):
+    """A NAIVE datetime probe must bind its instant in the recorded
+    BUILD zone, not the driver OS timezone (round-13 ADVICE: the
+    non-Arrow createDataFrame path converts naive datetimes via
+    time.mktime under the OS zone). With the OS zone forced to
+    America/Chicago (UTC-5 in March), a naive 12:30 probe against a
+    UTC-built index must still render '12:30:00', not '17:30:00'."""
+    import datetime
+    import time
+
+    from parquet_exporter_spark.sinks.bloom_index import render_probe_literal
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Chicago"
+    time.tzset()
+    try:
+        naive = datetime.datetime(2024, 3, 15, 12, 30, 0)
+        r = render_probe_literal(spark, naive, "timestamp", tz="UTC")
+        assert r == "2024-03-15 12:30:00"
+        # timestamp_ntz has no instant: naive stays naive under any zone
+        r_ntz = render_probe_literal(spark, naive, "timestamp_ntz", tz="UTC")
+        assert r_ntz == "2024-03-15 12:30:00"
+        # an aware probe is untouched: same instant, rendered in build zone
+        aware = naive.replace(tzinfo=datetime.timezone.utc)
+        assert render_probe_literal(spark, aware, "timestamp", tz="UTC") == r
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

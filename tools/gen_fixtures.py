@@ -419,20 +419,6 @@ def write_malformed_csv() -> None:
         csv.writer(f).writerows(out)
 
 
-if __name__ == "__main__":
-    main()
-    write_flat_forms()
-    write_xml_form()
-    write_malformed_csv()
-    write_partitioned_events()
-    write_ranged_events()
-    write_evolved_events()
-    write_highcard_sessions()
-    write_rowgrouped_events()
-    write_cdc_changes()
-    write_langid_docs()
-
-
 def write_langid_docs() -> None:
     """Language-labeled documents with GENUINELY distinct character
     distributions (the synthetic documents table's lang label is
@@ -481,3 +467,17 @@ def write_langid_docs() -> None:
     )
     pq.write_table(tbl, os.path.join(OUT_DIR, "langid_docs.parquet"))
     print(f"wrote {len(rows)} langid docs")
+
+
+if __name__ == "__main__":
+    main()
+    write_flat_forms()
+    write_xml_form()
+    write_malformed_csv()
+    write_partitioned_events()
+    write_ranged_events()
+    write_evolved_events()
+    write_highcard_sessions()
+    write_rowgrouped_events()
+    write_cdc_changes()
+    write_langid_docs()
