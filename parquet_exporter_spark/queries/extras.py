@@ -1353,7 +1353,7 @@ def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_exporter_spark.sinks.zonemap import (
         ZONEMAP_NAME,
         prune_with_zonemap,
-        write_zonemap,
+        write_zonemap_distributed,
     )
     from parquet_exporter_spark.sources.manifest import read_kept
 
@@ -1366,7 +1366,10 @@ def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", "value"
         )
         write_hilberted(ev, data_dir, ["user_id", "value"], n_files=8)
-        write_zonemap(data_dir, ["user_id", "value"])
+        # footer harvest in executor tasks (round 14) — the build path
+        # was the last O(files) driver-sequential walk; the suite pins
+        # distributed == driver-walk row equality
+        write_zonemap_distributed(spark, data_dir, ["user_id", "value"])
     keep = prune_with_zonemap(
         data_dir, {"user_id": _ZM_UID, "value": _ZM_VAL}
     )
@@ -1376,4 +1379,116 @@ def scan_zonemap_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").between(*_ZM_UID) & F.col("value").between(*_ZM_VAL)
     ).select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+def _zonemap_dist_scratch_dir() -> str:
+    """Versioned scratch dir for the ranged-events fixture's distributed
+    zonemap (the fixture directory is committed read-only; production
+    co-locates the zonemap with the data). Same mtime+size freshness key
+    as the bloom/IVF scratch indexes."""
+    import glob as _glob
+    import tempfile
+
+    src_files = sorted(_glob.glob(os.path.join(RANGED_EVENTS, "*.parquet")))
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in src_files
+    ) or RANGED_EVENTS
+    tag = _hashlib.sha256(("zmdist:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_zmdist_{tag}")
+
+
+@query(
+    "scan_zonemap_distributed",
+    oracle=f"""
+    WITH pf AS MATERIALIZED (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               CAST(count(*) AS BIGINT) AS num_rows,
+               CAST(min(user_id) AS DOUBLE) AS uid_lo,
+               CAST(max(user_id) AS DOUBLE) AS uid_hi,
+               min(value) AS val_lo, max(value) AS val_hi,
+               min(event_type) AS et_lo, max(event_type) AS et_hi
+        FROM read_parquet('{RANGED_EVENTS}/*.parquet', filename = 1)
+        GROUP BY 1)
+    SELECT file_name, 'user_id' AS col_name, num_rows,
+           round(uid_lo, 6) AS lo_num, round(uid_hi, 6) AS hi_num,
+           CAST(NULL AS VARCHAR) AS lo_str, CAST(NULL AS VARCHAR) AS hi_str
+    FROM pf
+    UNION ALL
+    SELECT file_name, 'value', num_rows,
+           round(val_lo, 6), round(val_hi, 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM pf
+    UNION ALL
+    SELECT file_name, 'event_type', num_rows,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), et_lo, et_hi
+    FROM pf
+    """,
+    doc=(
+        "DISTRIBUTED multi-column zonemap BUILD (round-14 verdict item "
+        "1): the per-(file, column) min/max harvest runs in executor "
+        "tasks (sinks/zonemap.write_zonemap_distributed — paths become "
+        "a DataFrame, mapInPandas opens parquet FOOTERS Arrow-batched, "
+        "only the metadata rows return), replacing the last O(files) "
+        "driver-sequential walk with ceil(files/parallelism) concurrent "
+        "round-trips; the suite separately pins byte-identical output "
+        "vs the driver walk. The oracle is genuinely independent — the "
+        "scan_footer_stats_distributed recipe widened to the "
+        "multi-column LONG form: DuckDB SCANS THE DATA and aggregates "
+        "true per-file min/max/count for a numeric, a double, and a "
+        "string column, so a hash match proves the footer-statistics "
+        "route returns exactly what a full scan would — the property "
+        "every zonemap prune relies on. At 100 TB this is the manifest "
+        "bootstrap for directories nobody manifested: the build is one "
+        "metadata-parallel pass, and the committed zonemap is what "
+        "turns a two-predicate dashboard query from scanning the lake "
+        "into scanning O(matching) files."
+    ),
+)
+def scan_zonemap_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.sinks.zonemap import (
+        ZONEMAP_NAME,
+        write_zonemap_distributed,
+    )
+
+    scratch = _zonemap_dist_scratch_dir()
+    man = os.path.join(scratch, ZONEMAP_NAME)
+    if not os.path.isfile(man):
+        os.makedirs(scratch, exist_ok=True)
+        write_zonemap_distributed(
+            spark,
+            RANGED_EVENTS,
+            ["user_id", "value", "event_type"],
+            manifest_dir=scratch,
+        )
+    # the committed zonemap is metadata-sized (files x columns rows) and
+    # underscore-prefixed (Spark's reader skips _ files), so it lifts to
+    # a DataFrame via pyarrow — the same way the pruners consume it
+    import pyarrow.parquet as _pq
+
+    rows = [
+        (
+            r["file_name"],
+            r["column"],
+            r["num_rows"],
+            r["lo_num"],
+            r["hi_num"],
+            r["lo_str"],
+            r["hi_str"],
+        )
+        for r in _pq.read_table(man).to_pylist()
+    ]
+    zm = spark.createDataFrame(
+        rows,
+        "file_name string, col_name string, num_rows long, "
+        "lo_num double, hi_num double, lo_str string, hi_str string",
+    )
+    return zm.select(
+        "file_name",
+        "col_name",
+        "num_rows",
+        F.round("lo_num", 6).alias("lo_num"),
+        F.round("hi_num", 6).alias("hi_num"),
+        "lo_str",
+        "hi_str",
     )

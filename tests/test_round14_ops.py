@@ -208,3 +208,54 @@ def test_bloom_naive_timestamp_probe_binds_in_build_zone(spark):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_zonemap_distributed_equals_driver_walk(spark):
+    """write_zonemap_distributed must commit the BYTE-identical row set
+    the sequential driver walk commits — same folding, same NULL bounds
+    for statless columns, same (file, column) order — on a layout
+    mixing numeric, string, and stats-disabled files; and it must
+    re-raise the driver walk's KeyError on a missing column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_exporter_spark.sinks.zonemap import (
+        ZONEMAP_NAME,
+        write_zonemap,
+        write_zonemap_distributed,
+    )
+
+    d = tempfile.mkdtemp(prefix="pes_zmdist_")
+    try:
+        pq.write_table(
+            pa.table({"k": [5, 1, 9], "v": [2.5, -1.0, 7.5], "s": ["b", "a", "c"]}),
+            os.path.join(d, "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [20, 11], "v": [0.25, 0.5], "s": ["zz", "m"]}),
+            os.path.join(d, "b.parquet"),
+        )
+        # stats disabled: both paths must record NULL bounds
+        pq.write_table(
+            pa.table({"k": [7], "v": [3.0], "s": ["q"]}),
+            os.path.join(d, "c.parquet"),
+            write_statistics=False,
+        )
+        drv = tempfile.mkdtemp(prefix="pes_zmdrv_")
+        dst = tempfile.mkdtemp(prefix="pes_zmdst_")
+        write_zonemap(d, ["k", "v", "s"], manifest_dir=drv)
+        write_zonemap_distributed(spark, d, ["k", "v", "s"], manifest_dir=dst)
+        t_drv = pq.read_table(os.path.join(drv, ZONEMAP_NAME))
+        t_dst = pq.read_table(os.path.join(dst, ZONEMAP_NAME))
+        assert t_drv.schema == t_dst.schema
+        assert t_drv.to_pylist() == t_dst.to_pylist()
+        null_rows = [r for r in t_dst.to_pylist() if r["file_name"] == "c.parquet"]
+        assert null_rows and all(
+            r["lo_num"] is None and r["lo_str"] is None for r in null_rows
+        )
+        with pytest.raises(KeyError, match="no_such"):
+            write_zonemap_distributed(spark, d, ["no_such"], manifest_dir=dst)
+        shutil.rmtree(drv, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
