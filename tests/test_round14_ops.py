@@ -259,3 +259,81 @@ def test_zonemap_distributed_equals_driver_walk(spark):
         shutil.rmtree(dst, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_bytes_nonascii_docs_have_nonzero_budgets(spark, sf_dir):
+    """The point of the byte alphabet: every committed non-ASCII
+    fixture doc must report a NONZERO byte-token count (they vanish
+    entirely under the [a-z] path), with n_bytes strictly greater than
+    the character count for every row holding non-ASCII text, and
+    exact UTF-8 byte totals."""
+    from parquet_exporter_spark.queries.llm5 import (
+        _NONASCII_DOCS,
+        text_bpe_tokenize_bytes,
+    )
+
+    out = {
+        r.doc_id: r for r in text_bpe_tokenize_bytes(spark, sf_dir).collect()
+    }
+    import pyarrow.parquet as pq
+
+    fixture = pq.read_table(_NONASCII_DOCS).to_pylist()
+    assert len(fixture) >= 10
+    for d in fixture:
+        r = out[d["doc_id"]]
+        assert r.n_bpe_tokens > 0, d["text"]
+        assert r.n_pretokens > 0
+        # exact byte accounting: sum of pre-token UTF-8 bytes
+        n_chars = len(d["text"])
+        n_bytes_true = len(d["text"].encode("utf-8")) - d["text"].count(" ")
+        assert r.n_bytes == n_bytes_true, d["text"]
+        if any(ord(c) > 127 for c in d["text"]):
+            assert r.n_bytes > n_chars - d["text"].count(" ")
+        # merges only ever shrink the byte sequence
+        assert r.n_bpe_tokens <= r.n_bytes
+
+
+def test_bpe_bytes_fit_produces_multibyte_merges(spark, sf_dir):
+    """The fit must actually compose tokens: merge ranks are dense from
+    1, merged symbols are concatenations of their parents, every
+    symbol is a valid even-length hex string, and by the last rounds
+    multi-byte (4+ hex chars) tokens exist."""
+    from parquet_exporter_spark.queries.llm5 import text_bpe_fit_bytes
+
+    rows = sorted(
+        text_bpe_fit_bytes(spark, sf_dir).collect(), key=lambda r: r.merge_rank
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 10
+    hexchars = set("0123456789abcdef")
+    for r in rows:
+        assert r.merged == r.lhs + r.rhs
+        for s in (r.lhs, r.rhs, r.merged):
+            assert len(s) % 2 == 0 and set(s) <= hexchars, s
+        assert r.pair_count > 0
+    assert any(len(r.merged) >= 6 for r in rows), "no 3+-byte token formed"
+
+
+def test_bpe_bytes_packing_budgets_include_nonascii_source(spark, sf_dir):
+    """The xlang (fixture) source must appear in the packed output with
+    positive token widths — non-ASCII text consumes budget instead of
+    packing at phantom zero width — and per-source offsets must tile
+    the budget arithmetic exactly."""
+    from parquet_exporter_spark.queries.llm5 import (
+        SEQ_BPE_BYTES_BUDGET,
+        sample_sequence_packing_bpe_bytes,
+    )
+
+    rows = sample_sequence_packing_bpe_bytes(spark, sf_dir).collect()
+    xl = [r for r in rows if r.source == "xlang"]
+    assert xl and all(r.n_tokens > 0 for r in xl)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.seq_id == cum // SEQ_BPE_BYTES_BUDGET
+            assert r.seq_offset == cum - r.seq_id * SEQ_BPE_BYTES_BUDGET
+            cum += r.n_tokens

@@ -469,6 +469,43 @@ def write_langid_docs() -> None:
     print(f"wrote {len(rows)} langid docs")
 
 
+def write_nonascii_docs() -> None:
+    """Non-ASCII document fixture for the BYTE-level BPE path: mixed
+    scripts (accented Latin, Greek, Cyrillic, CJK) plus digit/symbol
+    runs. doc_ids are NEGATIVE so the fixture unions with any sf's
+    documents table without collision; source is a fixed 'xlang' pack.
+    The byte-level tokenizer must give every one of these a NONZERO
+    token count (they vanish entirely from the lowercase [a-z] path),
+    with n_bytes > n_chars for every non-ASCII row. Deterministic,
+    committed."""
+    texts = [
+        "caf\u00e9 na\u00efve r\u00e9sum\u00e9 fa\u00e7ade touch\u00e9",
+        "\u00fcber stra\u00dfe gr\u00fc\u00dfe sch\u00f6n k\u00e4se",
+        "ni\u00f1o ma\u00f1ana se\u00f1or jalape\u00f1o a\u00f1o",
+        "\u03b1\u03b2\u03b3 \u03b4\u03bf\u03ba\u03b9\u03bc\u03ae \u03ba\u03cc\u03c3\u03bc\u03bf\u03c2 \u03bb\u03cc\u03b3\u03bf\u03c2",
+        "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0442\u0435\u0441\u0442 \u0434\u0430\u043d\u043d\u044b\u0435",
+        "\u4f8b\u5b50 \u6570\u636e \u6d4b\u8bd5 \u6587\u6863",
+        "\u30c6\u30b9\u30c8 \u30c7\u30fc\u30bf \u4f8b",
+        "caf\u00e9 123 !!! \u00e9t\u00e9 2024 #tags",
+        "mixed ascii and \u00e9\u00e8\u00ea accents plus plain words",
+        "\u00e9 \u00e9 \u00e9 caf\u00e9 caf\u00e9 r\u00e9p\u00e9t\u00e9",
+        "price: 42,50\u20ac or 37\u00a3 -- \u00bfqu\u00e9?",
+        "all ascii control row for contrast, nothing fancy here",
+    ]
+    rows = [
+        {"doc_id": -(i + 1), "source": "xlang", "text": t}
+        for i, t in enumerate(texts)
+    ]
+    tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()), ("text", pa.string())]
+        ),
+    )
+    pq.write_table(tbl, os.path.join(OUT_DIR, "nonascii_docs.parquet"))
+    print(f"wrote {len(rows)} nonascii docs")
+
+
 if __name__ == "__main__":
     main()
     write_flat_forms()
@@ -481,3 +518,4 @@ if __name__ == "__main__":
     write_rowgrouped_events()
     write_cdc_changes()
     write_langid_docs()
+    write_nonascii_docs()
