@@ -1300,3 +1300,248 @@ def cdc_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_balance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming t-digest maintenance (round 14): the foreachBatch handler in
+# streaming/tdigest_ingest.py commits one immutable partial digest per
+# micro-batch and serves global quantiles off the merged store. This
+# twin drives the REAL handler in batch mode (three deterministic
+# "micro-batches" by l_orderkey % 3 into a versioned scratch store) so
+# the driver hash-checks the streaming implementation itself, not a
+# re-expression of it.
+
+_STD_PROBES = (0.01, 0.25, 0.5, 0.9, 0.99)
+_STD_PARTS = 3
+
+
+def _tdigest_stream_scratch(sf_dir: str) -> str:
+    import glob as _glob
+    import hashlib as _hl
+    import tempfile
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    files = sorted(_glob.glob(src)) or [src]
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in files
+    )
+    tag = _hl.sha256(("stdigest:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_stdigest_{tag}")
+
+
+def _td_part_centroids_sql(parts: int) -> str:
+    """Per-micro-batch t-digest builds as SQL — the agg_tdigest_merged
+    half-centroid recipe generalized to ``parts`` batches keyed by
+    l_orderkey % parts (the deterministic stand-in for file-replay
+    micro-batches)."""
+    return f"""
+    ranked AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey % {parts} AS batch_id,
+               CAST(row_number() OVER (PARTITION BY l_orderkey % {parts}
+                                       ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0,
+               CAST(count(*) OVER (PARTITION BY l_orderkey % {parts}) AS BIGINT)
+                   AS nb
+        FROM lineitem),
+    keyed AS (
+        SELECT cents, batch_id,
+               CASE WHEN 2 * r0 < nb THEN 0 ELSE 1 END AS side,
+               CASE WHEN 2 * r0 < nb THEN r0 + 1 ELSE nb - r0 END AS dd
+        FROM ranked),
+    lvled AS (
+        SELECT cents, batch_id, side, dd,
+               CAST(length(format('{{:b}}', dd)) - 1 AS BIGINT) AS lvl
+        FROM keyed),
+    bucketed AS (
+        SELECT cents, batch_id, side, lvl,
+               ((dd - (CAST(1 AS BIGINT) << CAST(lvl AS INT))) * 4)
+                   // (CAST(1 AS BIGINT) << CAST(lvl AS INT)) AS sub
+        FROM lvled),
+    cent AS MATERIALIZED (
+        SELECT batch_id, side, lvl, sub,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(min(cents) AS BIGINT) AS lo,
+               CAST(max(cents) AS BIGINT) AS hi,
+               CAST(sum(cents) AS BIGINT) AS sc
+        FROM bucketed GROUP BY batch_id, side, lvl, sub)
+    """
+
+
+@query(
+    "stream_tdigest_twin",
+    oracle=f"""
+    WITH {_td_part_centroids_sql(_STD_PARTS)},
+    ordered AS (
+        SELECT *,
+               CAST(coalesce(sum(w) OVER (
+                   ORDER BY lo, hi, batch_id, side, lvl, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cw,
+               CAST(sum(w) OVER () AS BIGINT) AS n
+        FROM cent),
+    rekeyed AS (
+        SELECT *, cw + (w - 1) // 2 AS mid FROM ordered),
+    resided AS (
+        SELECT *,
+               CASE WHEN 2 * mid < n THEN 0 ELSE 1 END AS side2,
+               CASE WHEN 2 * mid < n THEN mid + 1 ELSE n - mid END AS dd2
+        FROM rekeyed),
+    relvled AS (
+        SELECT *, CAST(length(format('{{:b}}', dd2)) - 1 AS BIGINT) AS lvl2
+        FROM resided),
+    mbucket AS (
+        SELECT *,
+               ((dd2 - (CAST(1 AS BIGINT) << CAST(lvl2 AS INT))) * 4)
+                   // (CAST(1 AS BIGINT) << CAST(lvl2 AS INT)) AS sub2
+        FROM relvled),
+    mcent AS MATERIALIZED (
+        SELECT side2, lvl2, sub2,
+               CAST(sum(w) AS BIGINT) AS weight,
+               CAST(min(lo) AS BIGINT) AS mlo,
+               CAST(max(hi) AS BIGINT) AS mhi,
+               CAST(count(*) AS BIGINT) AS n_inputs,
+               CAST(min(cw) AS BIGINT) AS cw_start,
+               CAST(max(cw + w) - 1 AS BIGINT) AS cw_end,
+               CAST(any_value(n) AS BIGINT) AS n
+        FROM mbucket GROUP BY side2, lvl2, sub2),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({p!r})" for p in _STD_PROBES)})
+               AS t(p)),
+    targets AS (
+        SELECT p, CAST(floor(p * (any_value(c.n) - 1)) AS BIGINT) AS t
+        FROM probes CROSS JOIN mcent c GROUP BY p),
+    served AS MATERIALIZED (
+        SELECT t.p, t.t, c.weight, c.n_inputs, c.n,
+               (c.mlo + CASE WHEN c.weight > 1
+                        THEN CAST(c.mhi - c.mlo AS DOUBLE)
+                             * (CAST(t.t - c.cw_start AS DOUBLE)
+                                / CAST(c.weight - 1 AS DOUBLE))
+                        ELSE 0.0 END) AS est_cents
+        FROM targets t JOIN mcent c ON t.t BETWEEN c.cw_start AND c.cw_end),
+    gr AS MATERIALIZED (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0g
+        FROM lineitem),
+    exact AS (
+        SELECT s.p, CAST(any_value(g.cents) AS BIGINT) AS exact_cents
+        FROM served s JOIN gr g ON g.r0g = s.t GROUP BY s.p),
+    ranks AS (
+        SELECT s.p,
+               CAST(sum(CASE WHEN g.cents < s.est_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS lt,
+               CAST(sum(CASE WHEN g.cents <= s.est_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS le
+        FROM served s CROSS JOIN gr g GROUP BY s.p)
+    SELECT s.p, s.t AS target_rank, s.weight AS merged_weight, s.n_inputs,
+           CAST({_STD_PARTS} AS BIGINT) AS n_batches,
+           round(s.est_cents / 100.0, 4) AS est_price,
+           round(x.exact_cents / 100.0, 4) AS exact_price,
+           CAST(CASE WHEN r.lt > s.t THEN r.lt - s.t
+                     WHEN r.le - 1 < s.t THEN s.t - (r.le - 1)
+                     ELSE 0 END AS BIGINT) AS rank_err,
+           CAST(CASE WHEN s.t + 1 < s.n - s.t THEN s.t + 1 ELSE s.n - s.t END
+                AS BIGINT) AS d_tail,
+           CAST(CASE WHEN r.lt > s.t THEN r.lt - s.t
+                     WHEN r.le - 1 < s.t THEN s.t - (r.le - 1)
+                     ELSE 0 END AS DOUBLE)
+               <= 0.35 * (CASE WHEN s.t + 1 < s.n - s.t THEN s.t + 1
+                               ELSE s.n - s.t END) + 8 AS within_bound
+    FROM served s JOIN exact x USING (p) JOIN ranks r USING (p)
+    """,
+    doc=(
+        "Batch twin of STREAMING t-digest maintenance — and unlike most "
+        "twins it EXECUTES the streaming code: lineitem is split into "
+        f"{_STD_PARTS} deterministic micro-batches (l_orderkey % "
+        f"{_STD_PARTS}, the stand-in for file-replay triggers), each "
+        "committed through the real foreachBatch handler "
+        "(streaming/tdigest_ingest.tdigest_apply_batch — append-only "
+        "immutable partials, durable markers, replayed batches no-op) "
+        "into a versioned scratch store, and quantiles are served off "
+        "the merged store exactly as a monitor would serve them "
+        "mid-stream. The oracle rebuilds the same per-batch partials, "
+        "the same (lo, hi, batch, side, lvl, sub)-ordered cum-weight "
+        "re-bin, and the same containing-bucket interpolation in pure "
+        "SQL — hash equality proves streaming build + merge + serve "
+        "are exact-integer identical to the batch merge law "
+        "agg_tdigest_merged already pinned (the replay test in "
+        "tests/test_streaming.py additionally pins equality ACROSS a "
+        "batch boundary under a real readStream). rank_err/d_tail/"
+        "within_bound emit the t-digest accuracy guarantee as data. "
+        "At 100 TB: per-trigger state is O(log batch) centroid rows, "
+        "the store grows O(k log n) over k batches and compacts "
+        "through the same associative re-bin, and serving never "
+        "re-reads data."
+    ),
+)
+def stream_tdigest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from parquet_exporter_spark.streaming.tdigest_ingest import (
+        committed_batches,
+        read_tdigest_centroids,
+        serve_tdigest_quantiles,
+        tdigest_apply_batch,
+    )
+
+    store = _tdigest_stream_scratch(sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % _STD_PARTS).alias("batch"),
+    )
+    if len(committed_batches(store)) < _STD_PARTS:
+        for b in range(_STD_PARTS):
+            tdigest_apply_batch(
+                cents.filter(F.col("batch") == b).select("cents"), b, store
+            )
+    cent = read_tdigest_centroids(spark, store)
+    served = serve_tdigest_quantiles(spark, cent, list(_STD_PROBES))
+    wg = Window.orderBy("cents")
+    gr = cents.select(
+        "cents", (F.row_number().over(wg) - 1).cast("long").alias("r0g")
+    )
+    exact = (
+        served.select("p", F.col("t").alias("r0g"))
+        .join(gr, "r0g")
+        .select("p", F.col("cents").alias("exact_cents"))
+    )
+    ranks = (
+        gr.crossJoin(F.broadcast(served.select("p", "est_cents")))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("est_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("lt"),
+            F.sum(F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("le"),
+        )
+    )
+    rank_err = (
+        F.when(F.col("lt") > F.col("t"), F.col("lt") - F.col("t"))
+        .when(F.col("le") - 1 < F.col("t"), F.col("t") - (F.col("le") - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    d_tail = (
+        F.when(F.col("t") + 1 < F.col("n") - F.col("t"), F.col("t") + 1)
+        .otherwise(F.col("n") - F.col("t"))
+        .cast("long")
+    )
+    return (
+        served.join(exact, "p")
+        .join(ranks, "p")
+        .select(
+            "p",
+            F.col("t").alias("target_rank"),
+            F.col("weight").alias("merged_weight"),
+            "n_inputs",
+            F.lit(_STD_PARTS).cast("long").alias("n_batches"),
+            F.round(F.col("est_cents") / 100.0, 4).alias("est_price"),
+            F.round(F.col("exact_cents") / 100.0, 4).alias("exact_price"),
+            rank_err.alias("rank_err"),
+            d_tail.alias("d_tail"),
+            (rank_err.cast("double") <= 0.35 * d_tail + 8).alias("within_bound"),
+        )
+    )

@@ -67,6 +67,16 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "tables, all bounded by (langs x bigrams); the scoring scan "
         "itself stays fully partitioned",
     ),
+    "stream_tdigest_twin": (
+        {"bnlj", "single_partition_x7"},
+        "agg_tdigest_merged's shape driven through the streaming "
+        "foreachBatch handler: per-micro-batch builds rank within a "
+        "bounded trigger (single-partition by definition of a "
+        "micro-batch), the merge/cum-weight windows run over the "
+        "O(k log n)-row centroid STORE, and the verification-only "
+        "global exact ranking plus 5-probe bnljs are the test harness, "
+        "not the serve path",
+    ),
     "agg_tdigest_merged": (
         {"bnlj", "single_partition_x7"},
         "the two digest builds rank within half-partitions (keyed "

@@ -1001,3 +1001,106 @@ def test_streaming_cusum_checkpoint_restart_carries_state(spark, tmp_path):
                 alarms.append(i)
     # S+ = 3,6,9 | restart | 12,15,18 -> alarms fire on ordinals 11, 12
     assert alarms == [11, 12]
+
+
+def test_streaming_tdigest_store_equals_batch_merge_across_boundary(
+    spark, tmp_path
+):
+    """A real readStream (2 file-triggers) drives the foreachBatch
+    t-digest handler; serving off the resulting store must equal, row
+    for row, serving off a store built by applying the same two batches
+    in batch mode — the streaming == batch-merge pin ACROSS a batch
+    boundary. Replaying a committed batch is a marker-checked no-op,
+    and orphan centroid files without a marker are invisible."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.tdigest_ingest import (
+        committed_batches,
+        read_tdigest_centroids,
+        serve_tdigest_quantiles,
+        tdigest_apply_batch,
+    )
+
+    rng_a = [1700 + 13 * i for i in range(40)]  # batch 0 values (cents)
+    rng_b = [900 + 29 * i for i in range(35)]  # batch 1 values
+    d = str(tmp_path / "td_points")
+    os.makedirs(d)
+    schema = "cents long"
+
+    def _write_flat(vals, filename, mtime):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(d, filename)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))  # pin file-source trigger order
+        shutil.rmtree(staging)
+
+    t0 = _time.time() - 100
+    _write_flat(rng_a, "b0.parquet", t0)
+    _write_flat(rng_b, "b1.parquet", t0 + 10)
+
+    store = str(tmp_path / "td_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: tdigest_apply_batch(b, i, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "td_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_batches(store) == [0, 1]
+
+    probes = [0.1, 0.5, 0.9]
+    s_stream = sorted(
+        tuple(r)
+        for r in serve_tdigest_quantiles(
+            spark, read_tdigest_centroids(spark, store), probes
+        ).collect()
+    )
+    # batch-mode store: the SAME two batches applied directly
+    store2 = str(tmp_path / "td_store_batch")
+    assert tdigest_apply_batch(
+        spark.createDataFrame([(v,) for v in rng_a], schema), 0, store2
+    )
+    assert tdigest_apply_batch(
+        spark.createDataFrame([(v,) for v in rng_b], schema), 1, store2
+    )
+    s_batch = sorted(
+        tuple(r)
+        for r in serve_tdigest_quantiles(
+            spark, read_tdigest_centroids(spark, store2), probes
+        ).collect()
+    )
+    assert s_stream == s_batch
+    # replay of a committed batch: no-op, serving unchanged
+    assert (
+        tdigest_apply_batch(
+            spark.createDataFrame([(v,) for v in rng_a], schema), 0, store
+        )
+        is False
+    )
+    s_replay = sorted(
+        tuple(r)
+        for r in serve_tdigest_quantiles(
+            spark, read_tdigest_centroids(spark, store), probes
+        ).collect()
+    )
+    assert s_replay == s_stream
+    # orphan without marker: invisible to the reader
+    orphan = os.path.join(store, "cent-00000007-0000.parquet")
+    src = glob.glob(os.path.join(store, "cent-00000000-*.parquet"))[0]
+    shutil.copy(src, orphan)
+    cents = read_tdigest_centroids(spark, store)
+    assert cents.filter(F.col("batch_id") == 7).count() == 0
+    # total weight across committed partials == total input rows
+    total_w = cents.groupBy().sum("w").collect()[0][0]
+    assert total_w == len(rng_a) + len(rng_b)
