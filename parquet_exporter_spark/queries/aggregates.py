@@ -3173,3 +3173,227 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         bucketed.unpersist()
+
+
+@query(
+    "agg_hdr_merge",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey % 2 AS half,
+               CAST(row_number() OVER (ORDER BY l_extendedprice) - 1 AS BIGINT)
+                   AS r0,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM lineitem),
+    lvled AS (
+        SELECT cents, half, r0, n,
+               CAST(length(format('{{:b}}', cents)) AS BIGINT) AS lvl
+        FROM ranked),
+    bucketed AS MATERIALIZED (
+        SELECT cents, half, r0, n, lvl,
+               ((cents - (CAST(1 AS BIGINT) << CAST(lvl - 1 AS INT)))
+                * {_HDR_SUB})
+                   // (CAST(1 AS BIGINT) << CAST(lvl - 1 AS INT)) AS sub
+        FROM lvled),
+    part AS MATERIALIZED (
+        SELECT half, lvl, sub,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(min(cents) AS BIGINT) AS lo,
+               CAST(max(cents) AS BIGINT) AS hi
+        FROM bucketed GROUP BY half, lvl, sub),
+    merged AS MATERIALIZED (
+        SELECT lvl, sub,
+               CAST(sum(c) AS BIGINT) AS mc,
+               CAST(min(lo) AS BIGINT) AS mlo,
+               CAST(max(hi) AS BIGINT) AS mhi
+        FROM part GROUP BY lvl, sub),
+    whole AS MATERIALIZED (
+        SELECT lvl, sub,
+               CAST(count(*) AS BIGINT) AS wc,
+               CAST(min(cents) AS BIGINT) AS wlo,
+               CAST(max(cents) AS BIGINT) AS whi
+        FROM bucketed GROUP BY lvl, sub),
+    law AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN m.mc IS DISTINCT FROM w.wc
+                              OR m.mlo IS DISTINCT FROM w.wlo
+                              OR m.mhi IS DISTINCT FROM w.whi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+        FROM merged m FULL OUTER JOIN whole w USING (lvl, sub)),
+    cum AS (
+        SELECT *, CAST(coalesce(sum(mc) OVER (
+                   ORDER BY lvl, sub
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cw,
+               CAST(sum(mc) OVER () AS BIGINT) AS mn
+        FROM merged),
+    probes AS (SELECT * FROM (VALUES {", ".join(f"({p!r})" for p in _HDR_PROBES)})
+               AS t(p)),
+    targets AS (
+        SELECT p, CAST(floor(p * (any_value(c.mn) - 1)) AS BIGINT) AS t
+        FROM probes CROSS JOIN cum c GROUP BY p),
+    hit AS (
+        SELECT t.p, t.t, c.mc, c.mlo, c.mhi, c.cw
+        FROM targets t JOIN cum c
+          ON t.t >= c.cw AND t.t < c.cw + c.mc),
+    exact AS (
+        SELECT t.p, CAST(any_value(r.cents) AS BIGINT) AS exact_cents
+        FROM targets t JOIN ranked r ON r.r0 = t.t GROUP BY t.p)
+    SELECT h.p, h.t AS target_rank, h.mc AS bucket_count,
+           round(h.mlo / 100.0, 4) AS bucket_lo,
+           round(h.mhi / 100.0, 4) AS bucket_hi,
+           round((h.mlo + CASE WHEN h.mc > 1
+                          THEN CAST(h.mhi - h.mlo AS DOUBLE)
+                               * (CAST(h.t - h.cw AS DOUBLE)
+                                  / CAST(h.mc - 1 AS DOUBLE))
+                          ELSE 0.0 END) / 100.0, 4) AS est_price,
+           round(x.exact_cents / 100.0, 4) AS exact_price,
+           x.exact_cents BETWEEN h.mlo AND h.mhi AS within_bucket,
+           CAST(h.mhi - h.mlo AS DOUBLE) / h.mlo
+               <= 1.0 / {_HDR_SUB} AS width_bound_ok,
+           l.n_buckets, l.n_mismatch,
+           l.n_mismatch = 0 AS merge_exact
+    FROM hit h JOIN exact x USING (p) CROSS JOIN law l
+    """,
+    doc=(
+        "HdrHistogram MERGE, executed — the CMS-merge recipe "
+        "(agg_cms_merge) applied to the log2 quantile sketch "
+        "(agg_hdr_histogram), closing the round-13 verdict's 'merge = "
+        "counter add' prose into a hash-checked identity: two partial "
+        "histograms are built over disjoint corpus halves (l_orderkey "
+        "parity — the per-day stand-in), merged WITHOUT touching data "
+        "rows (counter ADDITION for counts, min/max for the exact "
+        "member bounds — all three associative), and the merge law is "
+        "verified bucket-by-bucket against an independently-built "
+        "whole-corpus histogram via a FULL OUTER join: n_mismatch is "
+        "provably 0 (merge_exact), counting absent-on-one-side buckets "
+        "too. Quantiles are then served OFF THE MERGED SKETCH — "
+        "cumulative counts over (octave, subbucket), interpolation "
+        "inside the hit bucket's exact bounds — with the same "
+        "within_bucket and 12.5% structural width verdicts as the "
+        "single-sketch serve, plus the exact rank-t values as the "
+        "verification harness. Everything in a decision is exact "
+        "integer arithmetic, so build, merge, law, and serve all "
+        "hash-match DuckDB. At 100 TB: per-day histograms are "
+        "O(octaves * {sub}) counter rows; the global rollup consumes "
+        "sketch rows only, and this query IS that rollup plus its "
+        "proof.".format(sub=_HDR_SUB)
+    ),
+)
+def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 2).alias("half"),
+        (F.row_number().over(w) - 1).cast("long").alias("r0"),
+    )
+    lvled = ranked.withColumn(
+        "lvl", F.length(F.conv(F.col("cents").cast("string"), 10, 2)).cast("long")
+    )
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(
+            F.expr(
+                f"((cents - shiftleft(1L, CAST(lvl - 1 AS INT))) * {_HDR_SUB})"
+            )
+            / F.expr("shiftleft(1L, CAST(lvl - 1 AS INT))")
+        ).cast("long"),
+    ).persist()
+    try:
+        part = bucketed.groupBy("half", "lvl", "sub").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("cents").cast("long").alias("lo"),
+            F.max("cents").cast("long").alias("hi"),
+        )
+        # THE MERGE: counter add + bound min/max over sketch rows only
+        merged = part.groupBy("lvl", "sub").agg(
+            F.sum("c").cast("long").alias("mc"),
+            F.min("lo").cast("long").alias("mlo"),
+            F.max("hi").cast("long").alias("mhi"),
+        )
+        whole = bucketed.groupBy("lvl", "sub").agg(
+            F.count(F.lit(1)).cast("long").alias("wc"),
+            F.min("cents").cast("long").alias("wlo"),
+            F.max("cents").cast("long").alias("whi"),
+        )
+        law = (
+            merged.join(whole, ["lvl", "sub"], "full_outer")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum(
+                    F.when(
+                        ~F.col("mc").eqNullSafe(F.col("wc"))
+                        | ~F.col("mlo").eqNullSafe(F.col("wlo"))
+                        | ~F.col("mhi").eqNullSafe(F.col("whi")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_mismatch"),
+            )
+        )
+        wo = Window.orderBy("lvl", "sub")
+        cum = merged.withColumn(
+            "cw",
+            F.coalesce(
+                F.sum("mc").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        ).withColumn(
+            "mn",
+            F.sum("mc")
+            .over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long"),
+        )
+        probes = spark.createDataFrame([(p,) for p in _HDR_PROBES], "p double")
+        targets = probes.crossJoin(F.broadcast(cum.select("mn").limit(1))).select(
+            "p", F.floor(F.col("p") * (F.col("mn") - 1)).cast("long").alias("t")
+        )
+        hit = targets.join(
+            F.broadcast(cum),
+            (F.col("t") >= F.col("cw")) & (F.col("t") < F.col("cw") + F.col("mc")),
+        )
+        exact = (
+            targets.withColumnRenamed("t", "r0")
+            .join(bucketed.select("r0", "cents"), "r0")
+            .select("p", F.col("cents").alias("exact_cents"))
+        )
+        est = F.col("mlo") + F.when(
+            F.col("mc") > 1,
+            (F.col("mhi") - F.col("mlo")).cast("double")
+            * (
+                (F.col("t") - F.col("cw")).cast("double")
+                / (F.col("mc") - 1).cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        out = (
+            hit.join(exact, "p")
+            .crossJoin(F.broadcast(law))
+            .select(
+                "p",
+                F.col("t").alias("target_rank"),
+                F.col("mc").alias("bucket_count"),
+                F.round(F.col("mlo") / 100.0, 4).alias("bucket_lo"),
+                F.round(F.col("mhi") / 100.0, 4).alias("bucket_hi"),
+                F.round(est / 100.0, 4).alias("est_price"),
+                F.round(F.col("exact_cents") / 100.0, 4).alias("exact_price"),
+                F.col("exact_cents")
+                .between(F.col("mlo"), F.col("mhi"))
+                .alias("within_bucket"),
+                (
+                    (F.col("mhi") - F.col("mlo")).cast("double") / F.col("mlo")
+                    <= 1.0 / _HDR_SUB
+                ).alias("width_bound_ok"),
+                "n_buckets",
+                "n_mismatch",
+                (F.col("n_mismatch") == 0).alias("merge_exact"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()

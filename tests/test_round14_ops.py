@@ -337,3 +337,20 @@ def test_bpe_bytes_packing_budgets_include_nonascii_source(spark, sf_dir):
             assert r.seq_id == cum // SEQ_BPE_BYTES_BUDGET
             assert r.seq_offset == cum - r.seq_id * SEQ_BPE_BYTES_BUDGET
             cum += r.n_tokens
+
+
+def test_hdr_merge_law_and_serving(spark, sf_dir):
+    """Half-corpus HDR histograms merged by counter add must equal the
+    whole-corpus histogram on every bucket (count AND exact bounds);
+    serving off the merged sketch must keep the single-sketch
+    guarantees (exact inside bucket, 12.5% structural width)."""
+    from parquet_exporter_spark.queries.aggregates import agg_hdr_merge
+
+    rows = agg_hdr_merge(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.merge_exact and r.n_mismatch == 0
+        assert r.n_buckets > 5
+        assert r.within_bucket and r.width_bound_ok
+        assert r.bucket_lo <= r.est_price <= r.bucket_hi + 1e-9
+        assert abs(r.est_price - r.exact_price) / r.exact_price <= 0.125
