@@ -20,6 +20,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import parquet_exporter_spark.streaming.scd2_ingest as scd2
 from parquet_exporter_spark.streaming.scd2_ingest import (
     read_scd2_dim,
@@ -354,3 +356,53 @@ def test_hdr_merge_law_and_serving(spark, sf_dir):
         assert r.within_bucket and r.width_bound_ok
         assert r.bucket_lo <= r.est_price <= r.bucket_hi + 1e-9
         assert abs(r.est_price - r.exact_price) / r.exact_price <= 0.125
+
+
+def test_optimize_lifecycle_table(spark, sf_dir):
+    """The OPTIMIZE scratch table must hold a real compaction: v2 is
+    3 files (2 compacted multi-file groups + the greedy tail), v1's 8
+    octile files still time-travel to byte-identical totals, compacted
+    files keep disjoint cluster ranges, and the registered query's
+    verdict columns hold."""
+    from parquet_exporter_spark.queries.extras import (
+        _build_optimize_table,
+        scan_optimize_compact,
+    )
+    from parquet_exporter_spark.sinks.manifest_sink import (
+        read_manifest_version,
+    )
+
+    path = _build_optimize_table(spark, sf_dir)
+    v1 = sorted(read_manifest_version(path, 1), key=lambda s: s.min_value)
+    v2 = sorted(read_manifest_version(path, 2), key=lambda s: s.min_value)
+    assert len(v1) == 8 and len(v2) == 3
+    assert any("compact-" in s.path for s in v2)
+    # disjoint, ordered cluster ranges after the rewrite
+    for a, b in zip(v2, v2[1:]):
+        assert a.max_value < b.min_value
+    # row conservation
+    assert sum(s.num_rows for s in v1) == sum(s.num_rows for s in v2)
+    # v1 still readable byte-identically after OPTIMIZE (snapshot isolation)
+    t1 = (
+        spark.read.parquet(*[s.path for s in v1])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .collect()[0]
+    )
+    t2 = (
+        spark.read.parquet(*[s.path for s in v2])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (t1.n, t1.c) == (t2.n, t2.c)
+    rows = scan_optimize_compact(spark, sf_dir).collect()
+    assert rows and all(r.snapshots_equal for r in rows)
+    assert all(
+        r.n_files_pre == 8 and r.n_files_post == 3 for r in rows
+    )
+    assert all(r.kept_files_post < r.kept_files_pre for r in rows)
