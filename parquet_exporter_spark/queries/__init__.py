@@ -168,35 +168,25 @@ _VERIFIED_ANY, _VERIFIED_HASH = _load_driver_verified()
 DRIVER_VERIFIED = _VERIFIED_ANY - (FORCE_RESTAMP - _VERIFIED_HASH)
 
 
-# Hand-picked front of the registry for the ROUND-13 driver check
+# Hand-picked front of the registry for the ROUND-14 driver check
 # budget: the driver stamps EXACTLY the first 50 registry names.
-# CORRECTNESS_r12 landed 50/50 green, restoring full cumulative
-# coverage (486/486 stamped), so round 13's window is the sixteen
-# round-13 additions: the five sketch-merge executions (CMS counter
-# add, KMV union + re-truncate, t-digest cumulative-weight re-bin with
-# served quantiles, portable HLL with exact integer register sums and
-# its register-max union, KMV Jaccard), real BPE (merge-table fit +
-# fold-chain tokenize + packing re-based on real tokens), the SCD2
-# dimension build from the Debezium log and its point-in-time serving,
-# and the char-bigram NB language-ID classifier. Anything registered
-# later queues behind via the self-healing module-order rule.
+# CORRECTNESS_r13 landed 50/50 green (cumulative coverage complete:
+# all 493 then-oracled queries stamped at least once), so round 14's
+# window is the seven round-14 additions: the distributed zone-map
+# footer harvest, byte-level BPE (fit + tokenize + packing over the
+# UTF-8 hex-pair alphabet with the non-ASCII fixture corpus), the
+# streaming t-digest maintenance twin (executes the foreachBatch
+# handler), the executed HdrHistogram merge, and the OPTIMIZE
+# compaction lifecycle query. Anything registered later queues behind
+# via the self-healing module-order rule.
 PRIORITY = (
-    "agg_cms_merge",
-    "agg_kmv_union",
-    "agg_hll_portable",
-    "agg_tdigest_merged",
-    "text_bpe_fit",
-    "text_bpe_tokenize",
-    "cdc_scd2_build",
-    "text_langid_predict",
-    "agg_hll_union",
-    "agg_kmv_jaccard",
-    "cdc_scd2_asof_lookup",
-    "sample_sequence_packing_bpe",
-    "agg_tdigest_grouped",
-    "agg_tdigest_cdf",
-    "scan_zonemap_pruned",
-    "agg_hdr_histogram",
+    "scan_zonemap_distributed",
+    "text_bpe_fit_bytes",
+    "text_bpe_tokenize_bytes",
+    "sample_sequence_packing_bpe_bytes",
+    "stream_tdigest_twin",
+    "agg_hdr_merge",
+    "scan_optimize_compact",
 )
 
 
