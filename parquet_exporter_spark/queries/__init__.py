@@ -187,6 +187,7 @@ PRIORITY = (
     "stream_tdigest_twin",
     "agg_hdr_merge",
     "scan_optimize_compact",
+    "stream_hll_twin",
 )
 
 

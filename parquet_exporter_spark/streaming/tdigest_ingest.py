@@ -31,9 +31,15 @@ committed batches equals the BATCH merge of the same k partials —
 bit-for-bit, because build, merge, and the interpolation inputs are all
 exact integers; the one IEEE divide is deterministic on both engines.
 
-Scale shape: state is O(k log n) centroid rows (k = committed batches);
-a compaction pass can fold old partials through the same re-bin (the
-merge is associative by construction) — serving never re-reads data.
+Scale shape: state is O(k log n) centroid rows (k = committed batches).
+``compact_tdigest_store`` folds all live partials up to a bound into
+one partial through the same re-bin and commits it with the
+partial_store compaction protocol. The fold is ACCURACY-preserving,
+not content-identical: re-binning a re-bin can place mass in different
+dyadic cells than one flat merge would, so the pinned contract is
+total-weight and value-bound conservation plus the t-digest rank-error
+bound on every served quantile (tests/test_streaming.py), never
+bucket-level equality. Serving never re-reads data either way.
 
 Wire-up: ``parsed.writeStream.foreachBatch(lambda b, i:
 tdigest_apply_batch(b, i, store_dir)).option("checkpointLocation", ...)``.
@@ -45,11 +51,26 @@ export); this extends the engine per SURVEY.md section 2.2.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from parquet_exporter_spark.streaming.partial_store import (
+    commit_compaction,
+    commit_partial,
+    committed_batches,
+    read_partials,
+)
+
+__all__ = [
+    "TD_SUB",
+    "tdigest_partial",
+    "tdigest_apply_batch",
+    "committed_batches",
+    "read_tdigest_centroids",
+    "merge_tdigest",
+    "serve_tdigest_quantiles",
+    "compact_tdigest_store",
+]
 
 # dyadic sub-buckets per level — MUST stay in lockstep with
 # queries/aggregates.py _TD_SUB (the batch sketch family)
@@ -105,72 +126,42 @@ def tdigest_apply_batch(
     store_dir: str,
     value_col: str = "cents",
 ) -> bool:
-    """Commit one micro-batch's partial digest to ``store_dir``.
-    Returns False for a replayed (already-committed) batch, True after
-    a commit. Append-only exactly-once: batch-scoped file names +
-    durable marker; orphans from a crashed attempt are invisible to
-    readers and overwritten by the replay."""
-    import shutil
-
-    os.makedirs(store_dir, exist_ok=True)
-    marker = os.path.join(store_dir, f"_batch-{batch_id}.committed")
-    if os.path.isfile(marker):
-        return False
-    cent = tdigest_partial(batch_df, value_col)
-    staging = os.path.join(store_dir, f"_staging_batch_{batch_id}")
-    cent.coalesce(1).write.mode("overwrite").parquet(staging)
-    gen_prefix = f"cent-{batch_id:08d}-"
-    for p in glob.glob(os.path.join(store_dir, gen_prefix + "*.parquet")):
-        os.unlink(p)
-    for i, part in enumerate(
-        sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
-    ):
-        os.replace(part, os.path.join(store_dir, f"{gen_prefix}{i:04d}.parquet"))
-    shutil.rmtree(staging, ignore_errors=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, marker)
-    return True
-
-
-def committed_batches(store_dir: str) -> list[int]:
-    """Batch ids with durable markers, ascending."""
-    out = []
-    for p in glob.glob(os.path.join(store_dir, "_batch-*.committed")):
-        stem = os.path.basename(p)[len("_batch-") : -len(".committed")]
-        try:
-            out.append(int(stem))
-        except ValueError:
-            continue
-    return sorted(out)
+    """Commit one micro-batch's partial digest to ``store_dir`` via the
+    shared append-only partial_store protocol. Returns False for a
+    replayed (already-committed) batch, True after a commit."""
+    return commit_partial(tdigest_partial(batch_df, value_col), batch_id, store_dir)
 
 
 def read_tdigest_centroids(spark, store_dir: str) -> DataFrame | None:
-    """All COMMITTED partials, tagged with batch_id; None before the
-    first commit. Uncommitted orphans are never read."""
-    batches = committed_batches(store_dir)
-    if not batches:
-        return None
-    parts = []
-    for b in batches:
-        files = sorted(
-            glob.glob(os.path.join(store_dir, f"cent-{b:08d}-*.parquet"))
-        )
-        if not files:
-            raise FileNotFoundError(
-                f"tdigest store {store_dir}: marker for batch {b} exists "
-                "but its centroid file is missing"
-            )
-        parts.append(
-            spark.read.parquet(*files).withColumn("batch_id", F.lit(b).cast("long"))
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    """All live partials (newest compacted fold + batches above its
+    bound), tagged with batch_id; None before the first commit."""
+    return read_partials(spark, store_dir)
+
+
+def compact_tdigest_store(spark, store_dir: str, upto_batch: int) -> bool:
+    """Fold every live partial with batch_id <= ``upto_batch`` into ONE
+    partial through the merge re-bin and commit it as the store's
+    compacted base (older files deleted only after the durable marker).
+    False if nothing to fold or a newer compaction exists. The fold is
+    accuracy-preserving (see module docstring), so after compaction the
+    store serves the same n and value bounds and every quantile stays
+    inside the t-digest rank-error bound."""
+    live = read_partials(spark, store_dir)
+    if live is None:
+        return False
+    old = live.filter(F.col("batch_id") <= upto_batch)
+    if old.limit(1).count() == 0:
+        return False
+    folded = merge_tdigest(old).select(
+        F.col("side2").alias("side"),
+        F.col("lvl2").alias("lvl"),
+        F.col("sub2").alias("sub"),
+        F.col("weight").alias("w"),
+        F.col("mlo").alias("lo"),
+        F.col("mhi").alias("hi"),
+        F.col("msc").alias("sc"),
+    )
+    return commit_compaction(folded, upto_batch, store_dir)
 
 
 def merge_tdigest(cent: DataFrame) -> DataFrame:

@@ -67,6 +67,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "tables, all bounded by (langs x bigrams); the scoring scan "
         "itself stays fully partitioned",
     ),
+    "stream_hll_twin": (
+        {"bnlj", "single_partition_x3"},
+        "register tables reduce map-side to <= 512 (bucket, max-rho) "
+        "rows per partial (agg_hll_union's shape driven through the "
+        "streaming foreachBatch handler); the gathers carry the 1-row "
+        "merged-state sum, 1-row mismatch count and 1-row truth, "
+        "verdict-joined by 1x1 bnljs",
+    ),
     "stream_tdigest_twin": (
         {"bnlj", "single_partition_x7"},
         "agg_tdigest_merged's shape driven through the streaming "

@@ -1104,3 +1104,148 @@ def test_streaming_tdigest_store_equals_batch_merge_across_boundary(
     # total weight across committed partials == total input rows
     total_w = cents.groupBy().sum("w").collect()[0][0]
     assert total_w == len(rng_a) + len(rng_b)
+
+
+def test_streaming_tdigest_compaction_preserves_accuracy(spark, tmp_path):
+    """compact_tdigest_store folds partials <= bound into one committed
+    base: total weight and global value bounds are conserved exactly,
+    superseded files are gone, later appends still work, and every
+    served quantile off the compacted store stays within the t-digest
+    rank-error bound against the exact values (the fold is
+    accuracy-preserving, NOT bucket-identical — that is the documented
+    contract)."""
+    from parquet_exporter_spark.streaming.tdigest_ingest import (
+        compact_tdigest_store,
+        read_tdigest_centroids,
+        serve_tdigest_quantiles,
+        tdigest_apply_batch,
+    )
+
+    batches = [
+        [500 + 7 * i for i in range(60)],
+        [1200 + 11 * i for i in range(45)],
+        [300 + 13 * i for i in range(50)],
+    ]
+    store = str(tmp_path / "td_compact")
+    schema = "cents long"
+    for i, vals in enumerate(batches):
+        assert tdigest_apply_batch(
+            spark.createDataFrame([(v,) for v in vals], schema), i, store
+        )
+    # compact batches 0-1; batch 2 stays a live partial
+    assert compact_tdigest_store(spark, store, upto_batch=1)
+    assert not compact_tdigest_store(spark, store, upto_batch=1)  # no-op
+    files = os.listdir(store)
+    assert any(f.startswith("compact-00000001-") for f in files)
+    assert not any(f.startswith("cent-00000000-") for f in files)
+    assert not any(f.startswith("cent-00000001-") for f in files)
+    assert any(f.startswith("cent-00000002-") for f in files)
+
+    cents = read_tdigest_centroids(spark, store)
+    allv = sorted(v for b in batches for v in b)
+    total_w = cents.groupBy().sum("w").collect()[0][0]
+    assert total_w == len(allv)
+    glo = cents.agg(F.min("lo"), F.max("hi")).collect()[0]
+    assert (glo[0], glo[1]) == (allv[0], allv[-1])
+
+    probes = [0.05, 0.25, 0.5, 0.75, 0.95]
+    for r in serve_tdigest_quantiles(spark, cents, probes).collect():
+        # tie-aware exact rank interval of the served value
+        lt = sum(1 for v in allv if v < r.est_cents)
+        le = sum(1 for v in allv if v <= r.est_cents)
+        err = lt - r.t if lt > r.t else (r.t - (le - 1) if le - 1 < r.t else 0)
+        d_tail = min(r.t + 1, len(allv) - r.t)
+        assert err <= 0.35 * d_tail + 8, (r.p, err, d_tail)
+
+    # a later batch appends on top of the compacted base
+    extra = [5000 + 3 * i for i in range(30)]
+    assert tdigest_apply_batch(
+        spark.createDataFrame([(v,) for v in extra], schema), 3, store
+    )
+    cents2 = read_tdigest_centroids(spark, store)
+    assert cents2.groupBy().sum("w").collect()[0][0] == len(allv) + len(extra)
+
+
+def test_streaming_hll_registers_exact_across_boundary_and_compaction(
+    spark, tmp_path
+):
+    """A real readStream drives the HLL foreachBatch handler across two
+    triggers; the merged registers must equal a single-pass whole-stream
+    sketch register-for-register (max is associative), the served
+    estimate must match the batch-built store bit-for-bit, and
+    compaction must leave the merged registers IDENTICAL (idempotent
+    max) while collapsing the store to <= m rows."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.hll_ingest import (
+        committed_batches,
+        compact_hll_store,
+        hll_apply_batch,
+        hll_partial,
+        merge_hll,
+        read_hll_registers,
+        serve_hll_estimate,
+    )
+
+    keys_a = [f"user-{i}" for i in range(400)]
+    keys_b = [f"user-{i}" for i in range(250, 700)]  # overlap exercises max
+    d = str(tmp_path / "hll_points")
+    os.makedirs(d)
+    schema = "k string"
+
+    def _write_flat(vals, filename, mtime):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(d, filename)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(staging)
+
+    t0 = _time.time() - 100
+    _write_flat(keys_a, "b0.parquet", t0)
+    _write_flat(keys_b, "b1.parquet", t0 + 10)
+
+    store = str(tmp_path / "hll_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: hll_apply_batch(b, i, store, "k")
+        )
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_batches(store) == [0, 1]
+
+    regs = read_hll_registers(spark, store)
+    merged = {
+        (r.bucket, r.r) for r in merge_hll(regs).collect()
+    }
+    whole_df = spark.createDataFrame(
+        [(v,) for v in keys_a + keys_b], schema
+    )
+    whole = {(r.bucket, r.r) for r in hll_partial(whole_df, "k").collect()}
+    assert merged == whole  # register-for-register, across the boundary
+
+    est_stream = serve_hll_estimate(spark, regs).collect()[0]
+    true_n = len(set(keys_a) | set(keys_b))
+    assert abs(est_stream.est_distinct - true_n) <= 0.15 * true_n + 1
+
+    # compaction: idempotent max -> identical registers, <= m rows left
+    assert compact_hll_store(spark, store, upto_batch=1)
+    regs2 = read_hll_registers(spark, store)
+    assert {
+        (r.bucket, r.r) for r in merge_hll(regs2).collect()
+    } == whole
+    assert regs2.count() <= 512
+    assert serve_hll_estimate(spark, regs2).collect()[0] == est_stream
+    # replay of a compacted-away batch is still a no-op
+    assert hll_apply_batch(whole_df, 0, store, "k") is False
