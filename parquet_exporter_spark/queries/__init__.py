@@ -188,6 +188,7 @@ PRIORITY = (
     "agg_hdr_merge",
     "scan_optimize_compact",
     "stream_hll_twin",
+    "agg_tdigest_sketch_distributed",
 )
 
 

@@ -3397,3 +3397,85 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         bucketed.unpersist()
+
+
+@query(
+    "agg_tdigest_sketch_distributed",
+    oracle=f"""
+    WITH {_tdigest_centroids_sql()}
+    SELECT side, lvl, sub,
+           CAST(count(*) AS BIGINT) AS weight,
+           CAST(min(r0) AS BIGINT) AS min_rank,
+           CAST(max(r0) AS BIGINT) AS max_rank,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / (100.0 * CAST(count(*) AS BIGINT)), 6) AS mean_price
+    FROM bucketed
+    GROUP BY side, lvl, sub
+    """,
+    doc=(
+        "The t-digest build at its 100 TB shape, EXECUTED — every "
+        "single-partition-window waiver in the sketch family justifies "
+        "itself with 'the 100 TB form is repartitionByRange + "
+        "per-partition offsets'; this query runs that form and proves "
+        "it equal: the global rank comes from operators/ids."
+        "global_row_number (range-partition by value, sort within "
+        "partitions, prefix-sum the O(partitions) count table, add "
+        "local positions in an Arrow-batched narrow pass — ONE range "
+        "shuffle of the data, no single-partition exchange anywhere; "
+        "the suite asserts the plan), and the centroid pipeline is "
+        "identical from there. The oracle is agg_tdigest_sketch's "
+        "text, so the driver hash-checks that the distributed build "
+        "produces the BIT-IDENTICAL sketch. Value ties may land in "
+        "either order across the range boundary, but rank k always "
+        "holds the value sorted order puts at k, and every centroid "
+        "stat is a function of the rank->value map alone — bucket "
+        "contents are tie-order-invariant (the agg_tdigest_sketch "
+        "contract), which is exactly why the hash match is achievable. "
+        "n arrives as a driver scalar from the same bounded count "
+        "table, not a data-sized global window."
+    ),
+)
+def agg_tdigest_sketch_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from parquet_exporter_spark.operators.ids import global_row_number
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    total = cents.count()
+    ranked = global_row_number(cents, ["cents"], id_col="rid").select(
+        "cents", (F.col("rid") - 1).cast("long").alias("r0")
+    )
+    keyed = ranked.select(
+        "cents",
+        "r0",
+        F.when(2 * F.col("r0") < total, 0).otherwise(1).alias("side"),
+        F.when(2 * F.col("r0") < total, F.col("r0") + 1)
+        .otherwise(F.lit(total) - F.col("r0"))
+        .alias("dd"),
+    )
+    lvled = keyed.withColumn(
+        "lvl",
+        (F.length(F.conv(F.col("dd").cast("string"), 10, 2)) - 1).cast("long"),
+    )
+    p = F.expr("shiftleft(1L, CAST(lvl AS INT))")
+    bucketed = lvled.withColumn(
+        "sub",
+        F.floor(
+            F.expr(f"((dd - shiftleft(1L, CAST(lvl AS INT))) * {_TD_SUB})") / p
+        ).cast("long"),
+    )
+    return bucketed.groupBy("side", "lvl", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("weight"),
+        F.min("r0").cast("long").alias("min_rank"),
+        F.max("r0").cast("long").alias("max_rank"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+        F.round(
+            F.sum("cents").cast("double") / (100.0 * F.count(F.lit(1))), 6
+        ).alias("mean_price"),
+    )

@@ -549,6 +549,11 @@ _X1_JUSTIFIED: dict[str, str] = {
     "sql_cte_multi_ref": "scalar: 1-row aggregate-CTE gather",
     "count_star": "scalar: the 1-row partial-count gather IS the query",
     "ids_global_rownum": "tasks: the per-partition offset table (global_row_number)",
+    "agg_tdigest_sketch_distributed": (
+        "tasks: the per-partition offset table (global_row_number) — the "
+        "whole point of this query is that the DATA never crosses a "
+        "single-partition exchange; only the O(partitions) count table does"
+    ),
     "multimodal_dedup_exact": "scalar: 1-row distinct-digest total",
     "text_unigram_logprob": "scalar: 1-row corpus-total gather",
     "sample_domain_mixture": "scalar: 1-row token-total gather",

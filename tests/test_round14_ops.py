@@ -406,3 +406,36 @@ def test_optimize_lifecycle_table(spark, sf_dir):
         r.n_files_pre == 8 and r.n_files_post == 3 for r in rows
     )
     assert all(r.kept_files_post < r.kept_files_pre for r in rows)
+
+
+def test_tdigest_distributed_build_equals_canonical(spark, sf_dir):
+    """The range-partition + offset-table build must produce the
+    BIT-IDENTICAL centroid sketch the single-partition window build
+    produces, and its plan must carry no data-sized single-partition
+    window — only global_row_number's O(partitions) offset table."""
+    from parquet_exporter_spark.queries.aggregates import (
+        agg_tdigest_sketch,
+        agg_tdigest_sketch_distributed,
+    )
+
+    a = {tuple(r) for r in agg_tdigest_sketch(spark, sf_dir).collect()}
+    b = {
+        tuple(r)
+        for r in agg_tdigest_sketch_distributed(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 10
+    plan = (
+        agg_tdigest_sketch_distributed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the canonical build's global window is absent; the only
+    # SinglePartition exchange feeds the bounded offset table
+    import re
+
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
+    # the range exchange ran inside global_row_number's localCheckpoint;
+    # the audited plan reads the materialized range-partitioned blocks
+    assert "ExistingRDD" in plan
