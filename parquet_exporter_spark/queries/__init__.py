@@ -189,6 +189,7 @@ PRIORITY = (
     "scan_optimize_compact",
     "stream_hll_twin",
     "agg_tdigest_sketch_distributed",
+    "stream_hdr_twin",
 )
 
 

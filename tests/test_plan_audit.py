@@ -67,6 +67,15 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "tables, all bounded by (langs x bigrams); the scoring scan "
         "itself stays fully partitioned",
     ),
+    "stream_hdr_twin": (
+        {"bnlj", "single_partition_x6"},
+        "agg_hdr_merge's shape driven through the streaming "
+        "foreachBatch handler: single-partition windows run over the "
+        "O(octaves * 8)-row BUCKET store (cum-count serve + n=sum(c)) "
+        "and the verification-only global exact ranking; gathers/bnljs "
+        "carry 2 probe rows, the 1-row law count and 1-row scalars — "
+        "the serve path reads the merged counter table only",
+    ),
     "stream_hll_twin": (
         {"bnlj", "single_partition_x3"},
         "register tables reduce map-side to <= 512 (bucket, max-rho) "

@@ -1249,3 +1249,95 @@ def test_streaming_hll_registers_exact_across_boundary_and_compaction(
     assert serve_hll_estimate(spark, regs2).collect()[0] == est_stream
     # replay of a compacted-away batch is still a no-op
     assert hll_apply_batch(whole_df, 0, store, "k") is False
+
+
+def test_streaming_hdr_buckets_exact_across_boundary_and_compaction(
+    spark, tmp_path
+):
+    """The HDR foreachBatch handler under a real readStream: merged
+    buckets equal the single-pass whole-stream build bucket for bucket
+    (counter add + bound folds are grouping-invariant), compaction is
+    lossless, and serving keeps the structural width ceiling."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.hdr_ingest import (
+        committed_batches,
+        compact_hdr_store,
+        hdr_apply_batch,
+        hdr_partial,
+        merge_hdr,
+        read_hdr_buckets,
+        serve_hdr_quantiles,
+    )
+
+    vals_a = [137 + 19 * i for i in range(80)]
+    vals_b = [900 + 31 * i for i in range(70)]
+    d = str(tmp_path / "hdr_points")
+    os.makedirs(d)
+    schema = "cents long"
+
+    def _write_flat(vals, filename, mtime):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(d, filename)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(staging)
+
+    t0 = _time.time() - 100
+    _write_flat(vals_a, "b0.parquet", t0)
+    _write_flat(vals_b, "b1.parquet", t0 + 10)
+
+    store = str(tmp_path / "hdr_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: hdr_apply_batch(b, i, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "hdr_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_batches(store) == [0, 1]
+
+    allv = sorted(vals_a + vals_b)
+    whole_df = spark.createDataFrame([(v,) for v in allv], schema)
+    whole = {tuple(r) for r in hdr_partial(whole_df).collect()}
+    merged = {
+        tuple(r)
+        for r in merge_hdr(read_hdr_buckets(spark, store))
+        .select("lvl", "sub", "c", "lo", "hi")
+        .collect()
+    }
+    assert merged == whole
+
+    probes = [0.1, 0.5, 0.9]
+    before = sorted(
+        tuple(r)
+        for r in serve_hdr_quantiles(
+            spark, read_hdr_buckets(spark, store), probes
+        ).collect()
+    )
+    for r in before:
+        p, t, c, lo, hi, cw, n, est = r
+        exact = allv[t]
+        assert lo <= exact <= hi
+        assert (hi - lo) / lo <= 0.125
+    # lossless compaction: identical serve
+    assert compact_hdr_store(spark, store, upto_batch=1)
+    after = sorted(
+        tuple(r)
+        for r in serve_hdr_quantiles(
+            spark, read_hdr_buckets(spark, store), probes
+        ).collect()
+    )
+    assert after == before
+    assert read_hdr_buckets(spark, store).count() == len(whole)
