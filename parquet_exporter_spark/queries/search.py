@@ -434,3 +434,171 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in K instead of the union lineage re-deriving every prior round
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected
+
+
+import math as _math
+
+_NDCG_KS = (5, 10, 20)
+# log2 discounts quantized ONCE in Python to integer micro-weights and
+# embedded as identical literals in BOTH engines — no cross-engine libm
+# anywhere in the metric (the text_langid_predict micronat trick).
+_NDCG_W = tuple(
+    int(round(1_000_000 / _math.log2(i + 1))) for i in range(1, TOP_N + 1)
+)
+_WTS_SQL = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+
+
+@query(
+    "search_ndcg_eval",
+    oracle=f"""
+    WITH {_BM25_ORACLE_BODY},
+    grades AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(least(3, CAST(sum(tf) AS BIGINT) // 3) AS BIGINT) AS grade
+        FROM tf GROUP BY doc_id),
+    ranked AS MATERIALIZED (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rn
+        FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_N})),
+    wts AS (SELECT * FROM (VALUES {_WTS_SQL}) AS t(rn, w)),
+    sys AS MATERIALIZED (
+        SELECT r.rn, coalesce(g.grade, 0) AS grade, w.w
+        FROM ranked r LEFT JOIN grades g USING (doc_id) JOIN wts w USING (rn)),
+    ideal AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY grade DESC, doc_id) AS BIGINT)
+                   AS rn,
+               grade
+        FROM grades ORDER BY grade DESC, doc_id LIMIT {TOP_N}),
+    idealw AS (SELECT i.rn, i.grade, w.w FROM ideal i JOIN wts w USING (rn)),
+    mrr AS (
+        SELECT coalesce(round(1.0 / min(rn), 6), 0.0) AS mrr
+        FROM sys WHERE grade > 0),
+    ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _NDCG_KS)})
+           AS t(k)),
+    dcg AS (
+        SELECT ks.k,
+               CAST(sum(CASE WHEN s.rn <= ks.k AND s.grade > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+               CAST(sum(CASE WHEN s.rn <= ks.k THEN s.grade * s.w
+                             ELSE 0 END) AS BIGINT) AS dcg_q
+        FROM ks CROSS JOIN sys s GROUP BY ks.k),
+    idcg AS (
+        SELECT ks.k,
+               CAST(sum(CASE WHEN i.rn <= ks.k THEN i.grade * i.w
+                             ELSE 0 END) AS BIGINT) AS idcg_q
+        FROM ks CROSS JOIN idealw i GROUP BY ks.k)
+    SELECT CAST(d.k AS BIGINT) AS k, d.n_rel_topk,
+           round(CAST(d.n_rel_topk AS DOUBLE) / d.k, 6) AS precision_at_k,
+           d.dcg_q, i.idcg_q,
+           round(CAST(d.dcg_q AS DOUBLE) / i.idcg_q, 6) AS ndcg_at_k,
+           m.mrr
+    FROM dcg d JOIN idcg i USING (k) CROSS JOIN mrr m
+    """,
+    doc=(
+        "Graded-relevance retrieval evaluation — nDCG@k, precision@k "
+        "and MRR over the BM25 ranking, the metric layer a RAG / "
+        "curation stack grades its retrievers with (recall@k existed "
+        "for the ANN paths; this adds the rank-discounted, "
+        "graded-relevance form). Relevance grades are deterministic "
+        "data: grade = min(3, total query-term occurrences div 3) from "
+        "the same posting rows BM25 scores — a tf-graded truth that "
+        "deliberately disagrees with BM25's dl-normalized idf ranking "
+        "at the margin, so the metric discriminates (nDCG@20 < 1 on "
+        "the fixture corpus, suite-pinned) instead of echoing the "
+        "system's own order. The decision path obeys the "
+        "exact-integer rule end to end: the log2 rank discounts are "
+        "quantized ONCE in Python to integer micro-weights embedded as "
+        "identical literals in both engines (no cross-engine libm in "
+        "the metric), so DCG@k and IDCG@k are exact BIGINT dot "
+        "products — order-independent sums — and nDCG is one IEEE "
+        "divide of exact longs, rounded at emit. IDCG ranks the full "
+        "graded set (grade DESC, doc_id), so the ratio is the textbook "
+        "normalization. Scale shape: everything after the |Q|-term "
+        "posting filter is bounded — a TOP_N ranking, a 20-row weight "
+        "literal, 3 k-values; the one corpus-sized pass is the scoring "
+        "scan BM25 already pays."
+    ),
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*QUERY_TERMS))
+    grades = toks.groupBy("doc_id").agg(
+        F.least(F.lit(3), F.expr("count(1) div 3")).cast("long").alias("grade")
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    ranked = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(TOP_N)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+    )
+    wts = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_NDCG_W)], "rn long, w long"
+    )
+    sys_t = (
+        ranked.join(grades, "doc_id", "left")
+        .select("rn", F.coalesce("grade", F.lit(0)).alias("grade"))
+        .join(F.broadcast(wts), "rn")
+    )
+    wi = Window.orderBy(F.col("grade").desc(), "doc_id")
+    ideal = (
+        grades.orderBy(F.col("grade").desc(), "doc_id")
+        .limit(TOP_N)
+        .withColumn("rn", F.row_number().over(wi).cast("long"))
+        .join(F.broadcast(wts), "rn")
+    )
+    mrr = sys_t.filter(F.col("grade") > 0).agg(
+        F.coalesce(F.round(1.0 / F.min("rn"), 6), F.lit(0.0)).alias("mrr")
+    )
+    ks = spark.createDataFrame([(k,) for k in _NDCG_KS], "k long")
+    dcg = (
+        ks.crossJoin(F.broadcast(sys_t))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when((F.col("rn") <= F.col("k")) & (F.col("grade") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rel_topk"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("k"), F.col("grade") * F.col("w")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_q"),
+        )
+    )
+    idcg = (
+        ks.crossJoin(F.broadcast(ideal))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("k"), F.col("grade") * F.col("w")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("idcg_q")
+        )
+    )
+    return (
+        dcg.join(idcg, "k")
+        .crossJoin(F.broadcast(mrr))
+        .select(
+            "k",
+            "n_rel_topk",
+            F.round(F.col("n_rel_topk").cast("double") / F.col("k"), 6).alias(
+                "precision_at_k"
+            ),
+            "dcg_q",
+            "idcg_q",
+            F.round(
+                F.col("dcg_q").cast("double") / F.col("idcg_q"), 6
+            ).alias("ndcg_at_k"),
+            "mrr",
+        )
+    )

@@ -67,6 +67,13 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "tables, all bounded by (langs x bigrams); the scoring scan "
         "itself stays fully partitioned",
     ),
+    "search_ndcg_eval": (
+        {"bnlj", "single_partition_x3"},
+        "bounded metric tables only: the TOP_N=20 ranking and the "
+        "20-row graded-ideal windows, the 1-row avgdl/mrr scalars, and "
+        "the 3-k x 20-row bnlj expansions — the one corpus-sized pass "
+        "is BM25's |Q|-term posting filter, which stays partitioned",
+    ),
     "stream_hdr_twin": (
         {"bnlj", "single_partition_x6"},
         "agg_hdr_merge's shape driven through the streaming "

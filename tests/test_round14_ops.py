@@ -439,3 +439,28 @@ def test_tdigest_distributed_build_equals_canonical(spark, sf_dir):
     # the range exchange ran inside global_row_number's localCheckpoint;
     # the audited plan reads the materialized range-partitioned blocks
     assert "ExistingRDD" in plan
+
+
+def test_ndcg_eval_invariants_and_discrimination(spark, sf_dir):
+    """Structural nDCG invariants at the default SF (DCG <= IDCG, both
+    positive, IDCG monotone in k, precision/mrr in (0, 1]), and at
+    sf0.01 the tf-graded truth must actually disagree with the BM25
+    order — nDCG@20 strictly below 1 — proving the metric measures the
+    ranking, not itself."""
+    from parquet_exporter_spark.queries.search import search_ndcg_eval
+
+    rows = sorted(search_ndcg_eval(spark, sf_dir).collect())
+    assert [r.k for r in rows] == [5, 10, 20]
+    prev_idcg = 0
+    for r in rows:
+        assert 0 < r.dcg_q <= r.idcg_q
+        assert 0 < r.ndcg_at_k <= 1.0
+        assert 0 < r.precision_at_k <= 1.0
+        assert 0 < r.mrr <= 1.0
+        assert r.idcg_q > prev_idcg
+        prev_idcg = r.idcg_q
+    r20 = {
+        r.k: r
+        for r in search_ndcg_eval(spark, "/root/testdata/sf0.01").collect()
+    }[20]
+    assert r20.ndcg_at_k < 1.0 and r20.dcg_q < r20.idcg_q
