@@ -1915,3 +1915,338 @@ def stream_hdr_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_mismatch") == 0).alias("merge_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS + KMV maintenance twins (round 14): with these, every
+# mergeable sketch in the repo (t-digest, HLL, HDR, CMS, KMV) has a
+# foreachBatch maintainer on the shared partial store, each twin
+# executing its real handler and hash-checking the exact merge law the
+# sketch actually has.
+
+_SCMS_PARTS = 3
+_SCMS_PROBES = (1, 2, 7, 13)
+
+
+def _cms_stream_scratch(sf_dir: str) -> str:
+    import glob as _glob
+    import hashlib as _hl
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = sorted(_glob.glob(src)) or [src]
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in files
+    )
+    tag = _hl.sha256(("scms:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_scms_{tag}")
+
+
+def _scms_oracle() -> str:
+    from parquet_exporter_spark.functions import dedup as _D
+
+    coeffs = _D.hash_coefficients(4)
+    seeds = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    bh = _D.sql_base_hash_31("CAST(o_custkey AS VARCHAR)")
+    bhp = _D.sql_base_hash_31("CAST(p.key AS VARCHAR)")
+    probes = ", ".join(f"('{k}')" for k in _SCMS_PROBES)
+    return f"""
+    WITH h AS MATERIALIZED (
+        SELECT o_custkey, o_orderkey % {_SCMS_PARTS} AS batch_id, {bh} AS h
+        FROM orders),
+    buck AS MATERIALIZED (
+        SELECT batch_id, seed AS depth,
+               ((a * h + b) % {_D.MERSENNE_31}) % 64 AS bucket
+        FROM h CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)),
+    part AS MATERIALIZED (
+        SELECT batch_id, depth, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM buck GROUP BY batch_id, depth, bucket),
+    merged AS MATERIALIZED (
+        SELECT depth, bucket, CAST(sum(c) AS BIGINT) AS c
+        FROM part GROUP BY depth, bucket),
+    whole AS MATERIALIZED (
+        SELECT depth, bucket, CAST(count(*) AS BIGINT) AS wc
+        FROM buck GROUP BY depth, bucket),
+    law AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN m.c IS DISTINCT FROM w.wc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cell_mismatch
+        FROM merged m FULL OUTER JOIN whole w USING (depth, bucket)),
+    pk AS (SELECT * FROM (VALUES {probes}) AS t(key)),
+    pb AS (
+        SELECT p.key, t.seed AS depth,
+               ((t.a * {bhp} + t.b) % {_D.MERSENNE_31}) % 64 AS bucket
+        FROM pk p CROSS JOIN (VALUES {seeds}) AS t(seed, a, b)),
+    est AS (
+        SELECT pb.key,
+               CAST(min(coalesce(m.c, 0)) AS BIGINT) AS est
+        FROM pb LEFT JOIN merged m USING (depth, bucket)
+        GROUP BY pb.key),
+    truth AS (
+        SELECT p.key, CAST(count(o.o_orderkey) AS BIGINT) AS true_cnt
+        FROM pk p LEFT JOIN orders o
+          ON CAST(o.o_custkey AS VARCHAR) = p.key
+        GROUP BY p.key)
+    SELECT e.key, e.est, t.true_cnt,
+           CAST(e.est - t.true_cnt AS BIGINT) AS overcount,
+           e.est >= t.true_cnt AS guarantee_holds,
+           CAST({_SCMS_PARTS} AS BIGINT) AS n_batches,
+           l.n_cells, l.n_cell_mismatch,
+           l.n_cell_mismatch = 0 AS merge_exact
+    FROM est e JOIN truth t USING (key) CROSS JOIN law l
+    """
+
+
+@query(
+    "stream_cms_twin",
+    oracle=_scms_oracle(),
+    doc=(
+        "Batch twin of STREAMING count-min-sketch maintenance — the "
+        "heavy-hitter monitor member of the foreachBatch family, "
+        "executing the real handler (streaming/cms_ingest.py): orders' "
+        f"o_custkey stream splits into {_SCMS_PARTS} deterministic "
+        "micro-batches committed as (depth x width) counter partials "
+        "into a versioned scratch store. CMS counters add, so the "
+        "merge is grouping-invariant like HDR's: the merged table "
+        "equals the single-pass whole-stream sketch CELL FOR CELL "
+        "(FULL OUTER mismatch count provably 0 — merge_exact), and "
+        "compaction is lossless. Serving is the standard min-over-"
+        "depths point read for a literal probe-key set, with the CMS "
+        "guarantee emitted as data: est >= true ALWAYS (counters only "
+        "ever add — guarantee_holds), measured overcount alongside. "
+        "Same portable LCG-coefficient hash family as "
+        "agg_count_min_portable, so build, merge, law, and serve all "
+        "hash-match DuckDB. At 100 TB: per-trigger state is <= 256 "
+        "counter rows; the store compacts to one such table with zero "
+        "information loss, and the serve is a d-row broadcast probe."
+    ),
+)
+def stream_cms_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.streaming.cms_ingest import (
+        cms_apply_batch,
+        cms_partial,
+        committed_batches,
+        merge_cms,
+        read_cms_counters,
+        serve_cms_estimates,
+    )
+
+    store = _cms_stream_scratch(sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey", (F.col("o_orderkey") % _SCMS_PARTS).alias("batch")
+    )
+    if len(committed_batches(store)) < _SCMS_PARTS:
+        for b in range(_SCMS_PARTS):
+            cms_apply_batch(
+                keyed.filter(F.col("batch") == b).select("o_custkey"),
+                b,
+                store,
+                "o_custkey",
+            )
+    counters = read_cms_counters(spark, store)
+    est = serve_cms_estimates(
+        spark, counters, [str(k) for k in _SCMS_PROBES]
+    )
+    whole = cms_partial(keyed.select("o_custkey"), "o_custkey").withColumnRenamed(
+        "c", "wc"
+    )
+    law = (
+        merge_cms(counters)
+        .join(whole, ["depth", "bucket"], "full_outer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.when(~F.col("c").eqNullSafe(F.col("wc")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cell_mismatch"),
+        )
+    )
+    probes = spark.createDataFrame(
+        [(str(k),) for k in _SCMS_PROBES], "key string"
+    )
+    truth = (
+        probes.join(
+            orders.select(
+                F.col("o_custkey").cast("string").alias("key"),
+                F.lit(1).alias("_m"),
+            ),
+            "key",
+            "left",
+        )
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).cast("long").alias("true_cnt"))
+    )
+    return (
+        est.join(truth, "key")
+        .crossJoin(F.broadcast(law))
+        .select(
+            "key",
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+            (F.col("est") >= F.col("true_cnt")).alias("guarantee_holds"),
+            F.lit(_SCMS_PARTS).cast("long").alias("n_batches"),
+            "n_cells",
+            "n_cell_mismatch",
+            (F.col("n_cell_mismatch") == 0).alias("merge_exact"),
+        )
+    )
+
+
+_SKMV_PARTS = 3
+
+
+def _kmv_stream_scratch(sf_dir: str) -> str:
+    import glob as _glob
+    import hashlib as _hl
+    import tempfile
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    files = sorted(_glob.glob(src)) or [src]
+    version = "|".join(
+        f"{p}:{os.path.getmtime(p):.6f}:{os.path.getsize(p)}" for p in files
+    )
+    tag = _hl.sha256(("skmv:" + version).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"pes_skmv_{tag}")
+
+
+@query(
+    "stream_kmv_twin",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey % {_SKMV_PARTS} AS batch_id,
+               ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)),
+                                  1, 15))::BIGINT AS hv
+        FROM lineitem),
+    part_topk AS MATERIALIZED (
+        SELECT batch_id, hv,
+               row_number() OVER (PARTITION BY batch_id ORDER BY hv) AS rk
+        FROM h QUALIFY rk <= 128),
+    merged AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM part_topk)
+        QUALIFY rk <= 128),
+    mstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(max(CASE WHEN rk = 128 THEN hv END) AS BIGINT) AS kth
+        FROM merged),
+    whole AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM h)
+        QUALIFY rk <= 128),
+    wstats AS (
+        SELECT CAST(max(CASE WHEN rk = 128 THEN hv END) AS BIGINT) AS kth_whole
+        FROM whole),
+    truth AS (
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+        FROM lineitem)
+    SELECT CAST(128 AS BIGINT) AS k, CAST({_SKMV_PARTS} AS BIGINT) AS n_batches,
+           m.n_kept, m.kth AS kth_merged, w.kth_whole,
+           m.kth IS NOT DISTINCT FROM w.kth_whole AS merge_exact,
+           CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+                ELSE CAST(round(127 * {float(1 << 60)!r}
+                                / CAST(m.kth AS DOUBLE)) AS BIGINT)
+                END AS BIGINT) AS est_distinct,
+           t.true_distinct,
+           round(abs(CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+                     ELSE CAST(round(127 * {float(1 << 60)!r}
+                                     / CAST(m.kth AS DOUBLE)) AS BIGINT)
+                     END AS DOUBLE) - t.true_distinct)
+                 / t.true_distinct, 6) AS rel_error,
+           abs(CAST(CASE WHEN m.kth IS NULL THEN m.n_kept
+               ELSE CAST(round(127 * {float(1 << 60)!r}
+                               / CAST(m.kth AS DOUBLE)) AS BIGINT)
+               END AS DOUBLE) - t.true_distinct)
+               <= 0.35 * t.true_distinct + 1 AS within_bound
+    FROM mstats m CROSS JOIN wstats w CROSS JOIN truth t
+    """,
+    doc=(
+        "Batch twin of STREAMING k-minimum-values maintenance — the "
+        "fifth and last mergeable sketch gains its foreachBatch "
+        "maintainer (streaming/kmv_ingest.py), executing the real "
+        f"handler: lineitem's l_partkey stream splits into "
+        f"{_SKMV_PARTS} deterministic micro-batches committed as "
+        "bottom-k (k=128) hash partials into a versioned scratch "
+        "store. The merge law is agg_kmv_union's bottom-k invariant "
+        "run through the store: every hash in the global bottom-k is "
+        "in its own batch's bottom-k, so union + re-truncate is "
+        "grouping-invariant and the merged k-th minimum PROVABLY "
+        "equals the single-pass whole-stream k-th minimum — "
+        "merge_exact with NULL-safe equality for under-k streams; "
+        "compaction is lossless for the same reason. The "
+        "(k-1)/U_(k) distinct estimate, truth, and 0.35 error verdict "
+        "ride along. Unlike the HLL maintainer the merged state holds "
+        "ACTUAL sample hashes, so two maintained stores are one more "
+        "merge from a streaming Jaccard. At 100 TB: per-trigger state "
+        "is 128 exact longs; serving is a k-row aggregate."
+    ),
+)
+def stream_kmv_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_exporter_spark.streaming.kmv_ingest import (
+        committed_batches,
+        kmv_apply_batch,
+        merge_kmv,
+        read_kmv_hashes,
+        serve_kmv_estimate,
+    )
+
+    store = _kmv_stream_scratch(sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_partkey", (F.col("l_orderkey") % _SKMV_PARTS).alias("batch")
+    )
+    if len(committed_batches(store)) < _SKMV_PARTS:
+        for b in range(_SKMV_PARTS):
+            kmv_apply_batch(
+                keyed.filter(F.col("batch") == b).select("l_partkey"),
+                b,
+                store,
+                "l_partkey",
+            )
+    hashes = read_kmv_hashes(spark, store)
+    served = serve_kmv_estimate(spark, hashes)
+    # whole-stream bottom-k, built single-pass for the law check
+    from parquet_exporter_spark.streaming.kmv_ingest import kmv_partial
+
+    from pyspark.sql import Window
+
+    whole = kmv_partial(keyed.select("l_partkey"), "l_partkey")
+    wk = whole.withColumn(
+        "rk", F.row_number().over(Window.orderBy("hv")).cast("long")
+    ).agg(
+        F.max(F.when(F.col("rk") == 128, F.col("hv")))
+        .cast("long")
+        .alias("kth_whole")
+    )
+    truth = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("true_distinct")
+    )
+    return (
+        served.crossJoin(F.broadcast(wk))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "k",
+            F.lit(_SKMV_PARTS).cast("long").alias("n_batches"),
+            "n_kept",
+            F.col("kth").alias("kth_merged"),
+            "kth_whole",
+            F.col("kth").eqNullSafe(F.col("kth_whole")).alias("merge_exact"),
+            "est_distinct",
+            "true_distinct",
+            F.round(
+                F.abs(
+                    F.col("est_distinct").cast("double")
+                    - F.col("true_distinct")
+                )
+                / F.col("true_distinct"),
+                6,
+            ).alias("rel_error"),
+            (
+                F.abs(
+                    F.col("est_distinct").cast("double")
+                    - F.col("true_distinct")
+                )
+                <= 0.35 * F.col("true_distinct") + 1
+            ).alias("within_bound"),
+        )
+    )

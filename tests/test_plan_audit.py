@@ -74,6 +74,20 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "the 3-k x 20-row bnlj expansions — the one corpus-sized pass "
         "is BM25's |Q|-term posting filter, which stays partitioned",
     ),
+    "stream_cms_twin": (
+        {"bnlj", "single_partition_x1"},
+        "agg_cms_merge's shape driven through the streaming "
+        "foreachBatch handler: counter tables reduce map-side to "
+        "<= 256 (depth, bucket) rows per partial; the gather carries "
+        "the 1-row law count, bnlj is the 4-probe x 1-row verdict join",
+    ),
+    "stream_kmv_twin": (
+        {"bnlj", "single_partition_x1"},
+        "agg_kmv_union's shape driven through the streaming "
+        "foreachBatch handler: per-batch bottom-k is "
+        "TakeOrderedAndProject; the single-partition window ranks the "
+        "<= k merged SKETCH rows, bnljs join 1-row state/truth scalars",
+    ),
     "stream_hdr_twin": (
         {"bnlj", "single_partition_x6"},
         "agg_hdr_merge's shape driven through the streaming "

@@ -1341,3 +1341,165 @@ def test_streaming_hdr_buckets_exact_across_boundary_and_compaction(
     )
     assert after == before
     assert read_hdr_buckets(spark, store).count() == len(whole)
+
+
+def test_streaming_cms_cells_exact_and_guarantee(spark, tmp_path):
+    """CMS foreachBatch under a real readStream: merged counters equal
+    the single-pass whole-stream sketch cell for cell, compaction is
+    lossless, and the one-sided guarantee (est >= true) holds for every
+    probed key."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.cms_ingest import (
+        cms_apply_batch,
+        cms_partial,
+        committed_batches,
+        compact_cms_store,
+        merge_cms,
+        read_cms_counters,
+        serve_cms_estimates,
+    )
+
+    keys_a = [f"k{i % 17}" for i in range(300)]
+    keys_b = [f"k{i % 23}" for i in range(250)]
+    d = str(tmp_path / "cms_points")
+    os.makedirs(d)
+    schema = "k string"
+
+    def _write_flat(vals, filename, mtime):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(d, filename)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(staging)
+
+    t0 = _time.time() - 100
+    _write_flat(keys_a, "b0.parquet", t0)
+    _write_flat(keys_b, "b1.parquet", t0 + 10)
+
+    store = str(tmp_path / "cms_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: cms_apply_batch(b, i, store, "k")
+        )
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_batches(store) == [0, 1]
+
+    allv = keys_a + keys_b
+    whole_df = spark.createDataFrame([(v,) for v in allv], schema)
+    whole = {tuple(r) for r in cms_partial(whole_df, "k").collect()}
+    counters = read_cms_counters(spark, store)
+    merged = {
+        tuple(r)
+        for r in merge_cms(counters).select("depth", "bucket", "c").collect()
+    }
+    assert merged == whole
+    # one-sided guarantee on every key actually present
+    import collections
+
+    true_counts = collections.Counter(allv)
+    probe = sorted(true_counts)[:10] + ["never-seen"]
+    est = {
+        r.key: r.est
+        for r in serve_cms_estimates(spark, counters, probe).collect()
+    }
+    for k in probe:
+        assert est[k] >= true_counts.get(k, 0), k
+    # lossless compaction
+    assert compact_cms_store(spark, store, upto_batch=1)
+    merged2 = {
+        tuple(r)
+        for r in merge_cms(read_cms_counters(spark, store))
+        .select("depth", "bucket", "c")
+        .collect()
+    }
+    assert merged2 == whole
+
+
+def test_streaming_kmv_bottomk_invariant_and_compaction(spark, tmp_path):
+    """KMV foreachBatch under a real readStream: the merged k-th
+    minimum equals the single-pass whole-stream k-th minimum (bottom-k
+    invariant), the merged state is exactly the global bottom-k set,
+    and compaction is lossless."""
+    import time as _time
+
+    from parquet_exporter_spark.streaming.kmv_ingest import (
+        KMV_K,
+        committed_batches,
+        compact_kmv_store,
+        kmv_apply_batch,
+        kmv_partial,
+        merge_kmv,
+        read_kmv_hashes,
+        serve_kmv_estimate,
+    )
+
+    keys_a = [f"user-{i}" for i in range(400)]
+    keys_b = [f"user-{i}" for i in range(250, 700)]
+    d = str(tmp_path / "kmv_points")
+    os.makedirs(d)
+    schema = "k string"
+
+    def _write_flat(vals, filename, mtime):
+        staging = os.path.join(d, f"__staging_{filename}")
+        spark.createDataFrame([(v,) for v in vals], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(d, filename)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(staging)
+
+    t0 = _time.time() - 100
+    _write_flat(keys_a, "b0.parquet", t0)
+    _write_flat(keys_b, "b1.parquet", t0 + 10)
+
+    store = str(tmp_path / "kmv_store")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: kmv_apply_batch(b, i, store, "k")
+        )
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert committed_batches(store) == [0, 1]
+
+    all_keys = list(dict.fromkeys(keys_a + keys_b))
+    whole_df = spark.createDataFrame([(v,) for v in all_keys], schema)
+    whole = sorted(r.hv for r in kmv_partial(whole_df, "k").collect())
+    merged = sorted(
+        r.hv for r in merge_kmv(read_kmv_hashes(spark, store)).collect()
+    )
+    assert merged == whole and len(merged) == KMV_K
+    served = serve_kmv_estimate(spark, read_kmv_hashes(spark, store)).collect()[0]
+    assert served.kth == whole[-1]
+    true_n = len(all_keys)
+    assert abs(served.est_distinct - true_n) <= 0.35 * true_n + 1
+    # lossless compaction, replay no-op on a compacted-away batch
+    assert compact_kmv_store(spark, store, upto_batch=1)
+    merged2 = sorted(
+        r.hv for r in merge_kmv(read_kmv_hashes(spark, store)).collect()
+    )
+    assert merged2 == whole
+    assert kmv_apply_batch(whole_df, 0, store, "k") is False
