@@ -52,6 +52,7 @@ __all__ = [
     "merge_kmv",
     "serve_kmv_estimate",
     "compact_kmv_store",
+    "kmv_jaccard_stores",
 ]
 
 # MUST stay in lockstep with queries/aggregates.py _KMV_K/_KMV_HEX
@@ -145,4 +146,41 @@ def serve_kmv_estimate(spark, hashes: DataFrame) -> DataFrame:
         "n_kept",
         "kth",
         est.alias("est_distinct"),
+    )
+
+
+def kmv_jaccard_stores(spark, store_a: str, store_b: str) -> DataFrame:
+    """Streaming Jaccard between two maintained KMV stores — the 'one
+    more merge away' the module docstring promises, executed: U =
+    bottom-k of (merged A  union  merged B), estimate = |U n sketch_A n
+    sketch_B| / |U|.
+
+    The sketch-only membership test is EXACT for U's elements, not an
+    approximation: U equals the true bottom-k of A u B (bottom-k
+    invariant), and any h in U that belongs to A satisfies h <=
+    kth(A u B) <= kth(A), so h is necessarily inside A's kept bottom-k
+    — membership in the sketch coincides with membership in the set.
+    The estimator therefore equals the full-set-marked estimator the
+    batch query (agg_kmv_jaccard) computes, which the suite pins by
+    direct equality. Returns ONE row (k, n_union_sample, n_both,
+    est_jaccard)."""
+    a = merge_kmv(read_kmv_hashes(spark, store_a))
+    b = merge_kmv(read_kmv_hashes(spark, store_b))
+    u = a.union(b).distinct().orderBy("hv").limit(KMV_K)
+    marked = (
+        u.join(F.broadcast(a.withColumn("in_a", F.lit(1))), "hv", "left")
+        .join(F.broadcast(b.withColumn("in_b", F.lit(1))), "hv", "left")
+        .select(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            .otherwise(0)
+            .alias("both")
+        )
+    )
+    return marked.agg(
+        F.lit(KMV_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_union_sample"),
+        F.sum("both").cast("long").alias("n_both"),
+        F.round(
+            F.sum("both").cast("double") / F.count(F.lit(1)), 6
+        ).alias("est_jaccard"),
     )

@@ -1503,3 +1503,60 @@ def test_streaming_kmv_bottomk_invariant_and_compaction(spark, tmp_path):
     )
     assert merged2 == whole
     assert kmv_apply_batch(whole_df, 0, store, "k") is False
+
+
+def test_streaming_kmv_jaccard_between_stores(spark, tmp_path):
+    """Jaccard between two maintained KMV stores: the sketch-only
+    membership test is exact for the union bottom-k, so the estimate
+    equals the full-set-marked estimator computed from the raw key
+    sets, and sits within the k=128 sampling bound of the true
+    Jaccard."""
+    from parquet_exporter_spark.streaming.kmv_ingest import (
+        KMV_K,
+        kmv_apply_batch,
+        kmv_jaccard_stores,
+        kmv_partial,
+    )
+
+    set_a = [f"u{i}" for i in range(600)]
+    set_b = [f"u{i}" for i in range(300, 900)]  # true J = 300/900 = 1/3
+    store_a = str(tmp_path / "ja")
+    store_b = str(tmp_path / "jb")
+    schema = "k string"
+    # two batches per store — the stores are genuinely maintained
+    for store, keys in ((store_a, set_a), (store_b, set_b)):
+        half = len(keys) // 2
+        assert kmv_apply_batch(
+            spark.createDataFrame([(v,) for v in keys[:half]], schema),
+            0,
+            store,
+            "k",
+        )
+        assert kmv_apply_batch(
+            spark.createDataFrame([(v,) for v in keys[half:]], schema),
+            1,
+            store,
+            "k",
+        )
+    got = kmv_jaccard_stores(spark, store_a, store_b).collect()[0]
+    assert got.n_union_sample == KMV_K
+    # equality with the full-set-marked estimator (exactness claim)
+    ha = {r.hv for r in kmv_partial(
+        spark.createDataFrame([(v,) for v in set_a], schema), "k"
+    ).collect()}
+    full_a = {r.hv for r in spark.createDataFrame(
+        [(v,) for v in set_a], schema
+    ).selectExpr(
+        "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS LONG) AS hv"
+    ).collect()}
+    full_b = {r.hv for r in spark.createDataFrame(
+        [(v,) for v in set_b], schema
+    ).selectExpr(
+        "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS LONG) AS hv"
+    ).collect()}
+    u = sorted(full_a | full_b)[:KMV_K]
+    n_both_true = sum(1 for h in u if h in full_a and h in full_b)
+    assert got.n_both == n_both_true
+    assert got.est_jaccard == round(n_both_true / KMV_K, 6)
+    # sampling bound vs the true Jaccard (3-sigma-ish for k=128)
+    assert abs(got.est_jaccard - 1 / 3) <= 0.15
