@@ -37,12 +37,20 @@ def _sq_dist(col, centroid: list[float]):
 
 
 def _assign(sub_col, cents: list[list[float]]):
-    """(code, dist) expressions: nearest centroid, min-index tiebreak."""
-    dists = [_sq_dist(sub_col, c) for c in cents]
-    m = F.least(*dists)
-    code = F.lit(len(cents) - 1)
-    for cid in range(len(cents) - 2, -1, -1):
-        code = F.when(dists[cid] == m, F.lit(cid)).otherwise(code)
+    """(code, dist) expressions: nearest centroid, min-index tiebreak.
+
+    Optimization r14 (guide §1.2 step 2, §7.2): the K distances are built
+    ONCE into an array and the argmin is ``array_position(arr, array_min
+    (arr))`` — the first index achieving the minimum, i.e. the identical
+    min-index tiebreak the previous K-deep ``when`` chain computed, but
+    each distance subexpression now appears once instead of three times
+    (in ``least``, in each ``when`` probe, and in the carried dist),
+    shrinking the analyzed/codegen'd expression tree ~3x per subspace.
+    Distances are round(·, 9)-snapped, so equality semantics are
+    unchanged."""
+    darr = F.array(*[_sq_dist(sub_col, c) for c in cents])
+    m = F.array_min(darr)
+    code = (F.array_position(darr, m) - 1).cast("int")
     return code, m
 
 
@@ -94,25 +102,55 @@ def pq_model(
     ]
 
     for it in range(n_iters - 1):
-        assigned = subs.select(
-            "vec_id",
+        # Optimization r14 (guide §1.2 step 1: don't compute things you
+        # throw away): the M-step used to run one collect() PER SUBSPACE —
+        # 8 jobs, each re-evaluating the assignment expressions for ALL 8
+        # subspaces and keeping one — i.e. 8x the assignment compute and
+        # 8 analysis/codegen/scheduling rounds per iteration. All
+        # subspaces now explode into one (m, c, i, v) stream and ONE
+        # map-side-combinable aggregate (guide §2.3) returns every
+        # codebook in a single K*M*(D/M)-row collect. Centroid values are
+        # avg + round(·, 9) exactly as before, so the 1e-9 snapping that
+        # already absorbed partial-aggregation order keeps them
+        # bit-identical.
+        # The heavy argmin expressions are computed in a Project BELOW the
+        # explode (measured 3x faster than inlining them in the generator:
+        # the Generate path evaluates its generator expression row-at-a-time
+        # outside whole-stage codegen); the exploded structs then carry only
+        # cheap column references.
+        proj = subs.select(
             *[F.col(f"s{m}") for m in range(n_subspaces)],
             *[
                 _assign(F.col(f"s{m}"), books[m])[0].alias(f"c{m}")
                 for m in range(n_subspaces)
             ],
         )
+        assigned = proj.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"c{m}").alias("c"),
+                            F.col(f"s{m}").alias("s"),
+                        )
+                        for m in range(n_subspaces)
+                    ]
+                )
+            ).alias("e")
+        )
+        rows = (
+            assigned.select("e.m", "e.c", F.posexplode("e.s").alias("i", "v"))
+            .groupBy("m", "c", "i")
+            .agg(F.round(F.avg("v"), 9).alias("mu"))
+            .collect()
+        )
+        by_mc: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            by_mc.setdefault(r.m, {}).setdefault(r.c, {})[r.i] = r.mu
+        # empty clusters keep their previous centroid
         for m in range(n_subspaces):
-            rows = (
-                assigned.select(F.col(f"c{m}").alias("c"), F.posexplode(f"s{m}").alias("i", "v"))
-                .groupBy("c", "i")
-                .agg(F.round(F.avg("v"), 9).alias("mu"))
-                .collect()
-            )
-            by_c: dict[int, dict[int, float]] = {}
-            for r in rows:
-                by_c.setdefault(r.c, {})[r.i] = r.mu
-            # empty clusters keep their previous centroid
+            by_c = by_mc.get(m, {})
             books[m] = [
                 [by_c.get(c, {}).get(i, books[m][c][i]) for i in range(sub_dim)]
                 for c in range(n_centroids)

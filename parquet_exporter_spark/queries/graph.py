@@ -746,13 +746,30 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        n_cust = edges.select("c").distinct().count()
-        # nano-unit integer carry: hub/auth live as exact 1e9-scaled longs
+        # Optimization r14 (guide §1.2 step 1, §2.4): each half-iteration
+        # used to evaluate its aggregate TWICE — once under the 1-row
+        # broadcast total (a_tot/h_tot re-derived a_raw/h_raw, which were
+        # never persisted) and once on the main path — costing an extra
+        # join+groupBy per half-step plus a broadcast-exchange job. The
+        # normalizer is now an unpartitioned window SUM over the raw
+        # aggregate (node-sized input: one row per supplier/customer), so
+        # each half-iteration is ONE join + ONE groupBy + one single-
+        # partition window: 2 Exchanges instead of 4 per half-step and no
+        # broadcast job. The nano-unit integer math is unchanged — long
+        # sums, then floor((v/t)*1e9) on exact-long operands — so every
+        # score is bit-identical to the unrolled oracle recursion. The
+        # per-half-iteration eager checkpoint stays: it bounds lineage and
+        # keeps each iteration's shuffle out of the next plan.
+        from pyspark.sql import Window as W
+
+        wall = W.partitionBy()
+        # hub init folded into the same window trick: 1e9 DIV n_cust as an
+        # exact long division (no separate count() job).
         hubs = (
             edges.select("c")
             .distinct()
-            .withColumn("hub", F.lit(1_000_000_000 // n_cust).cast("long"))
-            .localCheckpoint(eager=True)
+            .withColumn("__n", F.count(F.lit(1)).over(wall))
+            .select("c", F.expr("CAST(1000000000 DIV __n AS BIGINT)").alias("hub"))
         )
         norm = lambda v, t: F.floor(  # noqa: E731 — one deterministic step
             (v.cast("double") / t.cast("double")) * F.lit(1000000000.0)
@@ -762,19 +779,19 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_raw = (
                 edges.join(hubs, "c").groupBy("s").agg(F.sum("hub").alias("v"))
             )
-            a_tot = a_raw.agg(F.sum("v").alias("t"))
             auth = (
-                a_raw.join(F.broadcast(a_tot))
-                .select("s", norm(F.col("v"), F.col("t")).alias("auth"))
+                a_raw.select(
+                    "s", norm(F.col("v"), F.sum("v").over(wall)).alias("auth")
+                )
                 .localCheckpoint(eager=True)
             )
             h_raw = (
                 edges.join(auth, "s").groupBy("c").agg(F.sum("auth").alias("v"))
             )
-            h_tot = h_raw.agg(F.sum("v").alias("t"))
             hubs = (
-                h_raw.join(F.broadcast(h_tot))
-                .select("c", norm(F.col("v"), F.col("t")).alias("hub"))
+                h_raw.select(
+                    "c", norm(F.col("v"), F.sum("v").over(wall)).alias("hub")
+                )
                 .localCheckpoint(eager=True)
             )
         w = Window.orderBy(F.desc("auth_nano"), "supp_key")
