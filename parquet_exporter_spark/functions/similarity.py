@@ -225,7 +225,12 @@ def ivf_topk(
     )
 
     spark = df.sparkSession
-    centroids = spark.createDataFrame(
+    # single-partition local relation: k centroid rows otherwise spread
+    # over defaultParallelism near-empty partitions (see tables.tiny_df)
+    from parquet_exporter_spark.tables import tiny_df
+
+    centroids = tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )

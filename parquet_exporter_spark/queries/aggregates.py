@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from parquet_exporter_spark.queries._util import rmoney, rratio
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 
 @query(
@@ -478,7 +478,8 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for key, n in sorted(exact)
     ]
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "o_orderpriority string, exact_count long, "
         "never_undercounts boolean, within_eps_bound boolean",
@@ -1447,7 +1448,7 @@ def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("hi_cents"),
             F.first("n").cast("long").alias("n"),
         )
-        probes = spark.createDataFrame([(p,) for p in _TD_PROBES], "p double")
+        probes = tiny_df(spark, [(p,) for p in _TD_PROBES], "p double")
         targets = (
             probes.crossJoin(F.broadcast(cent.select("n").limit(1)))
             .select("p", F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t"))
@@ -2245,7 +2246,7 @@ def agg_tdigest_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.col("cw") + F.col("w")) - 1).cast("long").alias("cw_end"),
         F.first("n").cast("long").alias("n"),
     )
-    probes = spark.createDataFrame([(p,) for p in _TD_PROBES], "p double")
+    probes = tiny_df(spark, [(p,) for p in _TD_PROBES], "p double")
     targets = (
         probes.crossJoin(F.broadcast(mcent.select("n").limit(1)))
         .select("p", F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t"))
@@ -2739,7 +2740,7 @@ def agg_tdigest_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("nh").cast("long").alias("nh"),
         )
         groups = cent.groupBy("grp").agg(F.first("nh").alias("nh"))
-        probes = spark.createDataFrame([(p,) for p in _TDG_PROBES], "p double")
+        probes = tiny_df(spark, [(p,) for p in _TDG_PROBES], "p double")
         targets = groups.crossJoin(F.broadcast(probes)).select(
             "grp",
             "p",
@@ -2896,9 +2897,7 @@ def agg_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("hi_cents"),
             F.first("n").cast("long").alias("n"),
         )
-        probes = spark.createDataFrame(
-            [(v,) for v in _TD_CDF_PROBES], "v long"
-        )
+        probes = tiny_df(spark, [(v,) for v in _TD_CDF_PROBES], "v long")
         agg = (
             probes.crossJoin(F.broadcast(cent))
             .groupBy("v")
@@ -3126,7 +3125,7 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).cast("long"),
         )
-        probes = spark.createDataFrame([(p,) for p in _HDR_PROBES], "p double")
+        probes = tiny_df(spark, [(p,) for p in _HDR_PROBES], "p double")
         targets = (
             probes.crossJoin(F.broadcast(cum.select("n").limit(1)))
             .select(
@@ -3350,7 +3349,7 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long"),
         )
-        probes = spark.createDataFrame([(p,) for p in _HDR_PROBES], "p double")
+        probes = tiny_df(spark, [(p,) for p in _HDR_PROBES], "p double")
         targets = probes.crossJoin(F.broadcast(cum.select("mn").limit(1))).select(
             "p", F.floor(F.col("p") * (F.col("mn") - 1)).cast("long").alias("t")
         )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 
 @query(
@@ -187,7 +187,7 @@ def catalog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     names = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
     rows = [(t, tables.table_rowcount(sf_dir, t)) for t in names]
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    return tiny_df(spark, rows, "table_name string, n_rows long")
 
 
 N_PSI_BINS = 10

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 FIXTURES = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
@@ -171,7 +171,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def schema_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return spark.createDataFrame([(c,) for c in li.columns], "column_name string")
+    return tiny_df(spark, [(c,) for c in li.columns], "column_name string")
 
 
 @query(
@@ -833,8 +833,8 @@ def scan_footer_stats_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         for s in stats
     ]
-    return spark.createDataFrame(
-        rows, "file_name string, n_rows long, min_ts string, max_ts string"
+    return tiny_df(
+        spark, rows, "file_name string, n_rows long, min_ts string, max_ts string"
     )
 
 
@@ -1690,7 +1690,8 @@ def scan_zonemap_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in _pq.read_table(man).to_pylist()
     ]
-    zm = spark.createDataFrame(
+    zm = tiny_df(
+        spark,
         rows,
         "file_name string, col_name string, num_rows long, "
         "lo_num double, hi_num double, lo_str string, hi_str string",

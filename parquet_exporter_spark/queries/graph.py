@@ -435,7 +435,16 @@ _BFS_DEPTH = 4  # recursion bound: chunk-share graphs have tiny diameter
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    _chunk_edges(docs).createOrReplaceTempView("__bfs_edges")
+    # Optimization r14 (guide §1.2 step 1): the recursive CTE references
+    # __bfs_edges in the seed scan AND at every recursion level, so the
+    # tokenize + chunk-explode + self-join + DISTINCT chain re-ran once
+    # per BFS depth. Materialize the (bounded, doc-pair-sized) edge set
+    # once; every level then reads the checkpointed rows. Values are
+    # unchanged — the same edge relation, computed once instead of
+    # depth+1 times.
+    _chunk_edges(docs).localCheckpoint(eager=True).createOrReplaceTempView(
+        "__bfs_edges"
+    )
     return spark.sql(
         f"""
         WITH RECURSIVE seeds AS (
@@ -592,6 +601,19 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
+    # Optimization r14 (guide §1.2 step 1, §3.1): the edge relation was
+    # referenced FOUR times (e1, e2, the anti-join probe set, deg) with no
+    # persist, so the lineitem scan + self-join + DISTINCT re-ran four
+    # times per execution; persist computes it once (231k rows / ~4 MB at
+    # sf0.01 — node-graph-sized, bounded). The anti-join's right side and
+    # the degree table are explicitly broadcast: both are edge/node-sized,
+    # while the left side is the 2-hop candidate stream (tens of millions
+    # of rows) whose post-join size estimate is inflated far past
+    # autoBroadcastJoinThreshold — without the hints the planner shuffled
+    # the candidate stream TWICE (SortMergeJoin LeftAnti + SortMergeJoin
+    # for deg) before the aggregate; with them the candidates flow from
+    # the 2-hop join straight into the partial aggregate with zero
+    # intermediate exchange (plans/r14/graph_adamic_adar_{before,after}).
     edges = (
         lines.alias("a")
         .join(lines.alias("b"), "l_orderkey")
@@ -600,49 +622,54 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        .persist()
     )
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).withColumnRenamed("src", "node")
-    cand = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .filter(F.col("e1.src") != F.col("e2.dst"))
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e2.dst").alias("b"),
-            F.col("e1.dst").alias("w"),
+    try:
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).withColumnRenamed("src", "node")
+        cand = (
+            edges.alias("e1")
+            .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+            .filter(F.col("e1.src") != F.col("e2.dst"))
+            .select(
+                F.col("e1.src").alias("a"),
+                F.col("e2.dst").alias("b"),
+                F.col("e1.dst").alias("w"),
+            )
         )
-    )
-    nonedge = cand.join(
-        edges,
-        (cand["a"] == edges["src"]) & (cand["b"] == edges["dst"]),
-        "left_anti",
-    )
-    scored = (
-        nonedge.join(deg, nonedge["w"] == deg["node"])
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
-            F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
-                "aa_score"
-            ),
+        nonedge = cand.join(
+            F.broadcast(edges),
+            (cand["a"] == edges["src"]) & (cand["b"] == edges["dst"]),
+            "left_anti",
         )
-    )
-    wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
-    return (
-        scored.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= _AA_TOPK)
-        .select(
-            F.col("a").alias("part_key"),
-            F.col("b").alias("predicted_part"),
-            F.col("rn").cast("long").alias("rank"),
-            "n_common",
-            "ra_fp",
-            "aa_score",
+        scored = (
+            nonedge.join(F.broadcast(deg), nonedge["w"] == deg["node"])
+            .groupBy("a", "b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
+                F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
+                    "aa_score"
+                ),
+            )
         )
-    )
+        wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
+        out = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= _AA_TOPK)
+            .select(
+                F.col("a").alias("part_key"),
+                F.col("b").alias("predicted_part"),
+                F.col("rn").cast("long").alias("rank"),
+                "n_common",
+                "ra_fp",
+                "aa_score",
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        edges.unpersist()
 
 
 _HITS_ITERS = 3
@@ -871,6 +898,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
+    # Optimization r14 (guide §1.2 step 1, §3.1): same treatment as
+    # graph_adamic_adar — edges was referenced three times (e1, e2, deg)
+    # with no persist (lineitem scan + self-join + DISTINCT ran 3x), and
+    # the two node-sized degree lookups joined the aggregated pair stream
+    # through SortMergeJoins; persist edges once, broadcast both degree
+    # sides (plans/r14/graph_jaccard_neighbors_{before,after}.txt).
     edges = (
         lines.alias("a")
         .join(lines.alias("b"), "l_orderkey")
@@ -879,6 +912,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
         "src", "node"
@@ -892,8 +926,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    da = F.broadcast(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    )
     scored = (
         inter.join(da, "a")
         .join(db, "b")
@@ -911,18 +949,22 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("a").orderBy(F.desc("jac"), "b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _JAC_TOPK)
-        .select(
-            F.col("a").alias("part_key"),
-            F.col("b").alias("other_part"),
-            F.col("rn").cast("long").alias("rank"),
-            "n_inter",
-            "n_union",
-            F.round("jac", 6).alias("jaccard"),
+    try:
+        out = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _JAC_TOPK)
+            .select(
+                F.col("a").alias("part_key"),
+                F.col("b").alias("other_part"),
+                F.col("rn").cast("long").alias("rank"),
+                "n_inter",
+                "n_union",
+                F.round("jac", 6).alias("jaccard"),
+            )
         )
-    )
+        return out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        edges.unpersist()
 
 
 @query(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from parquet_exporter_spark.operators.asof import asof_join, asof_join_nearest
 from parquet_exporter_spark.queries._util import rmoney
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -223,9 +223,10 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = tiny_df(
+        spark,
         [("low", 0.0, 25.0), ("mid", 25.0, 75.0), ("high", 75.0, 1e9)],
-        schema="band string, lo double, hi double",
+        "band string, lo double, hi double",
     )
     cond = (events.value >= bands.lo) & (events.value < bands.hi)
     return (

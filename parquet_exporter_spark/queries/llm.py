@@ -16,7 +16,7 @@ from parquet_exporter_spark.functions import similarity as S
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
 from parquet_exporter_spark import tables
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 
 # ---------------------------------------------------------------- dedup
@@ -1458,8 +1458,8 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configs = spark.createDataFrame([(4, 6), (8, 3), (6, 4), (12, 2)], "bands: int, rows_: int")
-    js = spark.createDataFrame([(0.1,), (0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "j: double")
+    configs = tiny_df(spark, [(4, 6), (8, 3), (6, 4), (12, 2)], "bands: int, rows_: int")
+    js = tiny_df(spark, [(0.1,), (0.3,), (0.5,), (0.7,), (0.8,), (0.9,)], "j: double")
     return configs.crossJoin(js).select(
         "bands",
         "rows_",

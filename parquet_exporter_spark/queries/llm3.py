@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
 
@@ -148,7 +148,7 @@ BLOCKED_SOURCES = ("src0", "src7")
 )
 def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    block = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    block = tiny_df(spark, [(s,) for s in BLOCKED_SOURCES], "source string")
     return docs.join(F.broadcast(block), "source", "left_anti").select("doc_id", "source")
 
 

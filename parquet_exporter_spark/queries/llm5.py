@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 # GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
 # (DuckDB) agree: common English contraction suffixes, then letter runs,
@@ -1038,7 +1038,8 @@ def _bpe_fit_loop(
 )
 def text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_fit_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         merges,
         "merge_rank long, lhs string, rhs string, merged string, pair_count long",
     )
@@ -1296,7 +1297,8 @@ def _bpe_fit_merges_bytes(
 )
 def text_bpe_fit_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_fit_merges_bytes(spark, sf_dir)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         merges,
         "merge_rank long, lhs string, rhs string, merged string, pair_count long",
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 _BUDGET_TOKENS = 20_000  # per-source token budget
 
@@ -388,7 +388,7 @@ def sample_hash_rate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
     )
     u = docs.select(unif.alias("unif"))
-    rates = spark.createDataFrame([(0.01,), (0.1,), (0.5,)], "rate: double")
+    rates = tiny_df(spark, [(0.01,), (0.1,), (0.5,)], "rate: double")
     rep = u.crossJoin(F.broadcast(rates))
     kept = F.col("unif") < F.col("rate")
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from parquet_exporter_spark import tables
 from parquet_exporter_spark.functions import text as T
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 QUERY_TERMS = ("spark", "join", "window", "stream")
 QUERY_TEXT = "spark join window stream data"
@@ -534,8 +534,8 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_N)
         .withColumn("rn", F.row_number().over(wr).cast("long"))
     )
-    wts = spark.createDataFrame(
-        [(i + 1, w) for i, w in enumerate(_NDCG_W)], "rn long, w long"
+    wts = tiny_df(
+        spark, [(i + 1, w) for i, w in enumerate(_NDCG_W)], "rn long, w long"
     )
     sys_t = (
         ranked.join(grades, "doc_id", "left")
@@ -552,7 +552,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrr = sys_t.filter(F.col("grade") > 0).agg(
         F.coalesce(F.round(1.0 / F.min("rn"), 6), F.lit(0.0)).alias("mrr")
     )
-    ks = spark.createDataFrame([(k,) for k in _NDCG_KS], "k long")
+    ks = tiny_df(spark, [(k,) for k in _NDCG_KS], "k long")
     dcg = (
         ks.crossJoin(F.broadcast(sys_t))
         .groupBy("k")

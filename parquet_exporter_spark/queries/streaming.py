@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_exporter_spark.registry import query
-from parquet_exporter_spark.tables import read_table
+from parquet_exporter_spark.tables import read_table, tiny_df
 
 
 @query(
@@ -2061,9 +2061,7 @@ def stream_cms_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cell_mismatch"),
         )
     )
-    probes = spark.createDataFrame(
-        [(str(k),) for k in _SCMS_PROBES], "key string"
-    )
+    probes = tiny_df(spark, [(str(k),) for k in _SCMS_PROBES], "key string")
     truth = (
         probes.join(
             orders.select(

@@ -92,6 +92,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _rowcount_cache: dict[tuple[str, str], int] = {}
 
 
+def tiny_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Single-partition local relation for literal probe/config tables.
+
+    ``createDataFrame`` parallelizes local rows over
+    ``defaultParallelism`` slices, so a 4-row literal table schedules 32
+    near-empty tasks per downstream operator on local[32] — and a
+    cartesian of two such relations squares it (32x32 = 1024 tasks for
+    24 rows, measured ~20 s of pure task scheduling). Passing a 1-slice
+    RDD keeps the identical pickle->Row conversion path (same values,
+    same schema application) with ONE partition = one task.
+
+    Measured on an 18-row relation, 5-run average of count():
+    plain createDataFrame 0.545 s, createDataFrame().coalesce(1)
+    5.32 s (the coalesce serializes 32 Python-worker partition
+    evaluations into one task — do NOT use coalesce here),
+    parallelize(data, 1) 0.243 s.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(data), 1), schema
+    )
+
+
 def table_rowcount(sf_dir: str, name: str) -> int:
     """Exact table cardinality from parquet footer metadata (catalog stats).
 

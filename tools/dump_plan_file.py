@@ -28,6 +28,16 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     _ensure_loaded()
     spark = get_spark(app_name="dump_plan_file")
+    if os.environ.get("PES_PLAN_NO_CHECKPOINT"):
+        # Plan-evidence mode: queries that eagerly localCheckpoint their
+        # result would dump as a bare `Scan ExistingRDD`; bypassing the
+        # checkpoint (identity) exposes the full physical plan of the
+        # computation the checkpoint would materialize.
+        # Spark 4: pyspark.sql.DataFrame is the abstract interface; the
+        # concrete class whose method instances resolve is the classic one.
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self  # type: ignore[assignment]
     tracker = spark.sparkContext._jsc.sc().statusTracker()
 
     def n_jobs() -> int:
