@@ -628,14 +628,29 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = edges.groupBy("src").agg(
             F.count(F.lit(1)).alias("deg")
         ).withColumnRenamed("src", "node")
+        # Optimization r14 round 2 (guide §1.2 step 1, §2.3): the edge set
+        # is symmetric by construction (both directions of every co-order
+        # pair survive the != filter), so n_common / ra_fp / aa_score are
+        # symmetric in (a, b) — the walk multisets {a->w->b} and {b->w->a}
+        # are mirror-bijective. Score only the a < b half of the candidate
+        # stream (HALF the anti-join probes, degree lookups and aggregate
+        # hashing on the tens-of-millions-row walk stream) and mirror the
+        # pair-level aggregate afterwards, which also makes the float
+        # aa_score payload exactly equal between the two directions
+        # instead of relying on round-6 absorbing addend order. deg(w) is
+        # attached to the EDGE relation (231k rows at sf0.01) before the
+        # 2-hop join instead of probing a broadcast join once per walk row.
+        edges_w = edges.join(
+            F.broadcast(deg), edges["dst"] == deg["node"]
+        ).select("src", "dst", "deg")
         cand = (
-            edges.alias("e1")
+            edges_w.alias("e1")
             .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-            .filter(F.col("e1.src") != F.col("e2.dst"))
+            .filter(F.col("e1.src") < F.col("e2.dst"))
             .select(
                 F.col("e1.src").alias("a"),
                 F.col("e2.dst").alias("b"),
-                F.col("e1.dst").alias("w"),
+                F.col("e1.deg").alias("deg"),
             )
         )
         nonedge = cand.join(
@@ -643,15 +658,20 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cand["a"] == edges["src"]) & (cand["b"] == edges["dst"]),
             "left_anti",
         )
-        scored = (
-            nonedge.join(F.broadcast(deg), nonedge["w"] == deg["node"])
-            .groupBy("a", "b")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_common"),
-                F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
-                F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
-                    "aa_score"
-                ),
+        half = nonedge.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
+            F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
+                "aa_score"
+            ),
+        )
+        scored = half.unionByName(
+            half.select(
+                F.col("b").alias("a"),
+                F.col("a").alias("b"),
+                "n_common",
+                "ra_fp",
+                "aa_score",
             )
         )
         wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
@@ -917,14 +937,25 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
         "src", "node"
     )
-    inter = (
+    # Optimization r14 round 2 (guide §1.2 step 1, §2.3): n_inter is
+    # symmetric (the edge set contains both directions of every co-order
+    # pair, so walks a->w->b and b->w->a are mirror-bijective); aggregate
+    # only the a < b half of the 2-hop walk stream and mirror the
+    # pair-level counts — half the aggregate hashing and shuffle on the
+    # walk stream, identical scored set.
+    inter_half = (
         edges.alias("e1")
         .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .filter(F.col("e1.src") != F.col("e2.dst"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
         .groupBy(
             F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    inter = inter_half.unionByName(
+        inter_half.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_inter"
+        )
     )
     da = F.broadcast(
         deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
