@@ -145,7 +145,18 @@ def lsh_topk(
     table over (bucket, vector) plus within-bucket scoring: tune n_planes
     up to shrink buckets, n_tables up to recover recall.
     """
-    tagged = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    # Optimization r14 (guide §2.3, §4.1): norms attach per ROW (one
+    # interpreted-HOF dot per vector) so the per-candidate score is a
+    # single dot — cosine() per pair re-derived BOTH norms, tripling the
+    # dominant interpreted-HOF work on the candidate stream (the same fix
+    # brute_force_topk documents). The vectors also no longer ride the
+    # band self-join and the candidate dedup: those exchanges now carry
+    # 16-byte id pairs instead of the 64-double query vector per row
+    # (shuffle keys, not payloads); both sides' vectors+norms re-attach
+    # by id join after the dedup.
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec).alias("v"), norm(F.col(vec)).alias("__nv")
+    )
     # One bucket column per table, then explode: a single shuffle on
     # (table, bucket) instead of L separate joins.
     bucket_cols = []
@@ -155,21 +166,33 @@ def lsh_topk(
             F.struct(F.lit(t).alias("t"), lsh_bucket(F.col("v"), planes).alias("b"))
         )
     bucketed = tagged.select(
-        "id", "v", F.explode(F.array(*bucket_cols)).alias("tb")
-    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    left = bucketed.select(F.col("id").alias("query_id"), F.col("v").alias("__qv"), "t", "b")
+        "id", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    left = bucketed.select(F.col("id").alias("query_id"), "t", "b")
     right = bucketed.select(F.col("id").alias("neighbor_id"), "t", "b")
     candidates = (
         left.join(right, ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    corpus = tagged.select(F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"))
-    scored = candidates.join(corpus, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    qside = tagged.select(
+        F.col("id").alias("query_id"), F.col("v").alias("__qv"), F.col("__nv").alias("__qn")
+    )
+    cside = tagged.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("__cv"), F.col("__nv").alias("__cn")
+    )
+    scored = (
+        candidates.join(qside, "query_id")
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
