@@ -337,10 +337,17 @@ def write_ivf_index(
         .parquet(os.path.join(path, "vectors"))
     )
     spark = df.sparkSession
-    spark.createDataFrame(
+    from parquet_exporter_spark.tables import tiny_df
+
+    # single-slice literal relation (tables.tiny_df): createDataFrame +
+    # coalesce(1) is the documented trap — it serializes 32 Python-worker
+    # partition evaluations into one task (measured ~5.3 s for a k-row
+    # table); parallelize(data, 1) is one partition from the start.
+    tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 def append_ivf_index(
@@ -498,10 +505,17 @@ def write_ivfpq_index(
         .parquet(os.path.join(path, "codes"))
     )
     spark = df.sparkSession
-    spark.createDataFrame(
+    from parquet_exporter_spark.tables import tiny_df
+
+    # single-slice literal relation (tables.tiny_df): createDataFrame +
+    # coalesce(1) is the documented trap — it serializes 32 Python-worker
+    # partition evaluations into one task (measured ~5.3 s for a k-row
+    # table); parallelize(data, 1) is one partition from the start.
+    tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     return books
 
 

@@ -97,7 +97,10 @@ def render_probe_literal(spark, value, dtype: str, tz: str | None = None) -> str
     try:
         if tz is not None:
             spark.conf.set(tz_key, tz)
-        df = spark.createDataFrame([(value,)], f"v {dtype}")
+        from parquet_exporter_spark.tables import tiny_df
+
+        # single-slice literal relation (tables.tiny_df): one probe row
+        df = tiny_df(spark, [(value,)], f"v {dtype}")
         return df.select(F.col("v").cast("string").alias("r")).first()["r"]
     finally:
         if tz is not None:

@@ -133,7 +133,12 @@ def serve_cms_estimates(spark, counters: DataFrame, probe_keys: list) -> DataFra
     d rows per probe against the <= d*w counter table. Returns
     (key, est)."""
     merged = merge_cms(counters)
-    probes = spark.createDataFrame([(str(k),) for k in probe_keys], "key string")
+    from parquet_exporter_spark.tables import tiny_df
+
+    # single-slice literal probe relation (tables.tiny_df): plain
+    # createDataFrame spreads a handful of rows over defaultParallelism
+    # near-empty tasks per downstream operator
+    probes = tiny_df(spark, [(str(k),) for k in probe_keys], "key string")
     pb = (
         probes.select("key", _D.base_hash_31(F.col("key")).alias("h"))
         .select(

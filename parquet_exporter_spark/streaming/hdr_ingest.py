@@ -149,7 +149,10 @@ def serve_hdr_quantiles(spark, buckets: DataFrame, probes: list[float]) -> DataF
         )
         .cast("long"),
     )
-    pdf = spark.createDataFrame([(p,) for p in probes], "p double")
+    from parquet_exporter_spark.tables import tiny_df
+
+    # single-slice literal probe relation (tables.tiny_df)
+    pdf = tiny_df(spark, [(p,) for p in probes], "p double")
     targets = pdf.crossJoin(F.broadcast(cum.select("n").limit(1))).select(
         "p", F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t")
     )

@@ -228,7 +228,10 @@ def serve_tdigest_quantiles(
     [0, n-1]) and interpolates inside its exact cents bounds. Returns
     (p, t, weight, n_inputs, n, est_cents)."""
     mcent = merge_tdigest(cent)
-    pdf = spark.createDataFrame([(p,) for p in probes], "p double")
+    from parquet_exporter_spark.tables import tiny_df
+
+    # single-slice literal probe relation (tables.tiny_df)
+    pdf = tiny_df(spark, [(p,) for p in probes], "p double")
     targets = pdf.crossJoin(F.broadcast(mcent.select("n").limit(1))).select(
         "p", F.floor(F.col("p") * (F.col("n") - 1)).cast("long").alias("t")
     )
