@@ -47,8 +47,33 @@ def _assign(sub_col, cents: list[list[float]]):
     (in ``least``, in each ``when`` probe, and in the carried dist),
     shrinking the analyzed/codegen'd expression tree ~3x per subspace.
     Distances are round(·, 9)-snapped, so equality semantics are
-    unchanged."""
-    darr = F.array(*[_sq_dist(sub_col, c) for c in cents])
+    unchanged.
+
+    Optimization r14 (second pass, guide §1.2 step 2, §7.3 "frames
+    mentioning Analyzer/Optimizer"): the distance array is now ONE
+    ``transform`` over a literal array-of-arrays codebook instead of K
+    separate ``aggregate(zip_with(...))`` expressions. The dominant
+    residual cost of emb_pq_codes was driver-side analysis/codegen of
+    K*M higher-order-function trees (each with its own lambda bindings),
+    rebuilt every Lloyd iteration because the literal centroid values
+    change; folding the K per-centroid HOFs into one lambda shrinks the
+    analyzed HOF count per subspace K-fold while evaluating the IDENTICAL
+    float operations in the identical order (zip_with squared-diff fold
+    over the same doubles, round-9 snap), so codes and distances are
+    bit-identical — pinned by the suite's determinism tests and the
+    in-round A/B against the previous implementation."""
+    books_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    darr = F.transform(
+        books_lit,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(sub_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        ),
+    )
     m = F.array_min(darr)
     code = (F.array_position(darr, m) - 1).cast("int")
     return code, m

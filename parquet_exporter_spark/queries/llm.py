@@ -218,11 +218,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a"))
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("e_b")
+    # norms attach per ROW before the pair join — cosine() per pair would
+    # re-derive both operand norms, tripling the interpreted-HOF work on
+    # the pair stream (same fix as brute_force_topk / lsh_topk); the float
+    # ops on each pair are unchanged: dot / (norm_a * norm_b).
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("e_a"),
+        S.norm(F.col("embedding")).alias("__na"),
     )
-    cos = F.round(S.cosine(F.col("e_a"), F.col("e_b")), 6)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("e_b"),
+        S.norm(F.col("embedding")).alias("__nb"),
+    )
+    cos = F.round(
+        S.dot(F.col("e_a"), F.col("e_b")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", cos.alias("cos_sim"))

@@ -242,16 +242,31 @@ def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster = F.when(dists[cid] == m, F.lit(cid)).otherwise(cluster)
     assigned = emb.select("vec_id", "x", cluster.cast("int").alias("cluster"))
 
+    # norms attach per ROW before the within-cluster pair join — cosine()
+    # per pair would re-derive both norms, tripling the interpreted-HOF
+    # work on the pair stream (the brute_force_topk / lsh_topk recipe);
+    # the per-pair float ops are unchanged: dot / (norm_a * norm_b).
     a = assigned.select(
-        F.col("vec_id").alias("ia"), F.col("x").alias("xa"), "cluster"
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("xa"),
+        S.norm(F.col("x")).alias("__na"),
+        "cluster",
     )
     b = assigned.select(
-        F.col("vec_id").alias("ib"), F.col("x").alias("xb"), "cluster"
+        F.col("vec_id").alias("ib"),
+        F.col("x").alias("xb"),
+        S.norm(F.col("x")).alias("__nb"),
+        "cluster",
     )
     dup_pairs = (
         a.join(b, "cluster")
         .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(S.cosine(F.col("xa"), F.col("xb")), 6) >= SEMDEDUP_TAU)
+        .filter(
+            F.round(
+                S.dot(F.col("xa"), F.col("xb")) / (F.col("__na") * F.col("__nb")), 6
+            )
+            >= SEMDEDUP_TAU
+        )
         .groupBy(F.col("ib").alias("dup_id"))
         .agg(F.min("ia").alias("keeper"))
     )
@@ -410,12 +425,25 @@ RANGE_N_QUERIES = 3  # the RANGE_N_QUERIES smallest vec_ids act as queries
 )
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
+    # norms attach per ROW (query side: once per query; corpus side: once
+    # per corpus row) so each scored pair costs ONE interpreted-HOF dot
+    # instead of cosine()'s three — and since the radius predicate is
+    # pushed below the projection by the optimizer (the score is computed
+    # for the filter AND the output), the saving doubles. Float ops per
+    # pair unchanged: dot / (norm_q * norm_c).
     q = F.broadcast(
         emb.orderBy("vec_id")
         .limit(RANGE_N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            S.norm(F.col("embedding")).alias("__qn"),
+        )
     )
-    cos = F.round(S.cosine(F.col("qv"), F.col("embedding")), 6)
+    emb = emb.select("vec_id", "embedding", S.norm(F.col("embedding")).alias("__cn"))
+    cos = F.round(
+        S.dot(F.col("qv"), F.col("embedding")) / (F.col("__qn") * F.col("__cn")), 6
+    )
     return (
         q.crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -817,18 +845,28 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # per-row norms: one interpreted-HOF dot per scored pair instead of
+    # cosine()'s three (the brute_force_topk / lsh_topk recipe); the
+    # corpus-side norm is computed once per row and reused across every
+    # query it pairs with. Float ops per pair unchanged.
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("__qn"),
     )
+    c = emb.select("vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("__cn"))
     scored = (
         F.broadcast(q)
-        .join(emb, F.col("label") != F.col("q_label"))
+        .join(c, F.col("label") != F.col("q_label"))
         .select(
             "query_id",
             F.col("vec_id").alias("neg_id"),
-            F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                S.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neg_id")
@@ -870,18 +908,26 @@ def emb_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # per-row norms → one interpreted-HOF dot per scored pair (see
+    # similarity_hard_negatives); float ops per pair unchanged.
     q = emb.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("__qn"),
     )
+    c = emb.select("vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("__cn"))
     scored = (
         F.broadcast(q)
-        .join(emb, (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("qid")))
+        .join(c, (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("qid")))
         .select(
             F.col("qid").alias("vec_id"),
             F.col("vec_id").alias("nbr"),
-            F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                S.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "nbr")
@@ -924,18 +970,24 @@ def emb_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    # per-row norms → one interpreted-HOF dot per pair (see
+    # similarity_hard_negatives); float ops per pair unchanged.
     a = emb.select(
         F.col("vec_id").alias("ida"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("ea"),
+        S.norm(F.col("embedding")).alias("__na"),
     )
     b = emb.select(
         F.col("vec_id").alias("idb"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
+        S.norm(F.col("embedding")).alias("__nb"),
     )
     pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
-        "label_a", "label_b", S.cosine(F.col("ea"), F.col("eb")).alias("cs")
+        "label_a",
+        "label_b",
+        (S.dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))).alias("cs"),
     )
     same = F.col("label_a") == F.col("label_b")
     return pairs.groupBy(F.col("label_a").alias("label")).agg(
@@ -1215,9 +1267,19 @@ def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
-    cs = S.cosine(F.col("ea"), F.col("eb"))
+    # per-row norms → one interpreted-HOF dot per pair (see
+    # similarity_hard_negatives); float ops per pair unchanged.
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        S.norm(F.col("embedding")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        S.norm(F.col("embedding")).alias("__nb"),
+    )
+    cs = S.dot(F.col("ea"), F.col("eb")) / (F.col("__na") * F.col("__nb"))
     pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(cs.alias("cs"))
     bin_ = F.least(F.greatest(F.floor((F.col("cs") + 1) * 5).cast("int"), F.lit(0)), F.lit(9))
     binned = pairs.select(bin_.alias("bin"))
