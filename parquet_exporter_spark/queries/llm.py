@@ -1413,19 +1413,19 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", D.char_shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
+    coeffs = D.hash_coefficients(n_hashes)
     hashed = sh.withColumn("hs", F.transform("sh", D.base_hash_31))
 
-    # one nested-transform signature array instead of n_hashes separate
-    # HOF trees (identical integer ops — see D.signature_array_expr);
-    # the wide mh_i columns are cheap element_at reads of the array
-    # materialized once per row in the Project below.
-    arr = hashed.select(
-        "doc_id", "sh", D.signature_array_expr(F.col("hs"), n_hashes).alias("__mh")
-    )
-    wide = arr.select(
+    def seed_min(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % D.MERSENNE_31
+
+    wide = hashed.select(
         "doc_id",
         "sh",
-        *[F.element_at("__mh", i + 1).alias(f"mh_{i}") for i in range(n_hashes)],
+        *[
+            F.array_min(F.transform("hs", seed_min(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
     a = wide.select(
         F.col("doc_id").alias("id_a"),
@@ -1800,17 +1800,19 @@ def dedup_minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", D.char_shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
+    coeffs = D.hash_coefficients(n_hashes)
     hashed = sh.withColumn("hs", F.transform("sh", D.base_hash_31))
 
-    # one nested-transform signature array instead of n_hashes separate
-    # HOF trees (identical integer ops — see D.signature_array_expr)
-    arr = hashed.select(
-        "doc_id", "sh", D.signature_array_expr(F.col("hs"), n_hashes).alias("__mh")
-    )
-    wide = arr.select(
+    def seed_min(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % D.MERSENNE_31
+
+    wide = hashed.select(
         "doc_id",
         "sh",
-        *[F.element_at("__mh", i + 1).alias(f"mh_{i}") for i in range(n_hashes)],
+        *[
+            F.array_min(F.transform("hs", seed_min(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
     a = wide.select(
         F.col("doc_id").alias("id_a"),
