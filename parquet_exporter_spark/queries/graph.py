@@ -633,16 +633,26 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair survive the != filter), so n_common / ra_fp / aa_score are
         # symmetric in (a, b) — the walk multisets {a->w->b} and {b->w->a}
         # are mirror-bijective. Score only the a < b half of the candidate
-        # stream (HALF the anti-join probes, degree lookups and aggregate
-        # hashing on the tens-of-millions-row walk stream) and mirror the
-        # pair-level aggregate afterwards, which also makes the float
-        # aa_score payload exactly equal between the two directions
-        # instead of relying on round-6 absorbing addend order. deg(w) is
-        # attached to the EDGE relation (231k rows at sf0.01) before the
-        # 2-hop join instead of probing a broadcast join once per walk row.
+        # stream and mirror the pair-level aggregate afterwards, which
+        # also makes the float aa_score payload exactly equal between the
+        # two directions. deg(w) is attached to the EDGE relation (231k
+        # rows at sf0.01) before the 2-hop join instead of probing a
+        # broadcast join once per walk row.
+        #
+        # Optimization r15 (guide §1.2 step 2, §2.3): the per-walk-row
+        # addends — 1e12 div deg(w) and 1/ln(deg(w)) — are precomputed ON
+        # THE EDGE RELATION (one div + one log per edge, 231k rows at
+        # sf0.01) instead of once per walk row (13.8M rows): the identical
+        # long division and the identical double 1/ln value reach the
+        # aggregate, only computed O(edges) times instead of O(walks).
         edges_w = edges.join(
             F.broadcast(deg), edges["dst"] == deg["node"]
-        ).select("src", "dst", "deg")
+        ).select(
+            "src",
+            "dst",
+            F.expr("1000000000000L div deg").alias("ra_w"),
+            (1.0 / F.log(F.col("deg").cast("double"))).alias("aa_w"),
+        )
         cand = (
             edges_w.alias("e1")
             .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
@@ -650,46 +660,77 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("e1.src").alias("a"),
                 F.col("e2.dst").alias("b"),
-                F.col("e1.deg").alias("deg"),
+                F.col("e1.ra_w").alias("ra_w"),
+                F.col("e1.aa_w").alias("aa_w"),
             )
         )
-        nonedge = cand.join(
-            F.broadcast(edges),
-            (cand["a"] == edges["src"]) & (cand["b"] == edges["dst"]),
-            "left_anti",
-        )
-        half = nonedge.groupBy("a", "b").agg(
+        # Skew posture (guide §2.5): the e1.dst == e2.src self-join is the
+        # hub-node blowup point on a power-law graph. AQE skew-join
+        # (session default, spark.sql.adaptive.skewJoin.enabled) splits an
+        # oversized sort-merge partition on BOTH sides at runtime —
+        # including a single giant key, whose map output is split into
+        # ranges joined against the duplicated other side — so per-hub
+        # deg(w)^2 row generation parallelizes without a manual salt
+        # branch. The partial HashAggregate below (map-side pre-aggregation
+        # of the (a, b) groups) sits AHEAD of the pair exchange, so only
+        # partially-collapsed pair rows cross the wire.
+        agg = cand.groupBy("a", "b").agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(F.expr("1000000000000L div deg")).cast("long").alias("ra_fp"),
-            F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias(
-                "aa_score"
-            ),
+            F.sum("ra_w").cast("long").alias("ra_fp"),
+            F.round(F.sum("aa_w"), 6).alias("aa_score"),
         )
-        scored = half.unionByName(
-            half.select(
-                F.col("b").alias("a"),
-                F.col("a").alias("b"),
-                "n_common",
-                "ra_fp",
-                "aa_score",
+        # Optimization r15 (guide §1.2 step 1): the non-edge filter is a
+        # predicate purely on the GROUP KEY (a, b), so filtering AFTER
+        # the aggregate is result-identical while probing the edge hash
+        # once per surviving PAIR (~2.3M at sf0.01) instead of once per
+        # walk row (13.8M). Formulated as LEFT OUTER + isNull rather than
+        # a left_anti join because PushDownLeftSemiAntiJoin would push an
+        # anti join straight back below the aggregate onto the walk
+        # stream (verified in the plan; the outer form stays put —
+        # interleaved A/B 3.27 vs 2.46 s on this segment). The eager
+        # localCheckpoint materializes the half-pair aggregate ONCE,
+        # where the mirror union used to re-run the whole walk +
+        # aggregate for its second branch (measured: the union cost 2x
+        # the half aggregate; exchange reuse did not absorb the mirror).
+        probe = edges.select(
+            F.col("src").alias("__pa"),
+            F.col("dst").alias("__pb"),
+            F.lit(1).alias("__hit"),
+        )
+        half = (
+            agg.join(
+                F.broadcast(probe),
+                (agg["a"] == probe["__pa"]) & (agg["b"] == probe["__pb"]),
+                "left_outer",
             )
+            .filter(F.col("__hit").isNull())
+            .drop("__pa", "__pb", "__hit")
+            .localCheckpoint(eager=True)
         )
-        wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
-        out = (
-            scored.withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= _AA_TOPK)
-            .select(
-                F.col("a").alias("part_key"),
-                F.col("b").alias("predicted_part"),
-                F.col("rn").cast("long").alias("rank"),
-                "n_common",
-                "ra_fp",
-                "aa_score",
-            )
-        )
-        return out.localCheckpoint(eager=True)  # materialize before unpersist
     finally:
         edges.unpersist()
+    scored = half.unionByName(
+        half.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "n_common",
+            "ra_fp",
+            "aa_score",
+        )
+    )
+    wr = Window.partitionBy("a").orderBy(F.desc("ra_fp"), "b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _AA_TOPK)
+        .select(
+            F.col("a").alias("part_key"),
+            F.col("b").alias("predicted_part"),
+            F.col("rn").cast("long").alias("rank"),
+            "n_common",
+            "ra_fp",
+            "aa_score",
+        )
+    )
 
 
 _HITS_ITERS = 3
@@ -934,68 +975,81 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
-    # Optimization r14 round 2 (guide §1.2 step 1, §2.3): n_inter is
-    # symmetric (the edge set contains both directions of every co-order
-    # pair, so walks a->w->b and b->w->a are mirror-bijective); aggregate
-    # only the a < b half of the 2-hop walk stream and mirror the
-    # pair-level counts — half the aggregate hashing and shuffle on the
-    # walk stream, identical scored set.
-    inter_half = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
-        .filter(F.col("e1.src") < F.col("e2.dst"))
-        .groupBy(
-            F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
+    try:
+        deg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).withColumnRenamed("src", "node")
+        # Optimization r14 round 2 (guide §1.2 step 1, §2.3): n_inter is
+        # symmetric (the edge set contains both directions of every
+        # co-order pair, so walks a->w->b and b->w->a are mirror-
+        # bijective); aggregate only the a < b half of the 2-hop walk
+        # stream and mirror the pair-level counts — half the aggregate
+        # hashing and shuffle on the walk stream, identical scored set.
+        inter_half = (
+            edges.alias("e1")
+            .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+            .filter(F.col("e1.src") < F.col("e2.dst"))
+            .groupBy(
+                F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
-    inter = inter_half.unionByName(
-        inter_half.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "n_inter"
+        da = F.broadcast(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
         )
-    )
-    da = F.broadcast(
-        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    )
-    db = F.broadcast(
-        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    )
-    scored = (
-        inter.join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
+        db = F.broadcast(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+        )
+        # Optimization r15 (guide §1.2 step 1, §2.3): attach degrees and
+        # compute n_union/jac on the HALF-pair aggregate BEFORE the mirror
+        # (n_union and jac are symmetric: long addition commutes, so the
+        # swapped direction reuses identical values), and eagerly
+        # localCheckpoint the scored half so the mirror union reads the
+        # materialized 2M rows instead of re-running the whole walk +
+        # aggregate for its second branch (measured 2x before: exchange
+        # reuse did not absorb the mirror branch). Halves the broadcast
+        # degree probes and the score arithmetic as well.
+        half = (
+            inter_half.join(da, "a")
+            .join(db, "b")
+            .select(
+                "a",
+                "b",
+                "n_inter",
+                (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
+                .cast("long")
+                .alias("n_union"),
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
+                ).alias("jac"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
+    scored = half.unionByName(
+        half.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
             "n_inter",
-            (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
-            .cast("long")
-            .alias("n_union"),
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("n_inter"))
-            ).alias("jac"),
+            "n_union",
+            "jac",
         )
     )
     w = Window.partitionBy("a").orderBy(F.desc("jac"), "b")
-    try:
-        out = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _JAC_TOPK)
-            .select(
-                F.col("a").alias("part_key"),
-                F.col("b").alias("other_part"),
-                F.col("rn").cast("long").alias("rank"),
-                "n_inter",
-                "n_union",
-                F.round("jac", 6).alias("jaccard"),
-            )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _JAC_TOPK)
+        .select(
+            F.col("a").alias("part_key"),
+            F.col("b").alias("other_part"),
+            F.col("rn").cast("long").alias("rank"),
+            "n_inter",
+            "n_union",
+            F.round("jac", 6).alias("jaccard"),
         )
-        return out.localCheckpoint(eager=True)  # materialize before unpersist
-    finally:
-        edges.unpersist()
+    )
 
 
 @query(
