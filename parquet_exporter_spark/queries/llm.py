@@ -237,10 +237,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         S.dot(F.col("e_a"), F.col("e_b")) / (F.col("__na") * F.col("__nb")), 6
     )
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.5)
+    # Optimization r15 (guide §4.4's duplication problem, on a Catalyst
+    # HOF instead of a UDF): `select(cos).filter(cos >= t)` lets the
+    # optimizer push the threshold below the projection — into the join
+    # condition here — so every candidate pair evaluated the interpreted
+    # HOF dot TWICE (once in the join filter, once in the output project;
+    # plans/r15/dedup_embedding_cosine_before.txt has 4 `aggregate(
+    # zip_with`, 2 of them the duplicated dot). Routing the score through
+    # a Generate — explode(filter(array(cos), s -> s >= t)) — evaluates
+    # the dot ONCE per pair inside the generator (a pushdown barrier) and
+    # emits exactly the rows the filter kept, with identical values: the
+    # HOF filter compares the same rounded double against the same
+    # threshold, and NULL scores are dropped either way.
+    return a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.explode(F.filter(F.array(cos), lambda s: s >= F.lit(0.5))).alias(
+            "cos_sim"
+        ),
     )
 
 

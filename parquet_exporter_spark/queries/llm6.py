@@ -444,15 +444,23 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         S.dot(F.col("qv"), F.col("embedding")) / (F.col("__qn") * F.col("__cn")), 6
     )
+    # Optimization r15 (guide §4.4's duplication problem, on a Catalyst
+    # HOF): the radius predicate used to be pushed below the projection,
+    # so every scored pair evaluated the interpreted HOF dot TWICE (the
+    # before plan has 4 `aggregate(zip_with`, 2 of them the duplicated
+    # dot). explode(filter(array(cos), ...)) evaluates it ONCE inside the
+    # Generate (a pushdown barrier) and emits exactly the rows the radius
+    # filter kept, with identical values.
     return (
         q.crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
+            F.explode(
+                F.filter(F.array(cos), lambda s: s >= F.lit(RANGE_RADIUS))
+            ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= RANGE_RADIUS)
     )
 
 
