@@ -24,59 +24,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(col, centroid: list[float]):
-    carr = F.array(*[F.lit(v) for v in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(col, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        9,
+def _fmt_double(v: float) -> str:
+    """SQL double literal that parses back to the identical IEEE double:
+    Python ``repr`` emits the shortest round-tripping decimal and Java's
+    ``Double.parseDouble`` is correctly rounded, so the value survives the
+    string trip bit-for-bit. The D suffix pins the SQL type to DOUBLE."""
+    return repr(float(v)) + "D"
+
+
+def _dists(sub_name: str, cents: list[list[float]]):
+    """Distance-array expression: per centroid, the round(·, 9)-snapped
+    sequential squared-diff fold of the named subvector column.
+
+    Optimization r14 (guide §1.2 step 2, §7.2/§7.3): the K distances are
+    built ONCE into an array via a single ``transform`` over a literal
+    array-of-arrays codebook — one HOF lambda per subspace instead of K
+    separate ``aggregate(zip_with(...))`` trees — evaluating the
+    IDENTICAL float operations in the identical order (zip_with
+    squared-diff fold over the same doubles, round-9 snap), so distances
+    are bit-identical to the per-centroid form.
+
+    Optimization r15 (guide §1.2 step 2): the expression is constructed
+    as ONE ``F.expr`` string instead of ~150 py4j Column calls per
+    subspace (each F.lit/F.array/lambda is a driver round-trip; measured
+    2.41 s -> 0.14 s for 8 subspace trees built twice per model fit).
+    ``_fmt_double`` makes the literal trip exact, asserted bit-identical
+    against the Column-built tree in the suite."""
+    books_sql = ", ".join(
+        "array(" + ", ".join(_fmt_double(v) for v in c) + ")" for c in cents
+    )
+    return F.expr(
+        f"transform(array({books_sql}), c -> round(aggregate("
+        f"zip_with({sub_name}, c, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, v) -> acc + v), 9))"
     )
 
 
-def _assign(sub_col, cents: list[list[float]]):
-    """(code, dist) expressions: nearest centroid, min-index tiebreak.
+def _code(d_col):
+    """argmin code from a distance-array COLUMN: ``array_position(d,
+    array_min(d)) - 1`` — the first index achieving the minimum, i.e.
+    the min-index tiebreak of the original K-deep ``when`` chain.
+    Distances are round-9 snapped, so equality semantics are unchanged.
 
-    Optimization r14 (guide §1.2 step 2, §7.2): the K distances are built
-    ONCE into an array and the argmin is ``array_position(arr, array_min
-    (arr))`` — the first index achieving the minimum, i.e. the identical
-    min-index tiebreak the previous K-deep ``when`` chain computed, but
-    each distance subexpression now appears once instead of three times
-    (in ``least``, in each ``when`` probe, and in the carried dist),
-    shrinking the analyzed/codegen'd expression tree ~3x per subspace.
-    Distances are round(·, 9)-snapped, so equality semantics are
-    unchanged.
-
-    Optimization r14 (second pass, guide §1.2 step 2, §7.3 "frames
-    mentioning Analyzer/Optimizer"): the distance array is now ONE
-    ``transform`` over a literal array-of-arrays codebook instead of K
-    separate ``aggregate(zip_with(...))`` expressions. The dominant
-    residual cost of emb_pq_codes was driver-side analysis/codegen of
-    K*M higher-order-function trees (each with its own lambda bindings),
-    rebuilt every Lloyd iteration because the literal centroid values
-    change; folding the K per-centroid HOFs into one lambda shrinks the
-    analyzed HOF count per subspace K-fold while evaluating the IDENTICAL
-    float operations in the identical order (zip_with squared-diff fold
-    over the same doubles, round-9 snap), so codes and distances are
-    bit-identical — pinned by the suite's determinism tests and the
-    in-round A/B against the previous implementation."""
-    books_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
-    darr = F.transform(
-        books_lit,
-        lambda c: F.round(
-            F.aggregate(
-                F.zip_with(sub_col, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        ),
-    )
-    m = F.array_min(darr)
-    code = (F.array_position(darr, m) - 1).cast("int")
-    return code, m
+    Optimization r15 (guide §1.2 step 2): callers bind the distance
+    array in its OWN projection and pass the resulting attribute here,
+    so the transform tree appears (and is evaluated) once per row —
+    CollapseProject keeps a non-cheap alias referenced more than once in
+    its own Project — where inlining it into array_position(·,
+    array_min(·)) plus the carried min evaluated the whole K-fold
+    transform up to 3x per row (HOFs are CodegenFallback: no codegen
+    subexpression elimination applies)."""
+    return (F.array_position(d_col, F.array_min(d_col)) - 1).cast("int")
 
 
 def pq_encode(
@@ -111,7 +109,13 @@ def pq_model(
         F.col(id_col).alias("vec_id"),
         F.transform(vec, lambda v: v.cast("double")).alias("x"),
     )
-    dim = base.select(F.size("x")).first()[0]
+    # Optimization r15 (guide §2.3 driver fan-out): ONE collect serves
+    # both the dimension discovery and the init centroids (the first
+    # n_centroids full vectors by vec_id, sliced driver-side — the same
+    # doubles F.slice produced), where a separate size() job used to run
+    # first.
+    init = base.orderBy("vec_id").limit(n_centroids).collect()
+    dim = len(init[0]["x"])
     sub_dim = dim // n_subspaces
     subs = base.select(
         "vec_id",
@@ -120,10 +124,9 @@ def pq_model(
             for m in range(n_subspaces)
         ],
     )
-
-    init = subs.orderBy("vec_id").limit(n_centroids).collect()
     books: list[list[list[float]]] = [
-        [list(r[f"s{m}"]) for r in init] for m in range(n_subspaces)
+        [list(r["x"][m * sub_dim : (m + 1) * sub_dim]) for r in init]
+        for m in range(n_subspaces)
     ]
 
     for it in range(n_iters - 1):
@@ -142,13 +145,19 @@ def pq_model(
         # explode (measured 3x faster than inlining them in the generator:
         # the Generate path evaluates its generator expression row-at-a-time
         # outside whole-stage codegen); the exploded structs then carry only
-        # cheap column references.
-        proj = subs.select(
+        # cheap column references. The distance arrays get their OWN
+        # projection below the argmin one (see _code: binds the transform
+        # once per row instead of twice).
+        dproj = subs.select(
             *[F.col(f"s{m}") for m in range(n_subspaces)],
             *[
-                _assign(F.col(f"s{m}"), books[m])[0].alias(f"c{m}")
+                _dists(f"s{m}", books[m]).alias(f"d{m}")
                 for m in range(n_subspaces)
             ],
+        )
+        proj = dproj.select(
+            *[F.col(f"s{m}") for m in range(n_subspaces)],
+            *[_code(F.col(f"d{m}")).alias(f"c{m}") for m in range(n_subspaces)],
         )
         assigned = proj.select(
             F.explode(
@@ -181,15 +190,21 @@ def pq_model(
                 for c in range(n_centroids)
             ]
 
-    code_dist = [
-        _assign(F.col(f"s{m}"), books[m]) for m in range(n_subspaces)
-    ]
-    total = code_dist[0][1]
-    for cd in code_dist[1:]:
-        total = total + cd[1]
-    encoded = subs.select(
+    # Final encode: distance arrays bound once per row in their own
+    # projection (see _code), argmin codes and the per-subspace min
+    # distances (summed in subspace order, exactly as before) on top.
+    dproj = subs.select(
         "vec_id",
-        F.array(*[cd[0].cast("int") for cd in code_dist]).alias("codes"),
+        *[_dists(f"s{m}", books[m]).alias(f"d{m}") for m in range(n_subspaces)],
+    )
+    total = F.array_min(F.col("d0"))
+    for m in range(1, n_subspaces):
+        total = total + F.array_min(F.col(f"d{m}"))
+    encoded = dproj.select(
+        "vec_id",
+        F.array(*[_code(F.col(f"d{m}")) for m in range(n_subspaces)]).alias(
+            "codes"
+        ),
         F.round(total, 9).alias("recon_err"),
     )
     return encoded, books
