@@ -1477,11 +1477,14 @@ def _td_part_centroids_sql(parts: int) -> str:
 def stream_tdigest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from parquet_exporter_spark.streaming.partial_store import (
+        commit_partials_batched,
+    )
     from parquet_exporter_spark.streaming.tdigest_ingest import (
         committed_batches,
         read_tdigest_centroids,
         serve_tdigest_quantiles,
-        tdigest_apply_batch,
+        tdigest_partial,
     )
 
     store = _tdigest_stream_scratch(sf_dir)
@@ -1491,10 +1494,19 @@ def stream_tdigest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % _STD_PARTS).alias("batch"),
     )
     if len(committed_batches(store)) < _STD_PARTS:
-        for b in range(_STD_PARTS):
-            tdigest_apply_batch(
-                cents.filter(F.col("batch") == b).select("cents"), b, store
-            )
+        # Optimization r15 (VERDICT item 4): ONE-JOB batched bootstrap of
+        # every still-missing partial — the per-batch rank windows run
+        # partitioned by batch in a single pass — instead of one
+        # sequential job (scan + single-partition window + write) per
+        # micro-batch. Same partial rows, same marker protocol; the
+        # foreachBatch handler (tdigest_apply_batch) remains the real
+        # streaming path.
+        commit_partials_batched(
+            tdigest_partial(cents, "cents", batch_col="batch"),
+            list(range(_STD_PARTS)),
+            store,
+            "batch",
+        )
     cent = read_tdigest_centroids(spark, store)
     served = serve_tdigest_quantiles(spark, cent, list(_STD_PROBES))
     wg = Window.orderBy("cents")
@@ -1647,11 +1659,13 @@ def _hll_stream_scratch(sf_dir: str) -> str:
 def stream_hll_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_exporter_spark.streaming.hll_ingest import (
         committed_batches,
-        hll_apply_batch,
         hll_partial,
         merge_hll,
         read_hll_registers,
         serve_hll_estimate,
+    )
+    from parquet_exporter_spark.streaming.partial_store import (
+        commit_partials_batched,
     )
 
     store = _hll_stream_scratch(sf_dir)
@@ -1660,13 +1674,14 @@ def stream_hll_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", (F.col("l_orderkey") % _SHLL_PARTS).alias("batch")
     )
     if len(committed_batches(store)) < _SHLL_PARTS:
-        for b in range(_SHLL_PARTS):
-            hll_apply_batch(
-                keyed.filter(F.col("batch") == b).select("l_partkey"),
-                b,
-                store,
-                "l_partkey",
-            )
+        # Optimization r15 (VERDICT item 4): one-job batched bootstrap —
+        # see stream_tdigest_twin.
+        commit_partials_batched(
+            hll_partial(keyed, "l_partkey", batch_col="batch"),
+            list(range(_SHLL_PARTS)),
+            store,
+            "batch",
+        )
     regs = read_hll_registers(spark, store)
     served = serve_hll_estimate(spark, regs)
     whole = hll_partial(li.select("l_partkey"), "l_partkey").withColumnRenamed(
@@ -1839,11 +1854,13 @@ def stream_hdr_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from parquet_exporter_spark.streaming.hdr_ingest import (
         committed_batches,
-        hdr_apply_batch,
         hdr_partial,
         merge_hdr,
         read_hdr_buckets,
         serve_hdr_quantiles,
+    )
+    from parquet_exporter_spark.streaming.partial_store import (
+        commit_partials_batched,
     )
 
     store = _hdr_stream_scratch(sf_dir)
@@ -1853,10 +1870,14 @@ def stream_hdr_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % _SHDR_PARTS).alias("batch"),
     )
     if len(committed_batches(store)) < _SHDR_PARTS:
-        for b in range(_SHDR_PARTS):
-            hdr_apply_batch(
-                cents.filter(F.col("batch") == b).select("cents"), b, store
-            )
+        # Optimization r15 (VERDICT item 4): one-job batched bootstrap —
+        # see stream_tdigest_twin.
+        commit_partials_batched(
+            hdr_partial(cents, "cents", batch_col="batch"),
+            list(range(_SHDR_PARTS)),
+            store,
+            "batch",
+        )
     buckets = read_hdr_buckets(spark, store)
     served = serve_hdr_quantiles(spark, buckets, list(_SHDR_PROBES))
     whole = (
@@ -2023,12 +2044,14 @@ def _scms_oracle() -> str:
 )
 def stream_cms_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_exporter_spark.streaming.cms_ingest import (
-        cms_apply_batch,
         cms_partial,
         committed_batches,
         merge_cms,
         read_cms_counters,
         serve_cms_estimates,
+    )
+    from parquet_exporter_spark.streaming.partial_store import (
+        commit_partials_batched,
     )
 
     store = _cms_stream_scratch(sf_dir)
@@ -2037,13 +2060,14 @@ def stream_cms_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", (F.col("o_orderkey") % _SCMS_PARTS).alias("batch")
     )
     if len(committed_batches(store)) < _SCMS_PARTS:
-        for b in range(_SCMS_PARTS):
-            cms_apply_batch(
-                keyed.filter(F.col("batch") == b).select("o_custkey"),
-                b,
-                store,
-                "o_custkey",
-            )
+        # Optimization r15 (VERDICT item 4): one-job batched bootstrap —
+        # see stream_tdigest_twin.
+        commit_partials_batched(
+            cms_partial(keyed, "o_custkey", batch_col="batch"),
+            list(range(_SCMS_PARTS)),
+            store,
+            "batch",
+        )
     counters = read_cms_counters(spark, store)
     est = serve_cms_estimates(
         spark, counters, [str(k) for k in _SCMS_PROBES]
@@ -2182,10 +2206,13 @@ def _kmv_stream_scratch(sf_dir: str) -> str:
 def stream_kmv_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_exporter_spark.streaming.kmv_ingest import (
         committed_batches,
-        kmv_apply_batch,
+        kmv_partial,
         merge_kmv,
         read_kmv_hashes,
         serve_kmv_estimate,
+    )
+    from parquet_exporter_spark.streaming.partial_store import (
+        commit_partials_batched,
     )
 
     store = _kmv_stream_scratch(sf_dir)
@@ -2194,18 +2221,17 @@ def stream_kmv_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", (F.col("l_orderkey") % _SKMV_PARTS).alias("batch")
     )
     if len(committed_batches(store)) < _SKMV_PARTS:
-        for b in range(_SKMV_PARTS):
-            kmv_apply_batch(
-                keyed.filter(F.col("batch") == b).select("l_partkey"),
-                b,
-                store,
-                "l_partkey",
-            )
+        # Optimization r15 (VERDICT item 4): one-job batched bootstrap —
+        # see stream_tdigest_twin.
+        commit_partials_batched(
+            kmv_partial(keyed, "l_partkey", batch_col="batch"),
+            list(range(_SKMV_PARTS)),
+            store,
+            "batch",
+        )
     hashes = read_kmv_hashes(spark, store)
     served = serve_kmv_estimate(spark, hashes)
     # whole-stream bottom-k, built single-pass for the law check
-    from parquet_exporter_spark.streaming.kmv_ingest import kmv_partial
-
     from pyspark.sql import Window
 
     whole = kmv_partial(keyed.select("l_partkey"), "l_partkey")

@@ -62,10 +62,16 @@ CMS_D = 4
 CMS_W = 64
 
 
-def _bucket_rows(df: DataFrame, key_col: str) -> DataFrame:
+def _bucket_rows(
+    df: DataFrame, key_col: str, batch_col: str | None = None
+) -> DataFrame:
     coeffs = _D.hash_coefficients(CMS_D)
-    h = df.select(_D.base_hash_31(F.col(key_col).cast("string")).alias("h"))
+    keep = [F.col(batch_col)] if batch_col else []
+    h = df.select(
+        *keep, _D.base_hash_31(F.col(key_col).cast("string")).alias("h")
+    )
     return h.select(
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -80,14 +86,25 @@ def _bucket_rows(df: DataFrame, key_col: str) -> DataFrame:
                     for i, (a, b) in enumerate(coeffs)
                 ]
             )
-        ).alias("db")
-    ).select(F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+        ).alias("db"),
+    ).select(
+        *keep,
+        F.col("db.depth").alias("depth"),
+        F.col("db.bucket").alias("bucket"),
+    )
 
 
-def cms_partial(batch_df: DataFrame, key_col: str) -> DataFrame:
+def cms_partial(
+    batch_df: DataFrame, key_col: str, batch_col: str | None = None
+) -> DataFrame:
     """One micro-batch's counter partial: (depth, bucket, c) rows,
-    <= d*w of them — ONE map-side-combinable aggregate."""
-    return _bucket_rows(batch_df, key_col).groupBy("depth", "bucket").agg(
+    <= d*w of them — ONE map-side-combinable aggregate. With
+    ``batch_col`` set (optimization r15, the batched first-build
+    bootstrap), every batch's counters come out of one aggregate keyed
+    additionally by the batch — per-batch rows identical (pure counting
+    per (batch, cell))."""
+    keys = ([batch_col] if batch_col else []) + ["depth", "bucket"]
+    return _bucket_rows(batch_df, key_col, batch_col).groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
 

@@ -59,12 +59,20 @@ __all__ = [
 HDR_SUB = 8
 
 
-def hdr_partial(batch_df: DataFrame, value_col: str = "cents") -> DataFrame:
+def hdr_partial(
+    batch_df: DataFrame, value_col: str = "cents", batch_col: str | None = None
+) -> DataFrame:
     """One micro-batch's histogram partial: (lvl, sub, c, lo, hi) rows —
     ONE map-side-combinable aggregate, no ranking anywhere (bucket
-    identity is a pure function of the value)."""
+    identity is a pure function of the value).
+
+    With ``batch_col`` set (optimization r15, the batched first-build
+    bootstrap), every batch's partial is built in one aggregate keyed
+    additionally by the batch — per-batch rows identical (bucket identity
+    is per-value, the fold per (batch, bucket))."""
+    keep = [F.col(batch_col)] if batch_col else []
     lvled = batch_df.select(
-        F.col(value_col).cast("long").alias("cents")
+        *keep, F.col(value_col).cast("long").alias("cents")
     ).withColumn(
         "lvl", F.length(F.conv(F.col("cents").cast("string"), 10, 2)).cast("long")
     )
@@ -77,7 +85,8 @@ def hdr_partial(batch_df: DataFrame, value_col: str = "cents") -> DataFrame:
             / F.expr("shiftleft(1L, CAST(lvl - 1 AS INT))")
         ).cast("long"),
     )
-    return bucketed.groupBy("lvl", "sub").agg(
+    keys = ([batch_col] if batch_col else []) + ["lvl", "sub"]
+    return bucketed.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("c"),
         F.min("cents").cast("long").alias("lo"),
         F.max("cents").cast("long").alias("hi"),

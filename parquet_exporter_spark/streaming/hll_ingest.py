@@ -69,23 +69,33 @@ HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RMAX)
 HLL_LC_CUT = 2.5 * HLL_M
 
 
-def hll_partial(batch_df: DataFrame, key_col: str) -> DataFrame:
+def hll_partial(
+    batch_df: DataFrame, key_col: str, batch_col: str | None = None
+) -> DataFrame:
     """One micro-batch's register partial: (bucket, r) rows, <= m of
-    them — ONE map-side-combinable max aggregate over the batch."""
+    them — ONE map-side-combinable max aggregate over the batch. With
+    ``batch_col`` set (optimization r15, the batched first-build
+    bootstrap), every batch's registers come out of one aggregate keyed
+    additionally by the batch — per-batch rows identical (register-wise
+    max per (batch, bucket))."""
+    keep = [F.col(batch_col)] if batch_col else []
     h = batch_df.select(
+        *keep,
         F.conv(
             F.substring(F.md5(F.col(key_col).cast("string")), 1, HLL_HEX),
             16,
             10,
         )
         .cast("long")
-        .alias("hv")
+        .alias("hv"),
     )
     split = h.select(
+        *keep,
         F.expr(f"hv div {1 << HLL_REM}").alias("bucket"),
         (F.col("hv") % (1 << HLL_REM)).alias("w"),
     )
     rho = split.select(
+        *keep,
         "bucket",
         F.when(F.col("w") == 0, F.lit(HLL_RMAX))
         .otherwise(
@@ -94,7 +104,8 @@ def hll_partial(batch_df: DataFrame, key_col: str) -> DataFrame:
         .cast("long")
         .alias("rho"),
     )
-    return rho.groupBy("bucket").agg(F.max("rho").cast("long").alias("r"))
+    keys = ([batch_col] if batch_col else []) + ["bucket"]
+    return rho.groupBy(*keys).agg(F.max("rho").cast("long").alias("r"))
 
 
 def hll_apply_batch(

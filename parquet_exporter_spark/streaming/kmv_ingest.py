@@ -61,23 +61,34 @@ KMV_HEX = 15  # 60-bit hashes: exact in BIGINT on both engines
 KMV_SPACE = float(1 << 60)
 
 
-def kmv_partial(batch_df: DataFrame, key_col: str) -> DataFrame:
+def kmv_partial(
+    batch_df: DataFrame, key_col: str, batch_col: str | None = None
+) -> DataFrame:
     """One micro-batch's bottom-k: the k smallest distinct 60-bit
     hashes — DISTINCT + orderBy(hv).limit(k), which plans as
-    TakeOrderedAndProject (per-partition top-k, no global sort)."""
-    return (
-        batch_df.select(
-            F.conv(
-                F.substring(F.md5(F.col(key_col).cast("string")), 1, KMV_HEX),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("hv")
+    TakeOrderedAndProject (per-partition top-k, no global sort).
+
+    With ``batch_col`` set (optimization r15, the batched first-build
+    bootstrap), every batch's bottom-k comes out of one plan: DISTINCT
+    per (batch, hv), then a per-batch rank window cut at k — identical
+    per-batch hash sets (hv is distinct within a batch, so the rank has
+    no ties)."""
+    hv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, KMV_HEX), 16, 10
+    ).cast("long")
+    if batch_col is None:
+        return (
+            batch_df.select(hv.alias("hv")).distinct().orderBy("hv").limit(KMV_K)
         )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(batch_col).orderBy("hv")
+    return (
+        batch_df.select(F.col(batch_col), hv.alias("hv"))
         .distinct()
-        .orderBy("hv")
-        .limit(KMV_K)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select(batch_col, "hv")
     )
 
 

@@ -74,6 +74,73 @@ def commit_partial(df: DataFrame, batch_id: int, store_dir: str) -> bool:
     return True
 
 
+def commit_partials_batched(
+    tagged: DataFrame,
+    batch_ids: list[int],
+    store_dir: str,
+    batch_col: str = "batch",
+) -> int:
+    """Bootstrap commit: write EVERY still-uncommitted batch's partial
+    rows in ONE Spark job (a staging write partitioned by ``batch_col``),
+    then publish each batch under the same marker protocol
+    ``commit_partial`` uses. ``tagged`` must carry ``batch_col`` plus the
+    partial's columns in their committed order.
+
+    Optimization r15 (guide §2.6 / VERDICT r14 item 4): the twins'
+    first-build used to replay one ``commit_partial`` per micro-batch —
+    k sequential jobs, each re-scanning the source and (for the ranked
+    sketches) funnelling the whole batch through a single-partition
+    window. Building all k partials in one plan lets the per-batch
+    windows/aggregates run as PARTITIONED work in one pass. Exactly-once
+    posture unchanged: already-committed batches are left untouched,
+    markers are written only after the staged files are moved, and a
+    crash mid-publish leaves later batches uncommitted for the next call
+    (this function or the per-batch handler) to finish.
+
+    Returns the number of batches committed (0 when all were committed)."""
+    os.makedirs(store_dir, exist_ok=True)
+    todo = [
+        b
+        for b in batch_ids
+        if not os.path.isfile(os.path.join(store_dir, f"_batch-{b}.committed"))
+    ]
+    if not todo:
+        return 0
+    staging = os.path.join(store_dir, "_staging_bootstrap")
+    (
+        tagged.filter(F.col(batch_col).isin([int(b) for b in todo]))
+        # one hash partition per batch -> one staged file per batch
+        .repartition(len(todo), F.col(batch_col))
+        .write.mode("overwrite")
+        .partitionBy(batch_col)
+        .parquet(staging)
+    )
+    for b in todo:
+        files = sorted(
+            glob.glob(os.path.join(staging, f"{batch_col}={b}", "*.parquet"))
+        )
+        if not files:
+            # empty batch: publish an empty single-file partial so readers
+            # (which treat a marker without files as corruption) stay sound
+            empty_dir = os.path.join(staging, f"_empty_{b}")
+            (
+                tagged.filter(F.lit(False))
+                .drop(batch_col)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(empty_dir)
+            )
+            files = sorted(glob.glob(os.path.join(empty_dir, "part-*.parquet")))
+        prefix = f"cent-{b:08d}-"
+        for p in glob.glob(os.path.join(store_dir, prefix + "*.parquet")):
+            os.unlink(p)
+        for i, part in enumerate(files):
+            os.replace(part, os.path.join(store_dir, f"{prefix}{i:04d}.parquet"))
+        _write_marker(os.path.join(store_dir, f"_batch-{b}.committed"), b)
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(todo)
+
+
 def read_partials(spark, store_dir: str) -> DataFrame | None:
     """All live partial rows tagged with batch_id: the newest compacted
     fold (tagged with its bound B) plus every committed batch partial

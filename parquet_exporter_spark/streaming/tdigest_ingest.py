@@ -77,24 +77,40 @@ __all__ = [
 TD_SUB = 4
 
 
-def tdigest_partial(batch_df: DataFrame, value_col: str = "cents") -> DataFrame:
+def tdigest_partial(
+    batch_df: DataFrame, value_col: str = "cents", batch_col: str | None = None
+) -> DataFrame:
     """One micro-batch's t-digest: (side, lvl, sub, w, lo, hi, sc)
     centroid rows over the integer ``value_col``. The batch-local rank
     is a single-partition window — a micro-batch is bounded by the
-    trigger, and the output is O(log batch) rows."""
+    trigger, and the output is O(log batch) rows.
+
+    With ``batch_col`` set (optimization r15, the batched first-build
+    bootstrap), ``batch_df`` carries that column and EVERY batch's
+    partial is built in one plan: the rank/count windows partition by
+    the batch key (identical per-batch ranks — tied cents swap freely
+    between ranks, but a bucket's w/lo/hi/sc aggregates see the same
+    cents multiset either way) and the output keeps ``batch_col`` for
+    ``commit_partials_batched`` to split on."""
     from pyspark.sql import Window
 
+    keep = [F.col(batch_col)] if batch_col else []
+    wo = (
+        Window.partitionBy(batch_col).orderBy("cents")
+        if batch_col
+        else Window.orderBy("cents")
+    )
+    wc = Window.partitionBy(batch_col) if batch_col else Window.partitionBy()
     ranked = batch_df.select(
-        F.col(value_col).cast("long").alias("cents")
+        *keep, F.col(value_col).cast("long").alias("cents")
     ).select(
+        *keep,
         "cents",
-        (F.row_number().over(Window.orderBy("cents")) - 1).cast("long").alias("r0"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("nb"),
+        (F.row_number().over(wo) - 1).cast("long").alias("r0"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("nb"),
     )
     keyed = ranked.select(
+        *keep,
         "cents",
         F.when(2 * F.col("r0") < F.col("nb"), 0).otherwise(1).alias("side"),
         F.when(2 * F.col("r0") < F.col("nb"), F.col("r0") + 1)
@@ -112,7 +128,8 @@ def tdigest_partial(batch_df: DataFrame, value_col: str = "cents") -> DataFrame:
             F.expr(f"((dd - shiftleft(1L, CAST(lvl AS INT))) * {TD_SUB})") / p2
         ).cast("long"),
     )
-    return bucketed.groupBy("side", "lvl", "sub").agg(
+    keys = ([batch_col] if batch_col else []) + ["side", "lvl", "sub"]
+    return bucketed.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("w"),
         F.min("cents").cast("long").alias("lo"),
         F.max("cents").cast("long").alias("hi"),
