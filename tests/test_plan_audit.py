@@ -7,6 +7,8 @@ driver-bottleneck gather) fails CI instead of shipping.
 
 from __future__ import annotations
 
+import pytest
+
 from parquet_exporter_spark.registry import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
@@ -678,6 +680,7 @@ def _is_allowed(flag: str, allowed: set[str]) -> bool:
     return False
 
 
+@pytest.mark.slow  # fleet-wide plan sweep (~3 min); runs in the round-close gate (tools/roundcheck.sh)
 def test_no_unapproved_scale_red_flags(spark, sf_dir):
     offenders = {}
     for name, qd in REGISTRY.items():
@@ -701,6 +704,7 @@ def test_no_unapproved_scale_red_flags(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # fleet-wide plan sweep (~3 min); runs in the round-close gate (tools/roundcheck.sh)
 def test_no_stale_allowlist_waivers(spark, sf_dir):
     """Every allowlist entry must still be EARNED: if a query's cold plan
     no longer exhibits any flag in the waived category, the waiver is

@@ -90,6 +90,7 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_stateful_running_stats(spark, tmp_path):
     from tests.test_streaming import _write_events
 
@@ -154,6 +155,7 @@ def test_stateful_running_stats(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_stream_stream_join(spark, tmp_path):
     """Stream-stream inner join with watermarks and a time-bound condition:
     clicks join impressions of the same user within 10 minutes."""
@@ -222,6 +224,7 @@ def test_stream_stream_join(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_event_time_sessionization(spark, tmp_path):
     """Two sessions for user 1 (split by a >5 min gap) and one for user 2;
     a late far-future event advances the watermark so timeouts close the
@@ -293,6 +296,7 @@ def test_event_time_sessionization(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_foreach_batch_upsert_keeps_latest(spark, tmp_path):
     """Across two micro-batches, the parquet view holds exactly one row
     per user — the one with the newest timestamp."""
@@ -384,6 +388,7 @@ def test_transform_with_state_record_highs(tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_record_highs_aip_multi_batch(spark, tmp_path):
     """The applyInPandasWithState twin of the gated transformWithState
     operator: SAME record-high semantics, runs in this container. Two
@@ -426,6 +431,7 @@ def test_record_highs_aip_multi_batch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_upsert_restarts_from_checkpoint(spark, tmp_path):
     """Stop the upsert stream, add data, restart with the same checkpoint:
     the query resumes from committed offsets (the restarted run processes

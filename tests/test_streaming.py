@@ -126,6 +126,7 @@ def test_streaming_session_counts(spark, events_dir):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_watermark_drops_late_events(spark, tmp_path):
     """Two micro-batches: batch 1 advances the watermark far ahead; batch 2
     delivers an event older than the watermark -> it must be dropped from
@@ -329,6 +330,7 @@ def test_stream_stream_interval_join(spark, events_dir):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     """Exactly-once resume across a query restart: the checkpoint's file-
     source offsets mean a restarted query processes ONLY data that arrived
@@ -371,6 +373,7 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 8
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_drift_monitor_flags_shifted_batches(spark, tmp_path):
     """A micro-batch drawn from the reference distribution scores a low
     PSI; a batch shifted out of the reference's bins scores high and
@@ -469,6 +472,7 @@ def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir, events_dir):
     assert got == expected
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_dedup_ingest_grows_index_across_batches(spark, tmp_path):
     """The incremental-dedup steady state as a STREAM: batch 1 seeds the
     corpus + band index; batch 2 (arriving later) is rejected where it
@@ -528,6 +532,7 @@ def test_streaming_dedup_ingest_grows_index_across_batches(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_dedup_ingest_checkpoint_restart(spark, tmp_path):
     """Restartability of the dedup ingest: with a checkpoint dir, a
     RESTARTED query processes only files that arrived while it was down —
@@ -578,6 +583,7 @@ def test_streaming_dedup_ingest_checkpoint_restart(spark, tmp_path):
     assert corpus_ids == [1, 2, 11]
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_dedup_ingest_replayed_batch_is_exactly_once(spark, tmp_path):
     """The foreachBatch exactly-once contract: a REPLAYED micro-batch
     (same batch_id delivered twice — the crash-between-sink-commit-and-
@@ -633,6 +639,7 @@ def test_streaming_dedup_ingest_replayed_batch_is_exactly_once(spark, tmp_path):
     assert sorted(reject_ids) == [2, 10]
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_dedup_ingest_fails_fast_on_unreadable_corpus(spark, tmp_path):
     """A corpus store that EXISTS but cannot be read (torn footer from a
     crashed writer, throttling...) must FAIL the micro-batch for retry —
@@ -674,6 +681,7 @@ def test_dedup_ingest_fails_fast_on_unreadable_corpus(spark, tmp_path):
         )[0].collect()
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_dedup_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
     """Store paths are bound to ONE checkpoint lineage: a stream restarted
     with a FRESH checkpoint dir restarts batch ids at 0, and its
@@ -720,6 +728,7 @@ def test_dedup_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
     assert corpus_after == corpus_before
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_spike_monitor_matches_trailing_hampel(spark, tmp_path):
     """The online Hampel monitor must (a) carry its trailing window
     across micro-batch boundaries, (b) flag exactly the planted spike —
@@ -819,6 +828,7 @@ def test_streaming_spike_monitor_matches_trailing_hampel(spark, tmp_path):
     assert spikes == [("click", 7)]
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_cusum_matches_recursion_and_flags_drift(spark, tmp_path):
     """The online CUSUM must (a) carry calibration + statistics across a
     micro-batch boundary, (b) alarm on a sustained small drift that no
@@ -925,6 +935,7 @@ def test_streaming_cusum_matches_recursion_and_flags_drift(spark, tmp_path):
     assert alarms == [("click", click_ids[11]), ("click", click_ids[12])]
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_cusum_checkpoint_restart_carries_state(spark, tmp_path):
     """A KILLED-and-restarted CUSUM query must resume from the
     checkpointed state store: the calibration and accumulated S+ built
@@ -975,7 +986,29 @@ def test_streaming_cusum_checkpoint_restart_carries_state(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # The stateful query does not self-terminate under availableNow:
+        # the ProcessingTimeTimeout schedules empty timer micro-batches
+        # forever, so a bare awaitTermination(180) burned the full
+        # timeout TWICE (~360 s of idle wait). A zero-input progress
+        # entry proves the available backlog drained and its sink commit
+        # landed — then KILL the query, which is the scenario under test
+        # (a killed-and-restarted monitor).
+        try:
+            deadline = _time.time() + 180
+            seen_data = False
+            while _time.time() < deadline and q.isActive:
+                lp = q.lastProgress
+                if lp is not None:
+                    if lp["numInputRows"] > 0:
+                        seen_data = True
+                    elif seen_data:
+                        # empty batch AFTER the file batch: backlog
+                        # drained and its commit landed
+                        break
+                _time.sleep(0.25)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
 
     # first run: calibration + the first 3 drifted days (S+ reaches 9)
     _write_flat(rows[:10], "b1.parquet")
@@ -1003,6 +1036,7 @@ def test_streaming_cusum_checkpoint_restart_carries_state(spark, tmp_path):
     assert alarms == [11, 12]
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_tdigest_store_equals_batch_merge_across_boundary(
     spark, tmp_path
 ):
@@ -1106,6 +1140,7 @@ def test_streaming_tdigest_store_equals_batch_merge_across_boundary(
     assert total_w == len(rng_a) + len(rng_b)
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_tdigest_compaction_preserves_accuracy(spark, tmp_path):
     """compact_tdigest_store folds partials <= bound into one committed
     base: total weight and global value bounds are conserved exactly,
@@ -1166,6 +1201,7 @@ def test_streaming_tdigest_compaction_preserves_accuracy(spark, tmp_path):
     assert cents2.groupBy().sum("w").collect()[0][0] == len(allv) + len(extra)
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_hll_registers_exact_across_boundary_and_compaction(
     spark, tmp_path
 ):
@@ -1251,6 +1287,7 @@ def test_streaming_hll_registers_exact_across_boundary_and_compaction(
     assert hll_apply_batch(whole_df, 0, store, "k") is False
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_hdr_buckets_exact_across_boundary_and_compaction(
     spark, tmp_path
 ):
@@ -1343,6 +1380,7 @@ def test_streaming_hdr_buckets_exact_across_boundary_and_compaction(
     assert read_hdr_buckets(spark, store).count() == len(whole)
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_cms_cells_exact_and_guarantee(spark, tmp_path):
     """CMS foreachBatch under a real readStream: merged counters equal
     the single-pass whole-stream sketch cell for cell, compaction is
@@ -1429,6 +1467,7 @@ def test_streaming_cms_cells_exact_and_guarantee(spark, tmp_path):
     assert merged2 == whole
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_kmv_bottomk_invariant_and_compaction(spark, tmp_path):
     """KMV foreachBatch under a real readStream: the merged k-th
     minimum equals the single-pass whole-stream k-th minimum (bottom-k
@@ -1505,6 +1544,7 @@ def test_streaming_kmv_bottomk_invariant_and_compaction(spark, tmp_path):
     assert kmv_apply_batch(whole_df, 0, store, "k") is False
 
 
+@pytest.mark.slow  # real-readStream replay / restart scenario (see pytest.ini)
 def test_streaming_kmv_jaccard_between_stores(spark, tmp_path):
     """Jaccard between two maintained KMV stores: the sketch-only
     membership test is exact for the union bottom-k, so the estimate
